@@ -1,0 +1,186 @@
+"""Engine configuration.
+
+A compact mirror of the reference's composite ``VllmConfig``
+(reference vllm/config/, 18 modules) re-shaped for a JAX/TPU engine:
+- ModelConfig       — architecture + dtype + context length
+- CacheConfig       — paged-KV geometry + prefix caching
+- SchedulerConfig   — token-budget continuous batching knobs
+- ParallelConfig    — jax.sharding mesh axes (tp/dp/ep/cp), not process groups
+- TriangleMixConfig — the fork's sparse-attention surface
+  (reference vllm/attention/trianglemix_attention.py:11-36 and
+  trianglemix_config.py:12-81)
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import asdict, dataclass, field
+from typing import Any, Optional
+
+from vllm_trianglemix_tpu import envs
+
+
+@dataclass
+class TriangleMixConfig:
+    """TriangleMix structured-sparse attention configuration.
+
+    Semantics (reference trianglemix_attention.py:53-219, §0.1 of SURVEY.md),
+    for causal attention over sequence length N with query index i, key j:
+
+    - streaming[i,j] = (j <= num_sink_tokens) or (i - j <= sliding_window_size)
+    - last[i,j]      = (N - i < num_last_tokens) and not streaming[i,j]
+    - triangle       = streaming | last   (the middle Q-K region is dropped)
+
+    Dense attention is used for seq_len <= dense_threshold
+    (reference trianglemix_attention.py:330-332 uses 2048).
+    """
+
+    enabled: bool = False
+    num_sink_tokens: int = 4
+    sliding_window_size: int = 32
+    num_last_tokens: int = 64
+    num_triangle_layers: Optional[int] = None
+    triangle_layer_indices: Optional[list[int]] = None
+    dense_threshold: int = 2048
+
+    def __post_init__(self):
+        if not self.enabled and envs.VTT_TRIANGLEMIX_ENABLED:
+            self.enabled = True
+            if self.num_triangle_layers is None and not self.triangle_layer_indices:
+                n = envs.VTT_TRIANGLEMIX_LAYERS
+                self.num_triangle_layers = n if n > 0 else 8
+
+    def layer_uses_triangle(self, layer_idx: int) -> bool:
+        """Layer-selection policy (reference trianglemix_attention.py:263-278):
+        explicit indices win; else first ``num_triangle_layers`` layers."""
+        if not self.enabled:
+            return False
+        if self.triangle_layer_indices:
+            return layer_idx in self.triangle_layer_indices
+        if self.num_triangle_layers is not None:
+            return layer_idx < self.num_triangle_layers
+        return False
+
+    def triangle_layers(self, num_layers: int) -> list[int]:
+        return [i for i in range(num_layers) if self.layer_uses_triangle(i)]
+
+    @staticmethod
+    def for_qwen3(model_size: str = "14B",
+                  num_triangle_layers: Optional[int] = None) -> "TriangleMixConfig":
+        """Qwen3 presets (reference trianglemix_config.py:59-81)."""
+        if num_triangle_layers is None:
+            num_triangle_layers = {"14B": 10, "32B": 12}.get(model_size, 8)
+        return TriangleMixConfig(
+            enabled=True,
+            num_triangle_layers=num_triangle_layers,
+            num_sink_tokens=4,
+            sliding_window_size=32,
+            num_last_tokens=64,
+        )
+
+
+@dataclass
+class ModelConfig:
+    """Model architecture + checkpoint description.
+
+    ``model`` is a local path to a HF-format checkpoint directory
+    (config.json + *.safetensors [+ tokenizer files]) or a registry alias
+    for a synthetic config (tests).
+    """
+
+    model: str = ""
+    dtype: str = "bfloat16"
+    max_model_len: int = 4096
+    seed: int = 0
+    # Overrides read from config.json when a checkpoint path is given.
+    hf_overrides: dict[str, Any] = field(default_factory=dict)
+    # Quantization method: None | "int8" | "awq" | "gptq" | "fp8"
+    quantization: Optional[str] = None
+    # KV cache dtype: "auto" (model dtype) | "fp8" | "int8"
+    kv_cache_dtype: str = "auto"
+    tokenizer: Optional[str] = None  # defaults to `model`
+    skip_tokenizer_init: bool = False
+
+    def __post_init__(self):
+        if self.tokenizer is None:
+            self.tokenizer = self.model
+
+
+@dataclass
+class CacheConfig:
+    """Paged KV cache geometry.
+
+    ``block_size`` is the page size in tokens; num_gpu_blocks is either set
+    explicitly (tests) or derived from free HBM after model load (reference
+    gpu_worker.py:222 / tpu_worker.py:174 determine_available_memory).
+    """
+
+    block_size: int = 16
+    num_gpu_blocks: Optional[int] = None
+    memory_utilization: float = 0.9
+    enable_prefix_caching: bool = True
+    # dtype handled by ModelConfig.kv_cache_dtype
+
+
+@dataclass
+class SchedulerConfig:
+    """Token-budget continuous batching (reference sched/scheduler.py:179).
+
+    No prefill/decode phases: each request catches num_computed_tokens up to
+    its total; chunked prefill falls out of the per-step token budget.
+    """
+
+    max_num_seqs: int = 64
+    max_num_batched_tokens: int = 2048
+    # Chunk any single prefill above this many tokens (0 = no extra chunking).
+    long_prefill_token_threshold: int = 0
+    policy: str = "fcfs"  # "fcfs" | "priority"
+    # Async scheduling (overlap schedule with execute) — round 2+.
+    async_scheduling: bool = False
+
+
+@dataclass
+class ParallelConfig:
+    """Mesh-based parallelism.
+
+    Unlike the reference's GroupCoordinator/NCCL process groups
+    (parallel_state.py:171), parallelism here is declarative: a
+    ``jax.sharding.Mesh`` with named axes and NamedShardings on weights,
+    activations, and KV cache. XLA's SPMD partitioner inserts the
+    collectives over ICI/DCN.
+    """
+
+    tensor_parallel_size: int = 1
+    data_parallel_size: int = 1
+    expert_parallel_size: int = 1
+    # decode context parallel (KV-shard decode, reference config/parallel.py:198)
+    context_parallel_size: int = 1
+
+    @property
+    def world_size(self) -> int:
+        return (self.tensor_parallel_size * self.data_parallel_size
+                * self.context_parallel_size)
+
+
+@dataclass
+class ObservabilityConfig:
+    collect_stats: bool = True
+    log_stats_interval_s: float = 5.0
+
+
+@dataclass
+class EngineConfig:
+    """Composite engine config (mirror of reference VllmConfig)."""
+
+    model: ModelConfig = field(default_factory=ModelConfig)
+    cache: CacheConfig = field(default_factory=CacheConfig)
+    scheduler: SchedulerConfig = field(default_factory=SchedulerConfig)
+    parallel: ParallelConfig = field(default_factory=ParallelConfig)
+    trianglemix: TriangleMixConfig = field(default_factory=TriangleMixConfig)
+    observability: ObservabilityConfig = field(default_factory=ObservabilityConfig)
+
+    def compute_hash(self) -> str:
+        """Stable hash for compile-cache keying (reference VllmConfig.compute_hash)."""
+        payload = json.dumps(asdict(self), sort_keys=True, default=str)
+        return hashlib.sha256(payload.encode()).hexdigest()[:16]

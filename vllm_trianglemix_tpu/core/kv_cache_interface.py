@@ -1,0 +1,58 @@
+"""Declarative per-layer KV cache specs.
+
+Mirror of the reference's ``vllm/v1/kv_cache_interface.py``: each attention
+layer declares what kind of KV storage it needs; the engine groups layers
+with identical specs and sizes the pool from available HBM.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from math import ceil
+
+
+@dataclass(frozen=True)
+class KVCacheSpec:
+    """Base spec: geometry of one layer's KV cache."""
+
+    block_size: int
+    num_kv_heads: int
+    head_size: int
+    dtype_bytes: int  # bytes per element of the stored K/V (2 bf16, 1 fp8)
+
+    @property
+    def page_size_bytes(self) -> int:
+        # K and V per token per layer.
+        return (2 * self.block_size * self.num_kv_heads * self.head_size
+                * self.dtype_bytes)
+
+    def max_memory_usage_bytes(self, max_model_len: int) -> int:
+        return ceil(max_model_len / self.block_size) * self.page_size_bytes
+
+
+@dataclass(frozen=True)
+class FullAttentionSpec(KVCacheSpec):
+    pass
+
+
+@dataclass(frozen=True)
+class SlidingWindowSpec(KVCacheSpec):
+    sliding_window: int = 0
+
+    def max_memory_usage_bytes(self, max_model_len: int) -> int:
+        num_tokens = min(self.sliding_window + self.block_size, max_model_len)
+        return ceil(num_tokens / self.block_size) * self.page_size_bytes
+
+
+@dataclass(frozen=True)
+class KVCacheGroupSpec:
+    """A group of layers sharing one spec (and one block-id space)."""
+
+    layer_names: tuple[str, ...]
+    kv_cache_spec: KVCacheSpec
+
+
+@dataclass(frozen=True)
+class KVCacheConfig:
+    num_blocks: int
+    kv_cache_groups: tuple[KVCacheGroupSpec, ...]

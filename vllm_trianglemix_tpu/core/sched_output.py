@@ -1,0 +1,105 @@
+"""Scheduler ↔ model-runner interface types.
+
+Mirror of the reference's ``vllm/v1/core/sched/output.py`` (SchedulerOutput,
+NewRequestData, CachedRequestData) and ``vllm/v1/outputs.py``
+(ModelRunnerOutput), trimmed to the engine's current feature set.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+from vllm_trianglemix_tpu.request import Request
+from vllm_trianglemix_tpu.sampling_params import SamplingParams
+
+
+@dataclass
+class NewRequestData:
+    """Everything the worker needs to admit a request it has never seen."""
+
+    req_id: str
+    prompt_token_ids: list[int]
+    block_ids: list[int]
+    num_computed_tokens: int
+    sampling_params: SamplingParams
+
+    @classmethod
+    def from_request(cls, request: Request,
+                     block_ids: list[int]) -> "NewRequestData":
+        return cls(
+            req_id=request.request_id,
+            prompt_token_ids=request.prompt_token_ids,
+            block_ids=block_ids,
+            num_computed_tokens=request.num_computed_tokens,
+            sampling_params=request.sampling_params,
+        )
+
+
+@dataclass
+class CachedRequestData:
+    """Delta for requests the worker already tracks."""
+
+    req_ids: list[str] = field(default_factory=list)
+    # Newly allocated block ids this step, parallel to req_ids.
+    new_block_ids: list[Optional[list[int]]] = field(default_factory=list)
+    num_computed_tokens: list[int] = field(default_factory=list)
+    # True if the request was preempted and restarts from 0 (resumed).
+    resumed_from_preemption: list[bool] = field(default_factory=list)
+    # For resumed requests: all token ids (prompt + generated so far).
+    all_token_ids: list[Optional[list[int]]] = field(default_factory=list)
+
+    @property
+    def num_reqs(self) -> int:
+        return len(self.req_ids)
+
+
+@dataclass
+class SchedulerOutput:
+    scheduled_new_reqs: list[NewRequestData] = field(default_factory=list)
+    scheduled_cached_reqs: CachedRequestData = field(
+        default_factory=CachedRequestData)
+    # req_id -> number of tokens to compute this step.
+    num_scheduled_tokens: dict[str, int] = field(default_factory=dict)
+    total_num_scheduled_tokens: int = 0
+    finished_req_ids: set[str] = field(default_factory=set)
+
+    @property
+    def is_empty(self) -> bool:
+        return self.total_num_scheduled_tokens == 0
+
+
+@dataclass
+class ModelRunnerOutput:
+    """What execute_model hands back to the scheduler."""
+
+    # req_ids in the worker's batch order.
+    req_ids: list[str] = field(default_factory=list)
+    # Per request: sampled token ids (one for decode; empty if the request's
+    # prefill is still mid-chunk and no token was sampled).
+    sampled_token_ids: list[list[int]] = field(default_factory=list)
+    # Optional per-request logprobs: (token_ids, logprobs) of top-k + sampled.
+    logprobs: Optional[list] = None
+
+
+EMPTY_MODEL_RUNNER_OUTPUT = ModelRunnerOutput()
+
+
+@dataclass
+class EngineCoreOutput:
+    """Per-request engine-step result (subset of reference EngineCoreOutput)."""
+
+    request_id: str
+    new_token_ids: list[int]
+    finished: bool = False
+    finish_reason: Optional[str] = None
+    stop_reason: Optional[int | str] = None
+
+
+@dataclass
+class SchedulerStats:
+    num_running_reqs: int = 0
+    num_waiting_reqs: int = 0
+    kv_cache_usage: float = 0.0
+    prefix_cache_queries: int = 0
+    prefix_cache_hits: int = 0

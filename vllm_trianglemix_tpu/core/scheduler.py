@@ -1,0 +1,317 @@
+"""Token-budget continuous-batching scheduler.
+
+Mirror of the reference's ``vllm/v1/core/sched/scheduler.py`` algorithm:
+there are no prefill/decode phases — every scheduled request simply advances
+``num_computed_tokens`` toward ``num_tokens`` under a shared per-step token
+budget, which yields chunked prefill and mixed prefill/decode batches for
+free. Preemption is by recompute: the victim's blocks are freed and it is
+requeued with num_computed_tokens=0 (reference scheduler.py:254-292).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from vllm_trianglemix_tpu.config import CacheConfig, SchedulerConfig
+from vllm_trianglemix_tpu.core.kv_cache_interface import KVCacheConfig
+from vllm_trianglemix_tpu.core.kv_cache_manager import KVCacheManager
+from vllm_trianglemix_tpu.core.request_queue import create_request_queue
+from vllm_trianglemix_tpu.core.sched_output import (
+    CachedRequestData,
+    EngineCoreOutput,
+    ModelRunnerOutput,
+    NewRequestData,
+    SchedulerOutput,
+    SchedulerStats,
+)
+from vllm_trianglemix_tpu.logger import init_logger
+from vllm_trianglemix_tpu.request import Request, RequestStatus
+
+logger = init_logger(__name__)
+
+
+class Scheduler:
+
+    def __init__(
+        self,
+        scheduler_config: SchedulerConfig,
+        cache_config: CacheConfig,
+        kv_cache_config: KVCacheConfig,
+        max_model_len: int,
+    ) -> None:
+        self.scheduler_config = scheduler_config
+        self.max_num_seqs = scheduler_config.max_num_seqs
+        self.max_num_batched_tokens = scheduler_config.max_num_batched_tokens
+        self.max_model_len = max_model_len
+
+        self.kv_cache_manager = KVCacheManager(
+            kv_cache_config,
+            max_model_len=max_model_len,
+            enable_caching=cache_config.enable_prefix_caching,
+        )
+        self.block_size = self.kv_cache_manager.block_size
+
+        self.requests: dict[str, Request] = {}
+        self.waiting = create_request_queue(scheduler_config.policy)
+        self.running: list[Request] = []
+        # req_ids finished since the last schedule() — the worker uses this
+        # to evict them from its persistent batch.
+        self.finished_req_ids: set[str] = set()
+
+    # --- request admission -------------------------------------------------
+    def add_request(self, request: Request) -> None:
+        if len(request.prompt_token_ids) >= self.max_model_len:
+            raise ValueError(
+                f"prompt ({len(request.prompt_token_ids)} tokens) is >= "
+                f"max_model_len ({self.max_model_len})")
+        self.waiting.add_request(request)
+        self.requests[request.request_id] = request
+
+    def abort_requests(self, request_ids: list[str]) -> None:
+        waiting_to_remove = set()
+        for req_id in request_ids:
+            request = self.requests.get(req_id)
+            if request is None or request.is_finished:
+                continue
+            if request.status == RequestStatus.RUNNING:
+                self.running.remove(request)
+            else:
+                waiting_to_remove.add(request)
+            request.status = RequestStatus.FINISHED_ABORTED
+            self._free_request(request)
+        if waiting_to_remove:
+            self.waiting.remove_requests(waiting_to_remove)
+
+    # --- the scheduling pass -------------------------------------------------
+    def schedule(self) -> SchedulerOutput:
+        token_budget = self.max_num_batched_tokens
+        num_scheduled_tokens: dict[str, int] = {}
+
+        scheduled_new_reqs: list[Request] = []
+        scheduled_resumed_reqs: list[Request] = []
+        scheduled_running_reqs: list[Request] = []
+        # req_id -> new block ids allocated this step
+        new_blocks_per_req: dict[str, list[int]] = {}
+        preempted_reqs: set[Request] = set()
+
+        # 1) RUNNING requests first (reference scheduler.py:208-341).
+        req_index = 0
+        while req_index < len(self.running) and token_budget > 0:
+            request = self.running[req_index]
+            num_new_tokens = request.num_tokens - request.num_computed_tokens
+            if (self.scheduler_config.long_prefill_token_threshold > 0):
+                num_new_tokens = min(
+                    num_new_tokens,
+                    self.scheduler_config.long_prefill_token_threshold)
+            num_new_tokens = min(num_new_tokens, token_budget)
+            assert num_new_tokens > 0, (
+                f"running request {request.request_id} has no new tokens")
+
+            # Allocate, preempting by recompute until it fits.
+            while True:
+                new_blocks = self.kv_cache_manager.allocate_slots(
+                    request, num_new_tokens)
+                if new_blocks is not None:
+                    break
+                victim = self._choose_preemption_victim(
+                    scheduled=num_scheduled_tokens.keys())
+                if victim is request or victim is None:
+                    # Cannot even fit itself: preempt it too and stop.
+                    self._preempt(request)
+                    preempted_reqs.add(request)
+                    break
+                self._preempt(victim)
+                preempted_reqs.add(victim)
+
+            if request in preempted_reqs:
+                # Removed from running (list shrank) — don't advance index.
+                continue
+
+            scheduled_running_reqs.append(request)
+            num_scheduled_tokens[request.request_id] = num_new_tokens
+            token_budget -= num_new_tokens
+            new_blocks_per_req[request.request_id] = new_blocks.get_block_ids()
+            req_index += 1
+
+        # 2) WAITING requests (reference scheduler.py:333-450).
+        if not preempted_reqs:
+            while (self.waiting and token_budget > 0
+                   and len(self.running) < self.max_num_seqs):
+                request = self.waiting.peek_request()
+
+                # Prefix-cache lookup (new requests only).
+                new_computed_blocks, num_hit_tokens = (
+                    self.kv_cache_manager.get_computed_blocks(request)
+                    if request.status == RequestStatus.WAITING else
+                    (None, 0))
+                if request.status == RequestStatus.WAITING:
+                    request.num_computed_tokens = num_hit_tokens
+                    if request.num_cached_tokens < 0:
+                        request.num_cached_tokens = num_hit_tokens
+
+                num_new_tokens = request.num_tokens - request.num_computed_tokens
+                if self.scheduler_config.long_prefill_token_threshold > 0:
+                    num_new_tokens = min(
+                        num_new_tokens,
+                        self.scheduler_config.long_prefill_token_threshold)
+                num_new_tokens = min(num_new_tokens, token_budget)
+                assert num_new_tokens > 0
+
+                new_blocks = self.kv_cache_manager.allocate_slots(
+                    request,
+                    num_new_tokens,
+                    num_new_computed_tokens=0,
+                    new_computed_blocks=new_computed_blocks,
+                )
+                if new_blocks is None:
+                    break  # out of KV space; keep waiting
+
+                self.waiting.pop_request()
+                was_preempted = request.status == RequestStatus.PREEMPTED
+                request.status = RequestStatus.RUNNING
+                self.running.append(request)
+                (scheduled_resumed_reqs if was_preempted
+                 else scheduled_new_reqs).append(request)
+                num_scheduled_tokens[request.request_id] = num_new_tokens
+                token_budget -= num_new_tokens
+                new_blocks_per_req[request.request_id] = (
+                    self.kv_cache_manager.get_block_ids(request.request_id))
+
+        # 3) Build output.
+        total = sum(num_scheduled_tokens.values())
+        cached_data = CachedRequestData()
+        for request in scheduled_running_reqs:
+            cached_data.req_ids.append(request.request_id)
+            cached_data.new_block_ids.append(
+                new_blocks_per_req[request.request_id] or None)
+            cached_data.num_computed_tokens.append(request.num_computed_tokens)
+            cached_data.resumed_from_preemption.append(False)
+            cached_data.all_token_ids.append(None)
+        for request in scheduled_resumed_reqs:
+            cached_data.req_ids.append(request.request_id)
+            cached_data.new_block_ids.append(
+                new_blocks_per_req[request.request_id])
+            cached_data.num_computed_tokens.append(request.num_computed_tokens)
+            cached_data.resumed_from_preemption.append(True)
+            cached_data.all_token_ids.append(list(request.all_token_ids))
+
+        output = SchedulerOutput(
+            scheduled_new_reqs=[
+                NewRequestData.from_request(
+                    r, new_blocks_per_req[r.request_id])
+                for r in scheduled_new_reqs
+            ],
+            scheduled_cached_reqs=cached_data,
+            num_scheduled_tokens=num_scheduled_tokens,
+            total_num_scheduled_tokens=total,
+            finished_req_ids=self.finished_req_ids,
+        )
+        self.finished_req_ids = set()
+        return output
+
+    def _choose_preemption_victim(self, scheduled) -> Optional[Request]:
+        """Last-in running request (FCFS) or lowest priority / latest arrival
+        (priority policy), reference scheduler.py:254-292. Requests already
+        scheduled this step are spared unless nothing else remains."""
+        if not self.running:
+            return None
+        candidates = [r for r in self.running
+                      if r.request_id not in scheduled] or self.running
+        if self.scheduler_config.policy == "priority":
+            return max(candidates,
+                       key=lambda r: (r.priority, r.arrival_time))
+        return candidates[-1]
+
+    def _preempt(self, request: Request) -> None:
+        self.running.remove(request)
+        self.kv_cache_manager.free(request)
+        request.status = RequestStatus.PREEMPTED
+        request.num_computed_tokens = 0
+        request.num_preemptions += 1
+        self.waiting.prepend_request(request)
+        logger.debug("Preempted request %s", request.request_id)
+
+    # --- post-execution update -------------------------------------------------
+    def update_from_output(
+        self,
+        scheduler_output: SchedulerOutput,
+        model_output: ModelRunnerOutput,
+    ) -> list[EngineCoreOutput]:
+        sampled = dict(zip(model_output.req_ids,
+                           model_output.sampled_token_ids))
+        outputs: list[EngineCoreOutput] = []
+        stopped_reqs: list[Request] = []
+
+        for req_id, num_tokens in scheduler_output.num_scheduled_tokens.items():
+            request = self.requests.get(req_id)
+            if request is None:
+                continue  # aborted mid-step
+            request.num_computed_tokens += num_tokens
+
+            new_token_ids = sampled.get(req_id, [])
+            stopped = False
+            if new_token_ids:
+                for tok in new_token_ids:
+                    request.append_output_token_ids(tok)
+                    stopped = self._check_stop(request, tok)
+                    if stopped:
+                        break
+            if stopped:
+                stopped_reqs.append(request)
+
+            if new_token_ids or stopped:
+                outputs.append(
+                    EngineCoreOutput(
+                        request_id=req_id,
+                        new_token_ids=list(new_token_ids),
+                        finished=request.is_finished,
+                        finish_reason=request.get_finished_reason(),
+                        stop_reason=request.stop_reason,
+                    ))
+
+        for request in stopped_reqs:
+            self.running.remove(request)
+            self._free_request(request)
+        return outputs
+
+    def _check_stop(self, request: Request, last_token_id: int) -> bool:
+        """Token-level stop conditions (reference sched/utils.py check_stop).
+        Stop strings are the output processor's job."""
+        params = request.sampling_params
+        if (request.num_tokens >= self.max_model_len
+                or request.num_output_tokens >= params.max_tokens):
+            request.status = RequestStatus.FINISHED_LENGTH_CAPPED
+            return True
+        if request.num_output_tokens < params.min_tokens:
+            return False
+        if (not params.ignore_eos and request.eos_token_id is not None
+                and last_token_id == request.eos_token_id):
+            request.status = RequestStatus.FINISHED_STOPPED
+            return True
+        if last_token_id in params.all_stop_token_ids:
+            request.status = RequestStatus.FINISHED_STOPPED
+            request.stop_reason = last_token_id
+            return True
+        return False
+
+    def _free_request(self, request: Request) -> None:
+        self.kv_cache_manager.free(request)
+        self.finished_req_ids.add(request.request_id)
+        del self.requests[request.request_id]
+
+    # --- introspection -----------------------------------------------------
+    def get_num_unfinished_requests(self) -> int:
+        return len(self.waiting) + len(self.running)
+
+    def has_unfinished_requests(self) -> bool:
+        return self.get_num_unfinished_requests() > 0
+
+    def make_stats(self) -> SchedulerStats:
+        pool = self.kv_cache_manager.block_pool
+        return SchedulerStats(
+            num_running_reqs=len(self.running),
+            num_waiting_reqs=len(self.waiting),
+            kv_cache_usage=self.kv_cache_manager.usage,
+            prefix_cache_queries=pool.total_queries,
+            prefix_cache_hits=pool.hit_queries,
+        )

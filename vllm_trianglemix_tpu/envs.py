@@ -1,0 +1,54 @@
+"""Lazy environment flags.
+
+Mirrors the reference's ``vllm/envs.py`` pattern (lazy ``VLLM_*`` lookups,
+reference envs.py:364-1483) with a much smaller surface. All flags use the
+``VTT_`` prefix; the TriangleMix flags documented (but unimplemented) in the
+reference (``trianglemix_config.py:106-110``) are implemented here for real.
+"""
+
+import os
+from typing import Any, Callable
+
+environment_variables: dict[str, Callable[[], Any]] = {
+    # --- TriangleMix (reference TRIANGLEMIX_QUICK_REFERENCE.md:285-289) ---
+    # Enable TriangleMix sparse attention globally.
+    "VTT_TRIANGLEMIX_ENABLED": lambda: bool(
+        int(os.getenv("VTT_TRIANGLEMIX_ENABLED", "0"))
+    ),
+    # Number of triangle layers (first-N policy) when enabled via env.
+    "VTT_TRIANGLEMIX_LAYERS": lambda: int(os.getenv("VTT_TRIANGLEMIX_LAYERS", "0")),
+    # --- Engine ---
+    # Assert the number of compiled graphs stays fixed after warmup
+    # (reference: VLLM_XLA_CHECK_RECOMPILATION, tpu_model_runner.py:308-332).
+    "VTT_CHECK_RECOMPILATION": lambda: bool(
+        int(os.getenv("VTT_CHECK_RECOMPILATION", "0"))
+    ),
+    # Persistent XLA compile cache dir (reference: VLLM_XLA_CACHE_PATH).
+    "VTT_XLA_CACHE_PATH": lambda: os.getenv(
+        "VTT_XLA_CACHE_PATH", os.path.expanduser("~/.cache/vtt_xla_cache")
+    ),
+    # Fraction of HBM usable for weights+KV cache.
+    "VTT_MEMORY_UTILIZATION": lambda: float(
+        os.getenv("VTT_MEMORY_UTILIZATION", "0.9")
+    ),
+    # Force pallas kernels into interpret mode (CPU debugging).
+    "VTT_PALLAS_INTERPRET": lambda: bool(int(os.getenv("VTT_PALLAS_INTERPRET", "0"))),
+    # Disable in-repo Pallas kernels entirely (fall back to XLA-native ops).
+    "VTT_DISABLE_PALLAS": lambda: bool(int(os.getenv("VTT_DISABLE_PALLAS", "0"))),
+    # Logging level for the engine's loggers.
+    "VTT_LOGGING_LEVEL": lambda: os.getenv("VTT_LOGGING_LEVEL", "INFO"),
+    # Use the C++ host runtime extension (block pool index) when built.
+    "VTT_USE_NATIVE_RUNTIME": lambda: bool(
+        int(os.getenv("VTT_USE_NATIVE_RUNTIME", "1"))
+    ),
+}
+
+
+def __getattr__(name: str) -> Any:
+    if name in environment_variables:
+        return environment_variables[name]()
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+
+
+def __dir__() -> list[str]:
+    return list(environment_variables.keys())
