@@ -4,7 +4,7 @@ import, hence the env mutation at module import time."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"  # the shell presets axon (real TPU)
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
@@ -12,3 +12,10 @@ if "xla_force_host_platform_device_count" not in _flags:
 os.environ.setdefault("HF_HUB_OFFLINE", "1")
 os.environ.setdefault("TRANSFORMERS_OFFLINE", "1")
 os.environ.setdefault("TOKENIZERS_PARALLELISM", "false")
+
+# The axon sitecustomize registers the remote-TPU plugin and force-updates
+# jax_platforms to "axon,cpu" — override it back so tests run on the
+# virtual 8-device CPU platform.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

@@ -1,0 +1,148 @@
+"""Paged-KV attention backend: cache write + ragged paged attention.
+
+This module is the XLA-native implementation (gather/scatter + einsum) that
+defines the semantics; `ops/ragged_paged_attention.py` provides the Pallas
+kernel with identical numerics for the TPU hot path. Dispatch picks the
+kernel unless disabled (VTT_DISABLE_PALLAS) or unsupported.
+
+KV cache layout (per layer):
+    [num_blocks, block_size, 2 * num_kv_heads, head_dim]
+K and V interleaved on the head axis — same trick as the reference TPU
+backend (pallas.py:100-109) so one block table serves both.
+
+TriangleMix is applied *inside* attention (unlike the reference prototype,
+which computed masks but never passed them to the backend —
+models/qwen3.py:176-189): a per-layer flag selects triangle vs dense
+visibility, evaluated from token positions, so it works for ragged
+chunked-prefill batches. Dense-fallback for short prompts
+(<= dense_threshold, reference trianglemix_attention.py:330-332) is decided
+per request via prompt_lens.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from vllm_trianglemix_tpu.attention.metadata import AttentionMetadata
+from vllm_trianglemix_tpu.attention.trianglemix import MASK_VALUE
+
+
+def kv_cache_shape(num_blocks: int, block_size: int, num_kv_heads: int,
+                   head_dim: int) -> tuple[int, int, int, int]:
+    return (num_blocks, block_size, 2 * num_kv_heads, head_dim)
+
+
+def write_to_kv_cache(kv_cache: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                      slot_mapping: jnp.ndarray) -> jnp.ndarray:
+    """Scatter new K/V rows into the paged cache.
+
+    kv_cache: [num_blocks, block_size, 2*KH, D]
+    k, v:     [T, KH, D]
+    slot_mapping: int32[T]; -1 (or any out-of-range) rows are dropped.
+
+    XLA lowers this to an in-place dynamic-update when the cache buffer is
+    donated; the Pallas kv_cache_update kernel replaces it where profiling
+    demands (reference ops/pallas_kv_cache_update.py precedent).
+    """
+    num_blocks, block_size, _, _ = kv_cache.shape
+    kv = jnp.concatenate([k, v], axis=1)  # [T, 2*KH, D]
+    block_idx = slot_mapping // block_size
+    block_off = slot_mapping % block_size
+    # Negative slots => out-of-range index, dropped by scatter mode="drop".
+    block_idx = jnp.where(slot_mapping < 0, num_blocks, block_idx)
+    return kv_cache.at[block_idx, block_off].set(
+        kv.astype(kv_cache.dtype), mode="drop")
+
+
+@partial(jax.jit, static_argnames=("sink", "window", "last",
+                                   "dense_threshold", "soft_cap", "scale"))
+def ragged_paged_attention_xla(
+    q: jnp.ndarray,               # [T, HQ, D]
+    kv_cache: jnp.ndarray,        # [num_blocks, page, 2*KH, D]
+    md: AttentionMetadata,
+    use_triangle=False,           # bool or traced bool scalar (per-layer flag
+                                  # under lax.scan over layers)
+    *,
+    scale: float,
+    sink: int = 4,
+    window: int = 32,
+    last: int = 64,
+    dense_threshold: int = 2048,
+    soft_cap: float = 0.0,
+) -> jnp.ndarray:
+    """Reference ragged paged attention, O(T × max_ctx) but pure XLA.
+
+    Gathers each request's pages, computes masked attention for every
+    scheduled token against its full context. Handles GQA, causality within
+    ragged chunked prefill, and TriangleMix visibility.
+    """
+    T, HQ, D = q.shape
+    num_blocks, page, twoKH, _ = kv_cache.shape
+    KH = twoKH // 2
+    G = HQ // KH  # GQA group size
+    R, max_blocks = md.block_tables.shape
+    max_ctx = max_blocks * page
+
+    # Gather pages per request: [R, max_blocks, page, 2KH, D]
+    pages = kv_cache[md.block_tables]
+    pages = pages.reshape(R, max_ctx, twoKH, D)
+    k = pages[:, :, :KH, :]   # [R, C, KH, D]
+    v = pages[:, :, KH:, :]
+
+    # Per-token context tensors: [T, C, KH, D]
+    k_t = k[md.req_idx]
+    v_t = v[md.req_idx]
+
+    qf = q.reshape(T, KH, G, D).astype(jnp.float32)
+    scores = jnp.einsum("tkgd,tckd->tkgc", qf * scale,
+                        k_t.astype(jnp.float32))
+    if soft_cap > 0.0:
+        scores = soft_cap * jnp.tanh(scores / soft_cap)
+
+    # --- visibility -----------------------------------------------------
+    key_pos = jnp.arange(max_ctx, dtype=jnp.int32)[None, :]     # [1, C]
+    q_pos = md.positions[:, None]                               # [T, 1]
+    ctx_len = md.seq_lens[md.req_idx][:, None]                  # [T, 1]
+    visible = (key_pos <= q_pos) & (key_pos < ctx_len)
+
+    n = md.prompt_lens[md.req_idx][:, None]                     # [T, 1]
+    tri = ((key_pos <= sink)
+           | (q_pos - key_pos <= window)
+           | (n - q_pos < last))
+    # decode tokens (q_pos >= prompt) and short prompts stay dense
+    apply_tri = use_triangle & (q_pos < n) & (n > dense_threshold)
+    visible &= jnp.where(apply_tri, tri, True)
+
+    scores = jnp.where(visible[:, None, None, :], scores, MASK_VALUE)
+    probs = jax.nn.softmax(scores, axis=-1)
+    # Fully-masked (padded) rows produce uniform probs; their output is
+    # garbage but they are never read (logits_indices skips them).
+    out = jnp.einsum("tkgc,tckd->tkgd", probs, v_t.astype(jnp.float32))
+    return out.reshape(T, HQ, D).astype(q.dtype)
+
+
+def ragged_paged_attention(q, kv_cache, md, use_triangle=False, **kwargs):
+    """Dispatch: Pallas kernel on TPU (hot path), XLA-native elsewhere or
+    when VTT_DISABLE_PALLAS is set."""
+    from vllm_trianglemix_tpu import envs
+
+    if not envs.VTT_DISABLE_PALLAS and _pallas_supported():
+        from vllm_trianglemix_tpu.ops.ragged_paged_attention import (
+            ragged_paged_attention_pallas,
+        )
+        return ragged_paged_attention_pallas(q, kv_cache, md, use_triangle,
+                                             **kwargs)
+    return ragged_paged_attention_xla(q, kv_cache, md, use_triangle, **kwargs)
+
+
+def _pallas_supported() -> bool:
+    import jax
+
+    try:
+        platform = jax.default_backend()
+    except Exception:
+        return False
+    return platform == "tpu"

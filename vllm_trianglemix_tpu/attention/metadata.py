@@ -1,0 +1,38 @@
+"""Per-step attention metadata (fixed-shape, device-resident).
+
+Mirror of the reference's PallasMetadata/CommonAttentionMetadata
+(vllm/v1/attention/backends/pallas.py, v1/attention/backends/utils.py:45):
+every field is padded to the step's (token, request) bucket so the jitted
+step function never recompiles on batch mutation.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+
+class AttentionMetadata(NamedTuple):
+    # --- per-token (padded to T) ---
+    positions: jnp.ndarray      # int32[T] absolute position in its sequence
+    req_idx: jnp.ndarray        # int32[T] request row (R) each token belongs to
+    slot_mapping: jnp.ndarray   # int32[T] flat KV slot (block*page+off); -1 pad
+    # --- per-request (padded to R) ---
+    block_tables: jnp.ndarray   # int32[R, max_blocks]
+    seq_lens: jnp.ndarray       # int32[R] context length INCLUDING this step's
+                                #   scheduled tokens; 0 for padded rows
+    prompt_lens: jnp.ndarray    # int32[R] prompt length (TriangleMix N)
+    query_start_loc: jnp.ndarray  # int32[R+1] cumulative query token offsets
+    logits_indices: jnp.ndarray   # int32[R] flat index of each request's last
+                                  #   scheduled token (for sampling)
+    # --- scalars ---
+    num_reqs: jnp.ndarray       # int32[] actual (unpadded) request count
+
+    @property
+    def num_tokens_padded(self) -> int:
+        return self.positions.shape[0]
+
+    @property
+    def num_reqs_padded(self) -> int:
+        return self.seq_lens.shape[0]

@@ -1,0 +1,74 @@
+"""Synchronous engine facade (reference vllm/v1/engine/llm_engine.py:45)."""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Union
+
+from vllm_trianglemix_tpu.config import EngineConfig
+from vllm_trianglemix_tpu.engine.core import EngineCore
+from vllm_trianglemix_tpu.engine.output_processor import OutputProcessor
+from vllm_trianglemix_tpu.engine.processor import Processor, load_tokenizer
+from vllm_trianglemix_tpu.logger import init_logger
+from vllm_trianglemix_tpu.outputs import RequestOutput
+from vllm_trianglemix_tpu.sampling_params import SamplingParams
+
+logger = init_logger(__name__)
+
+
+class LLMEngine:
+
+    def __init__(self, engine_config: EngineConfig) -> None:
+        self.engine_config = engine_config
+
+        tokenizer = None
+        if not engine_config.model.skip_tokenizer_init:
+            tok_path = engine_config.model.tokenizer
+            if tok_path and os.path.isdir(tok_path):
+                tokenizer = load_tokenizer(tok_path)
+        self.tokenizer = tokenizer
+
+        self.engine_core = EngineCore(engine_config)
+        self.processor = Processor(engine_config, tokenizer)
+        if self.processor.eos_token_id is None:
+            # Model config knows the eos id even without a tokenizer.
+            model_cfg = self.engine_core.executor.worker.model_runner.cfg \
+                if hasattr(self.engine_core.executor, "worker") else None
+            if model_cfg is not None:
+                self.processor.eos_token_id = model_cfg.eos_token_id
+        self.output_processor = OutputProcessor(tokenizer)
+
+    @classmethod
+    def from_engine_config(cls, engine_config: EngineConfig) -> "LLMEngine":
+        return cls(engine_config)
+
+    def add_request(
+        self,
+        request_id: str,
+        prompt: Union[str, list[int], dict],
+        params: SamplingParams,
+        priority: int = 0,
+    ) -> None:
+        request = self.processor.process_inputs(request_id, prompt, params,
+                                                priority=priority)
+        self.output_processor.add_request(request)
+        self.engine_core.add_request(request)
+
+    def abort_request(self, request_ids: list[str]) -> None:
+        self.engine_core.abort_requests(request_ids)
+        self.output_processor.abort_requests(request_ids)
+
+    def step(self) -> list[RequestOutput]:
+        core_outputs = self.engine_core.step()
+        processed = self.output_processor.process_outputs(core_outputs)
+        if processed.reqs_to_abort:
+            self.engine_core.abort_requests(processed.reqs_to_abort)
+            # Emit final outputs for stop-string-aborted requests now.
+        return processed.request_outputs
+
+    def has_unfinished_requests(self) -> bool:
+        return (self.engine_core.has_unfinished_requests()
+                or self.output_processor.get_num_unfinished() > 0)
+
+    def warm_up(self) -> None:
+        self.engine_core.warm_up()

@@ -1,0 +1,98 @@
+"""Engine outputs → user-facing RequestOutputs.
+
+Role of the reference's OutputProcessor (v1/engine/output_processor.py):
+per-request incremental detokenization, stop-string detection (which aborts
+the request in the engine), and RequestOutput assembly.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+from vllm_trianglemix_tpu.core.sched_output import EngineCoreOutput
+from vllm_trianglemix_tpu.engine.detokenizer import IncrementalDetokenizer
+from vllm_trianglemix_tpu.outputs import CompletionOutput, RequestOutput
+from vllm_trianglemix_tpu.request import Request
+
+
+@dataclass
+class RequestState:
+    request: Request
+    detok: Optional[IncrementalDetokenizer]
+    new_token_ids: list[int] = field(default_factory=list)
+
+
+@dataclass
+class ProcessedOutputs:
+    request_outputs: list[RequestOutput]
+    # requests that hit a stop string and must be aborted in the scheduler
+    reqs_to_abort: list[str]
+
+
+class OutputProcessor:
+
+    def __init__(self, tokenizer=None) -> None:
+        self.tokenizer = tokenizer
+        self.states: dict[str, RequestState] = {}
+
+    def add_request(self, request: Request) -> None:
+        detok = None
+        if self.tokenizer is not None and request.sampling_params.detokenize:
+            detok = IncrementalDetokenizer(self.tokenizer,
+                                           request.sampling_params,
+                                           request.prompt_token_ids)
+        self.states[request.request_id] = RequestState(request, detok)
+
+    def abort_requests(self, request_ids: list[str]) -> None:
+        for rid in request_ids:
+            self.states.pop(rid, None)
+
+    def process_outputs(self, outputs: list[EngineCoreOutput]
+                        ) -> ProcessedOutputs:
+        request_outputs: list[RequestOutput] = []
+        reqs_to_abort: list[str] = []
+        for out in outputs:
+            state = self.states.get(out.request_id)
+            if state is None:
+                continue
+            state.new_token_ids.extend(out.new_token_ids)
+            finish_reason = out.finish_reason
+            stop_reason = out.stop_reason
+
+            stop_str = None
+            if state.detok is not None and out.new_token_ids:
+                stop_str = state.detok.update(out.new_token_ids)
+                if stop_str is not None and not out.finished:
+                    reqs_to_abort.append(out.request_id)
+                if stop_str is not None:
+                    finish_reason = "stop"
+                    stop_reason = stop_str
+
+            finished = out.finished or stop_str is not None
+            if finished:
+                req = state.request
+                text = state.detok.output_text if state.detok else ""
+                token_ids = (state.detok.output_token_ids if state.detok
+                             else list(state.new_token_ids))
+                request_outputs.append(
+                    RequestOutput(
+                        request_id=req.request_id,
+                        prompt=req.prompt,
+                        prompt_token_ids=req.prompt_token_ids,
+                        outputs=[
+                            CompletionOutput(
+                                index=0,
+                                text=text,
+                                token_ids=token_ids,
+                                finish_reason=finish_reason,
+                                stop_reason=stop_reason,
+                            )
+                        ],
+                        finished=True,
+                    ))
+                self.states.pop(out.request_id, None)
+        return ProcessedOutputs(request_outputs, reqs_to_abort)
+
+    def get_num_unfinished(self) -> int:
+        return len(self.states)

@@ -1,0 +1,88 @@
+"""Input processor: prompt → validated Request.
+
+Role of the reference's Processor (vllm/v1/engine/processor.py):
+tokenization, validation, stop-token assembly. Tokenizers are optional —
+the engine fully supports raw token-id prompts (required in offline/airgap
+environments and for serving frontends that pre-tokenize).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional, Union
+
+from vllm_trianglemix_tpu.config import EngineConfig
+from vllm_trianglemix_tpu.logger import init_logger
+from vllm_trianglemix_tpu.request import Request
+from vllm_trianglemix_tpu.sampling_params import SamplingParams
+
+logger = init_logger(__name__)
+
+PromptType = Union[str, list[int], dict]
+
+
+def load_tokenizer(path: str):
+    """Best-effort HF tokenizer load; None in token-id-only mode."""
+    try:
+        from transformers import AutoTokenizer
+
+        return AutoTokenizer.from_pretrained(path, local_files_only=True)
+    except Exception as e:  # noqa: BLE001
+        logger.warning("tokenizer unavailable (%s); token-id-only mode",
+                       type(e).__name__)
+        return None
+
+
+class Processor:
+
+    def __init__(self, engine_config: EngineConfig, tokenizer=None) -> None:
+        self.engine_config = engine_config
+        self.tokenizer = tokenizer
+        self.eos_token_id: Optional[int] = None
+        if tokenizer is not None:
+            self.eos_token_id = tokenizer.eos_token_id
+        else:
+            # Fall back to the model config's eos (set by the engine).
+            self.eos_token_id = None
+
+    def process_inputs(
+        self,
+        request_id: str,
+        prompt: PromptType,
+        params: SamplingParams,
+        arrival_time: Optional[float] = None,
+        priority: int = 0,
+    ) -> Request:
+        prompt_text: Optional[str] = None
+        if isinstance(prompt, str):
+            if self.tokenizer is None:
+                raise ValueError(
+                    "string prompts require a tokenizer; pass token ids")
+            prompt_text = prompt
+            token_ids = self.tokenizer.encode(prompt)
+        elif isinstance(prompt, dict):
+            prompt_text = prompt.get("prompt")
+            token_ids = prompt.get("prompt_token_ids")
+            if token_ids is None:
+                token_ids = self.tokenizer.encode(prompt_text)
+        else:
+            token_ids = list(prompt)
+
+        if not token_ids:
+            raise ValueError("empty prompt")
+        max_len = self.engine_config.model.max_model_len
+        if len(token_ids) >= max_len:
+            raise ValueError(
+                f"prompt length {len(token_ids)} >= max_model_len {max_len}")
+
+        # Encode stop strings' token ids are NOT precomputed (stop strings are
+        # matched on detokenized text by the output processor).
+        return Request(
+            request_id=request_id,
+            prompt_token_ids=token_ids,
+            sampling_params=params,
+            eos_token_id=self.eos_token_id,
+            arrival_time=arrival_time or time.time(),
+            priority=priority,
+            prompt=prompt_text,
+        )

@@ -1,0 +1,98 @@
+"""Offline inference API (reference vllm/entrypoints/llm.py:66 LLM class)."""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Union
+
+from vllm_trianglemix_tpu.config import (
+    CacheConfig,
+    EngineConfig,
+    ModelConfig,
+    ParallelConfig,
+    SchedulerConfig,
+    TriangleMixConfig,
+)
+from vllm_trianglemix_tpu.engine.llm_engine import LLMEngine
+from vllm_trianglemix_tpu.outputs import RequestOutput
+from vllm_trianglemix_tpu.sampling_params import SamplingParams
+
+PromptType = Union[str, list[int], dict]
+
+
+class LLM:
+    """Synchronous batch-inference entrypoint.
+
+    >>> llm = LLM(model="/path/to/Qwen3-0.6B")
+    >>> outs = llm.generate(["hello"], SamplingParams(max_tokens=16))
+    """
+
+    def __init__(
+        self,
+        model: str,
+        *,
+        dtype: str = "bfloat16",
+        max_model_len: int = 4096,
+        block_size: int = 16,
+        max_num_seqs: int = 64,
+        max_num_batched_tokens: int = 2048,
+        num_kv_blocks: Optional[int] = None,
+        enable_prefix_caching: bool = True,
+        tensor_parallel_size: int = 1,
+        trianglemix: Optional[TriangleMixConfig] = None,
+        seed: int = 0,
+        skip_tokenizer_init: bool = False,
+        warmup: bool = False,
+        quantization: Optional[str] = None,
+    ) -> None:
+        self.engine_config = EngineConfig(
+            model=ModelConfig(model=model, dtype=dtype,
+                              max_model_len=max_model_len, seed=seed,
+                              skip_tokenizer_init=skip_tokenizer_init,
+                              quantization=quantization),
+            cache=CacheConfig(block_size=block_size,
+                              num_gpu_blocks=num_kv_blocks,
+                              enable_prefix_caching=enable_prefix_caching),
+            scheduler=SchedulerConfig(
+                max_num_seqs=max_num_seqs,
+                max_num_batched_tokens=max_num_batched_tokens),
+            parallel=ParallelConfig(tensor_parallel_size=tensor_parallel_size),
+            trianglemix=trianglemix or TriangleMixConfig(),
+        )
+        self.llm_engine = LLMEngine.from_engine_config(self.engine_config)
+        if warmup:
+            self.llm_engine.warm_up()
+        self._request_counter = 0
+
+    def generate(
+        self,
+        prompts: Union[PromptType, Sequence[PromptType]],
+        sampling_params: Optional[Union[SamplingParams,
+                                        Sequence[SamplingParams]]] = None,
+    ) -> list[RequestOutput]:
+        if isinstance(prompts, (str, dict)) or (
+                isinstance(prompts, list) and prompts
+                and isinstance(prompts[0], int)):
+            prompts = [prompts]
+        n = len(prompts)
+        if sampling_params is None:
+            sampling_params = SamplingParams()
+        if isinstance(sampling_params, SamplingParams):
+            sampling_params = [sampling_params] * n
+        if len(sampling_params) != n:
+            raise ValueError("len(sampling_params) != len(prompts)")
+
+        request_ids = []
+        for prompt, params in zip(prompts, sampling_params):
+            rid = str(self._request_counter)
+            self._request_counter += 1
+            self.llm_engine.add_request(rid, prompt, params)
+            request_ids.append(rid)
+
+        order = {rid: i for i, rid in enumerate(request_ids)}
+        results: list[Optional[RequestOutput]] = [None] * n
+        while self.llm_engine.has_unfinished_requests():
+            for out in self.llm_engine.step():
+                if out.request_id in order:
+                    results[order[out.request_id]] = out
+        assert all(r is not None for r in results)
+        return results

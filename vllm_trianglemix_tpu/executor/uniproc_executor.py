@@ -1,0 +1,33 @@
+"""Single-process executor: engine and worker share the process.
+
+Reference analogue: UniProcExecutor (vllm/v1/executor/abstract.py). With
+JAX SPMD one process already drives every local chip, so this is the
+default for single-host serving at any TP width.
+"""
+
+from __future__ import annotations
+
+from vllm_trianglemix_tpu.config import EngineConfig
+from vllm_trianglemix_tpu.core.sched_output import (
+    ModelRunnerOutput,
+    SchedulerOutput,
+)
+from vllm_trianglemix_tpu.executor.abstract import Executor
+from vllm_trianglemix_tpu.worker.worker import Worker
+
+
+class UniProcExecutor(Executor):
+
+    def __init__(self, engine_config: EngineConfig) -> None:
+        self.worker = Worker(engine_config)
+
+    def execute_model(self, scheduler_output: SchedulerOutput
+                      ) -> ModelRunnerOutput:
+        return self.worker.execute_model(scheduler_output)
+
+    @property
+    def num_kv_blocks(self) -> int:
+        return self.worker.num_kv_blocks
+
+    def compile_or_warm_up_model(self) -> None:
+        self.worker.compile_or_warm_up_model()

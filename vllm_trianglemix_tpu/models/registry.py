@@ -1,0 +1,52 @@
+"""Model registry: HF architecture string → model module.
+
+Mirror of the reference's lazy-import ModelRegistry
+(vllm/model_executor/models/registry.py:45-321), sized to the families this
+engine currently ships. A model module must expose:
+
+- ``Config.from_pretrained(path)`` / ``Config.from_hf_config(dict)``
+- ``shape_tree(cfg)`` / ``partition_specs(cfg)`` / ``init_random(cfg, ...)``
+- ``params_from_hf_state_dict(cfg, get_tensor, dtype)``
+- ``forward(params, cfg, tri_cfg, token_ids, kv_caches, md, tri_flags)``
+- ``compute_logits(params, cfg, hidden)``
+- ``kv_cache_spec(cfg, block_size, dtype_bytes)``
+"""
+
+from __future__ import annotations
+
+import importlib
+import json
+import os
+
+_REGISTRY: dict[str, tuple[str, str]] = {
+    # architecture -> (module, config attr)
+    "Qwen3ForCausalLM": ("vllm_trianglemix_tpu.models.qwen3", "Qwen3Config"),
+    "Qwen2ForCausalLM": ("vllm_trianglemix_tpu.models.qwen2", "Qwen2Config"),
+    "LlamaForCausalLM": ("vllm_trianglemix_tpu.models.llama", "LlamaConfig"),
+}
+
+
+def resolve_architecture(arch: str):
+    """Return (model_module, config_cls) for an HF architecture string."""
+    if arch not in _REGISTRY:
+        raise ValueError(
+            f"Unsupported architecture {arch!r}; supported: {sorted(_REGISTRY)}")
+    module_name, cfg_attr = _REGISTRY[arch]
+    module = importlib.import_module(module_name)
+    return module, getattr(module, cfg_attr)
+
+
+def resolve_model(path_or_arch: str):
+    """Resolve from a checkpoint dir (reads config.json) or an arch name."""
+    if os.path.isdir(path_or_arch):
+        with open(os.path.join(path_or_arch, "config.json")) as f:
+            hf_cfg = json.load(f)
+        arch = hf_cfg["architectures"][0]
+        module, cfg_cls = resolve_architecture(arch)
+        return module, cfg_cls.from_hf_config(hf_cfg)
+    module, cfg_cls = resolve_architecture(path_or_arch)
+    return module, cfg_cls()
+
+
+def supported_architectures() -> list[str]:
+    return sorted(_REGISTRY)

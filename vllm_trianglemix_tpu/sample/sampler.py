@@ -1,0 +1,93 @@
+"""XLA-friendly fixed-shape sampler.
+
+Mirror of the reference TPU sampler's pipeline
+(vllm/v1/sample/tpu/sampler.py:16-213): temperature → top-k → top-p →
+min-p → gumbel-or-argmax, all with static shapes and no host sync. The
+whole function lives inside the jitted step so sampled ids are the only
+thing crossing back to the host.
+
+top-k/top-p use one shared descending sort of the logits — O(V log V) on
+device but fused, shape-static, and branch-free.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from vllm_trianglemix_tpu.sample.metadata import SamplingMetadata
+
+NEG_INF = jnp.float32(-1e10)
+
+
+def apply_temperature(logits: jnp.ndarray, temperature: jnp.ndarray) -> jnp.ndarray:
+    # Avoid div-by-zero for greedy rows; they bypass sampling anyway.
+    safe_t = jnp.where(temperature <= 0.0, 1.0, temperature)
+    return logits / safe_t[:, None]
+
+
+def apply_top_k_top_p_min_p(logits: jnp.ndarray,
+                            md: SamplingMetadata) -> jnp.ndarray:
+    """Mask logits outside the per-row top-k / nucleus top-p / min-p sets."""
+    R, V = logits.shape
+    sorted_logits = jnp.sort(logits, axis=-1)[:, ::-1]  # descending
+
+    mask = jnp.zeros_like(logits, dtype=bool)
+
+    # top-k: threshold at the k-th largest value (0 => keep all)
+    k = jnp.where(md.top_k <= 0, V, jnp.clip(md.top_k, 1, V))
+    kth_val = jnp.take_along_axis(sorted_logits,
+                                  (k - 1)[:, None], axis=-1)  # [R,1]
+    mask |= logits < kth_val
+
+    # top-p: smallest set whose prob mass >= top_p. Work on sorted probs:
+    probs_sorted = jax.nn.softmax(sorted_logits, axis=-1)
+    cum = jnp.cumsum(probs_sorted, axis=-1)
+    # entries strictly after the cutoff are dropped; cutoff index is the
+    # first position where cumsum >= top_p.
+    keep_sorted = (cum - probs_sorted) < md.top_p[:, None]
+    # threshold value = smallest kept logit per row
+    thresh = jnp.min(jnp.where(keep_sorted, sorted_logits, jnp.inf),
+                     axis=-1, keepdims=True)
+    mask |= logits < thresh
+
+    # min-p: drop tokens below min_p * max_prob (reference
+    # sample/tpu/sampler.py:130 apply_min_p)
+    probs = jax.nn.softmax(logits, axis=-1)
+    max_prob = jnp.max(probs, axis=-1, keepdims=True)
+    mask |= probs < (md.min_p[:, None] * max_prob)
+
+    return jnp.where(mask, NEG_INF, logits)
+
+
+def sample(logits: jnp.ndarray, md: SamplingMetadata,
+           step_key: jnp.ndarray) -> jnp.ndarray:
+    """logits f32[R, V] → sampled token ids int32[R]."""
+    greedy_tokens = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    if md.all_greedy:
+        return greedy_tokens
+
+    scaled = apply_temperature(logits, md.temperature)
+    scaled = apply_top_k_top_p_min_p(scaled, md)
+
+    # Per-request gumbel noise from (step key, per-req seed fold).
+    R, V = logits.shape
+    keys = jax.vmap(jax.random.fold_in, in_axes=(None, 0))(
+        step_key, md.seeds.astype(jnp.uint32))
+    gumbel = jax.vmap(
+        lambda k: jax.random.gumbel(k, (V,), dtype=jnp.float32))(keys)
+    random_tokens = jnp.argmax(scaled + gumbel, axis=-1).astype(jnp.int32)
+
+    return jnp.where(md.temperature <= 0.0, greedy_tokens, random_tokens)
+
+
+def gather_logprobs(logits: jnp.ndarray, token_ids: jnp.ndarray,
+                    num_logprobs: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Top-k logprobs + the sampled token's logprob (reference
+    sample/ops/logprobs.py role). Returns (ids[R,k+1], logprobs[R,k+1])."""
+    logprobs = jax.nn.log_softmax(logits, axis=-1)
+    topk_lp, topk_ids = jax.lax.top_k(logprobs, num_logprobs)
+    sampled_lp = jnp.take_along_axis(logprobs, token_ids[:, None], axis=-1)
+    ids = jnp.concatenate([token_ids[:, None], topk_ids], axis=-1)
+    lps = jnp.concatenate([sampled_lp, topk_lp], axis=-1)
+    return ids.astype(jnp.int32), lps

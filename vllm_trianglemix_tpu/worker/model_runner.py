@@ -1,0 +1,312 @@
+"""The model runner: bucketized jit-compiled step over a paged KV cache.
+
+Role of the reference's TPUModelRunner (vllm/v1/worker/tpu_model_runner.py):
+- keep persistent per-request state (InputBatch) and diff SchedulerOutput
+  into it (:333 _update_states);
+- build fixed-shape step inputs on the host (numpy), padded to
+  (token, request) buckets so the number of compiled graphs is bounded
+  (:1837 _get_token_paddings, :1819 _get_req_paddings);
+- run ONE jitted function per bucket: embed → scan(layers) → select last
+  hidden per request → logits → sample (everything device-side, one
+  host↔device round trip per step);
+- donate the KV cache so page updates are in-place.
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vllm_trianglemix_tpu.attention.backend import kv_cache_shape
+from vllm_trianglemix_tpu.attention.metadata import AttentionMetadata
+from vllm_trianglemix_tpu.config import EngineConfig
+from vllm_trianglemix_tpu.core.sched_output import (
+    ModelRunnerOutput,
+    SchedulerOutput,
+)
+from vllm_trianglemix_tpu.logger import init_logger
+from vllm_trianglemix_tpu.models.registry import resolve_model
+from vllm_trianglemix_tpu.sample.metadata import (
+    SamplingMetadata,
+    build_sampling_metadata,
+)
+from vllm_trianglemix_tpu.sample.sampler import sample as sample_tokens
+from vllm_trianglemix_tpu.worker.input_batch import InputBatch
+
+logger = init_logger(__name__)
+
+_DTYPES = {
+    "bfloat16": jnp.bfloat16,
+    "float32": jnp.float32,
+    "float16": jnp.float16,
+}
+
+
+def cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def token_paddings(min_pad: int, max_tokens: int) -> list[int]:
+    """Powers of two up to the cap (reference _get_token_paddings:1837)."""
+    out, p = [], max(16, min_pad)
+    while p < max_tokens:
+        out.append(p)
+        p *= 2
+    out.append(max(16, max_tokens))
+    return sorted(set(out))
+
+
+def req_paddings(max_reqs: int) -> list[int]:
+    out, p = [], 8
+    while p < max_reqs:
+        out.append(p)
+        p *= 2
+    out.append(max(8, max_reqs))
+    return sorted(set(out))
+
+
+def pick_padding(paddings: list[int], n: int) -> int:
+    for p in paddings:
+        if n <= p:
+            return p
+    raise ValueError(f"{n} exceeds the largest padding {paddings[-1]}")
+
+
+class ModelRunner:
+
+    def __init__(self, engine_config: EngineConfig, mesh=None,
+                 params=None) -> None:
+        self.engine_config = engine_config
+        self.model_config = engine_config.model
+        self.cache_config = engine_config.cache
+        self.tri_cfg = engine_config.trianglemix
+        self.mesh = mesh
+        self.dtype = _DTYPES[self.model_config.dtype]
+
+        self.model, self.cfg = resolve_model(self.model_config.model)
+        self.block_size = self.cache_config.block_size
+        self.max_model_len = self.model_config.max_model_len
+        self.max_blocks_per_req = cdiv(self.max_model_len, self.block_size)
+
+        self.input_batch = InputBatch()
+        self._token_paddings = token_paddings(
+            16, engine_config.scheduler.max_num_batched_tokens)
+        self._req_paddings = req_paddings(engine_config.scheduler.max_num_seqs)
+
+        # --- weights --------------------------------------------------------
+        if params is not None:
+            self.params = params
+        else:
+            self.params = self._load_params()
+
+        # --- TriangleMix per-layer flags -------------------------------------
+        tri = np.zeros(self.cfg.num_hidden_layers, dtype=bool)
+        if self.tri_cfg.enabled:
+            for i in self.tri_cfg.triangle_layers(self.cfg.num_hidden_layers):
+                tri[i] = True
+        self.tri_flags = jnp.asarray(tri)
+
+        # --- KV cache ---------------------------------------------------------
+        self.num_kv_blocks = self._determine_num_kv_blocks()
+        kv_dtype = self.dtype  # fp8/int8 KV handled by quantization rounds
+        self.kv_caches = jnp.zeros(
+            (self.cfg.num_hidden_layers,
+             *kv_cache_shape(self.num_kv_blocks, self.block_size,
+                             self.cfg.num_key_value_heads, self.cfg.head_dim)),
+            dtype=kv_dtype)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            self.kv_caches = jax.device_put(
+                self.kv_caches,
+                NamedSharding(self.mesh, P(None, None, None, "tp", None)))
+
+        # step key for sampling randomness
+        self._rng_key = jax.random.PRNGKey(self.model_config.seed)
+        self._step_count = 0
+
+        self._jit_step = self._build_step_fn()
+
+    # --- init helpers ------------------------------------------------------
+    def _load_params(self):
+        import os
+
+        if os.path.isdir(self.model_config.model):
+            from vllm_trianglemix_tpu.models.weights import SafetensorsReader
+
+            reader = SafetensorsReader(self.model_config.model)
+            params = self.model.params_from_hf_state_dict(
+                self.cfg, reader, dtype=self.dtype)
+        else:
+            params = self.model.init_random(self.cfg, self.model_config.seed,
+                                            dtype=self.dtype)
+        if self.mesh is not None:
+            from vllm_trianglemix_tpu.models.weights import shard_params
+
+            params = shard_params(params, self.mesh,
+                                  self.model.partition_specs(self.cfg))
+        return params
+
+    def _determine_num_kv_blocks(self) -> int:
+        """Size the KV pool from free HBM (reference tpu_worker.py:174-231),
+        or take the configured count (tests)."""
+        if self.cache_config.num_gpu_blocks is not None:
+            return self.cache_config.num_gpu_blocks
+        spec = self.model.kv_cache_spec(self.cfg, self.block_size,
+                                        dtype_bytes=self.dtype.dtype.itemsize
+                                        if hasattr(self.dtype, "dtype") else 2)
+        per_block_bytes = spec.page_size_bytes * self.cfg.num_hidden_layers
+        try:
+            stats = jax.devices()[0].memory_stats()
+            limit = stats["bytes_limit"] * self.cache_config.memory_utilization
+            free = int(limit - stats["bytes_in_use"])
+        except Exception:
+            logger.warning("memory_stats unavailable; defaulting to 512 blocks")
+            return 512
+        num = max(16, free // per_block_bytes)
+        # Leave headroom for activations.
+        num = int(num * 0.95)
+        logger.info("KV cache: %d blocks x %d tokens (%.2f GiB)", num,
+                    self.block_size, num * per_block_bytes / 2**30)
+        return num
+
+    # --- the compiled step ----------------------------------------------------
+    def _build_step_fn(self):
+        model, cfg, tri_cfg = self.model, self.cfg, self.tri_cfg
+
+        @partial(jax.jit, donate_argnums=(1,), static_argnames=("all_greedy",))
+        def step(params, kv_caches, token_ids, md: AttentionMetadata,
+                 smd: SamplingMetadata, tri_flags, step_key,
+                 all_greedy: bool):
+            hidden, kv_caches = model.forward(
+                params, cfg, tri_cfg, token_ids, kv_caches, md, tri_flags)
+            sel = hidden[md.logits_indices]            # [R, D]
+            logits = model.compute_logits(params, cfg, sel)
+            smd = smd._replace(all_greedy=all_greedy)
+            tokens = sample_tokens(logits, smd, step_key)
+            return kv_caches, tokens
+
+        return step
+
+    # --- per-step host work -----------------------------------------------------
+    def execute_model(self, scheduler_output: SchedulerOutput
+                      ) -> ModelRunnerOutput:
+        self.input_batch.update_from_scheduler_output(scheduler_output)
+        if scheduler_output.total_num_scheduled_tokens == 0:
+            return ModelRunnerOutput()
+
+        sched = scheduler_output.num_scheduled_tokens
+        req_ids = list(sched.keys())
+        num_reqs = len(req_ids)
+        total_tokens = scheduler_output.total_num_scheduled_tokens
+
+        T = pick_padding(self._token_paddings, total_tokens)
+        R = pick_padding(self._req_paddings, num_reqs)
+        MB = self.max_blocks_per_req
+
+        token_ids = np.zeros(T, np.int32)
+        positions = np.zeros(T, np.int32)
+        req_idx = np.full(T, R - 1, np.int32)  # pad rows point at pad req
+        slot_mapping = np.full(T, -1, np.int32)
+        block_tables = np.zeros((R, MB), np.int32)
+        seq_lens = np.zeros(R, np.int32)
+        prompt_lens = np.zeros(R, np.int32)
+        query_start_loc = np.zeros(R + 1, np.int32)
+        logits_indices = np.full(R, T - 1, np.int32)
+
+        params_list, counters = [], []
+        sampled_valid = []  # whether row i produces a real sampled token
+        offset = 0
+        for i, req_id in enumerate(req_ids):
+            state = self.input_batch.get(req_id)
+            n_sched = sched[req_id]
+            start = state.num_computed_tokens
+            end = start + n_sched
+            token_ids[offset:offset + n_sched] = state.token_ids[start:end]
+            positions[offset:offset + n_sched] = np.arange(start, end)
+            req_idx[offset:offset + n_sched] = i
+            bt = np.asarray(state.block_ids, np.int32)
+            block_tables[i, :len(bt)] = bt
+            pos = np.arange(start, end)
+            slot_mapping[offset:offset + n_sched] = (
+                bt[pos // self.block_size] * self.block_size
+                + pos % self.block_size)
+            seq_lens[i] = end
+            prompt_lens[i] = state.prompt_len
+            query_start_loc[i + 1] = query_start_loc[i] + n_sched
+            logits_indices[i] = offset + n_sched - 1
+            params_list.append(state.sampling_params)
+            counters.append(state.step_counter)
+            state.step_counter += 1
+            sampled_valid.append(end >= state.num_tokens)
+            offset += n_sched
+        query_start_loc[num_reqs + 1:] = offset
+
+        md = AttentionMetadata(
+            positions=jnp.asarray(positions),
+            req_idx=jnp.asarray(req_idx),
+            slot_mapping=jnp.asarray(slot_mapping),
+            block_tables=jnp.asarray(block_tables),
+            seq_lens=jnp.asarray(seq_lens),
+            prompt_lens=jnp.asarray(prompt_lens),
+            query_start_loc=jnp.asarray(query_start_loc),
+            logits_indices=jnp.asarray(logits_indices),
+            num_reqs=jnp.asarray(num_reqs, jnp.int32),
+        )
+        smd = build_sampling_metadata(params_list, counters, R)
+
+        self._rng_key, step_key = jax.random.split(self._rng_key)
+        self.kv_caches, tokens = self._jit_step(
+            self.params, self.kv_caches, jnp.asarray(token_ids), md, smd,
+            self.tri_flags, step_key, smd.all_greedy)
+        self._step_count += 1
+
+        tokens_np = np.asarray(jax.device_get(tokens))
+        sampled: list[list[int]] = []
+        for i, req_id in enumerate(req_ids):
+            if sampled_valid[i]:
+                tok = int(tokens_np[i])
+                sampled.append([tok])
+                # Keep the worker's token list in sync for the next step.
+                self.input_batch.append_token(req_id, tok)
+            else:
+                sampled.append([])
+
+        return ModelRunnerOutput(req_ids=req_ids, sampled_token_ids=sampled)
+
+    # --- warmup -----------------------------------------------------------------
+    def capture_graphs(self) -> None:
+        """Precompile all (token, request) buckets (reference
+        tpu_model_runner.py:1277-1495 precompile pipeline)."""
+        start = time.time()
+        n = 0
+        for T in self._token_paddings:
+            for R in self._req_paddings:
+                if R > T:
+                    continue
+                self._dummy_run(T, R)
+                n += 1
+        logger.info("precompiled %d buckets in %.1fs", n, time.time() - start)
+
+    def _dummy_run(self, T: int, R: int) -> None:
+        md = AttentionMetadata(
+            positions=jnp.zeros(T, jnp.int32),
+            req_idx=jnp.zeros(T, jnp.int32),
+            slot_mapping=jnp.full((T,), -1, jnp.int32),
+            block_tables=jnp.zeros((R, self.max_blocks_per_req), jnp.int32),
+            seq_lens=jnp.zeros(R, jnp.int32),
+            prompt_lens=jnp.ones(R, jnp.int32),
+            query_start_loc=jnp.zeros(R + 1, jnp.int32),
+            logits_indices=jnp.zeros(R, jnp.int32),
+            num_reqs=jnp.asarray(R, jnp.int32),
+        )
+        smd = build_sampling_metadata([], [], R)
+        self._rng_key, step_key = jax.random.split(self._rng_key)
+        self.kv_caches, tokens = self._jit_step(
+            self.params, self.kv_caches, jnp.zeros(T, jnp.int32), md, smd,
+            self.tri_flags, step_key, True)
+        tokens.block_until_ready()

@@ -1,0 +1,57 @@
+"""Worker: owns the device(s), the model runner, and the KV cache.
+
+Role of the reference's TPUWorker (vllm/v1/worker/tpu_worker.py): device
+init, model load, KV sizing, warmup, execute_model. In the JAX engine a
+"worker" is a host process driving one jax runtime (all local chips via one
+mesh); multi-host scale-out wires N workers via jax.distributed.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+
+from vllm_trianglemix_tpu.config import EngineConfig
+from vllm_trianglemix_tpu.core.sched_output import (
+    ModelRunnerOutput,
+    SchedulerOutput,
+)
+from vllm_trianglemix_tpu.logger import init_logger
+from vllm_trianglemix_tpu.worker.model_runner import ModelRunner
+
+logger = init_logger(__name__)
+
+
+class Worker:
+
+    def __init__(self, engine_config: EngineConfig) -> None:
+        self.engine_config = engine_config
+        self.mesh = None
+        if engine_config.parallel.world_size > 1:
+            self.mesh = self._make_mesh(engine_config)
+        self.model_runner = ModelRunner(engine_config, mesh=self.mesh)
+
+    @staticmethod
+    def _make_mesh(engine_config: EngineConfig):
+        from vllm_trianglemix_tpu.parallel.mesh import make_mesh
+
+        p = engine_config.parallel
+        return make_mesh(tp=p.tensor_parallel_size, dp=p.data_parallel_size)
+
+    @property
+    def num_kv_blocks(self) -> int:
+        return self.model_runner.num_kv_blocks
+
+    def compile_or_warm_up_model(self) -> None:
+        self.model_runner.capture_graphs()
+
+    def execute_model(self, scheduler_output: SchedulerOutput
+                      ) -> ModelRunnerOutput:
+        return self.model_runner.execute_model(scheduler_output)
+
+    def profile_start(self, trace_dir: str) -> None:
+        jax.profiler.start_trace(trace_dir)
+
+    def profile_stop(self) -> None:
+        jax.profiler.stop_trace()
