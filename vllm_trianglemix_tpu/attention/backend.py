@@ -7,8 +7,10 @@ kernel unless disabled (VTT_DISABLE_PALLAS) or unsupported.
 
 KV cache layout (per layer):
     [num_blocks, block_size, 2 * num_kv_heads, head_dim]
-K and V interleaved on the head axis — same trick as the reference TPU
-backend (pallas.py:100-109) so one block table serves both.
+K and V interleaved on the head axis (K_h at 2h, V_h at 2h+1) — same trick
+as the reference TPU backend (pallas.py:100-109) so one block table serves
+both, and adjacent K/V sublanes let the Pallas kernel do packed strided
+loads for sub-32-bit dtypes.
 
 TriangleMix is applied *inside* attention (unlike the reference prototype,
 which computed masks but never passed them to the backend —
@@ -48,7 +50,9 @@ def write_to_kv_cache(kv_cache: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     demands (reference ops/pallas_kv_cache_update.py precedent).
     """
     num_blocks, block_size, _, _ = kv_cache.shape
-    kv = jnp.concatenate([k, v], axis=1)  # [T, 2*KH, D]
+    T, KH, D = k.shape
+    # Interleave on the head axis: kv[:, 2h] = k_h, kv[:, 2h+1] = v_h.
+    kv = jnp.stack([k, v], axis=2).reshape(T, 2 * KH, D)
     block_idx = slot_mapping // block_size
     block_off = slot_mapping % block_size
     # Negative slots => out-of-range index, dropped by scatter mode="drop".
@@ -89,8 +93,8 @@ def ragged_paged_attention_xla(
     # Gather pages per request: [R, max_blocks, page, 2KH, D]
     pages = kv_cache[md.block_tables]
     pages = pages.reshape(R, max_ctx, twoKH, D)
-    k = pages[:, :, :KH, :]   # [R, C, KH, D]
-    v = pages[:, :, KH:, :]
+    k = pages[:, :, 0::2, :]   # [R, C, KH, D]
+    v = pages[:, :, 1::2, :]
 
     # Per-token context tensors: [T, C, KH, D]
     k_t = k[md.req_idx]
@@ -129,7 +133,7 @@ def ragged_paged_attention(q, kv_cache, md, use_triangle=False, **kwargs):
     when VTT_DISABLE_PALLAS is set."""
     from vllm_trianglemix_tpu import envs
 
-    if not envs.VTT_DISABLE_PALLAS and _pallas_supported():
+    if not envs.VTT_DISABLE_PALLAS and _pallas_supported(q):
         from vllm_trianglemix_tpu.ops.ragged_paged_attention import (
             ragged_paged_attention_pallas,
         )
@@ -138,11 +142,14 @@ def ragged_paged_attention(q, kv_cache, md, use_triangle=False, **kwargs):
     return ragged_paged_attention_xla(q, kv_cache, md, use_triangle, **kwargs)
 
 
-def _pallas_supported() -> bool:
+def _pallas_supported(q) -> bool:
     import jax
 
     try:
         platform = jax.default_backend()
     except Exception:
         return False
-    return platform == "tpu"
+    # Mosaic needs lane-aligned head_dim for the packed K/V split; smaller
+    # heads (e.g. 64) take the XLA path until head padding lands
+    # (reference pads heads to 128, pallas.py:17-18).
+    return platform == "tpu" and q.shape[-1] % 128 == 0

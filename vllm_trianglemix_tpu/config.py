@@ -101,6 +101,9 @@ class ModelConfig:
     kv_cache_dtype: str = "auto"
     tokenizer: Optional[str] = None  # defaults to `model`
     skip_tokenizer_init: bool = False
+    # "auto" = safetensors if present else random; "dummy" = always random
+    # (reference model_loader/dummy_loader.py).
+    load_format: str = "auto"
 
     def __post_init__(self):
         if self.tokenizer is None:

@@ -43,12 +43,14 @@ class LLM:
         skip_tokenizer_init: bool = False,
         warmup: bool = False,
         quantization: Optional[str] = None,
+        load_format: str = "auto",
     ) -> None:
         self.engine_config = EngineConfig(
             model=ModelConfig(model=model, dtype=dtype,
                               max_model_len=max_model_len, seed=seed,
                               skip_tokenizer_init=skip_tokenizer_init,
-                              quantization=quantization),
+                              quantization=quantization,
+                              load_format=load_format),
             cache=CacheConfig(block_size=block_size,
                               num_gpu_blocks=num_kv_blocks,
                               enable_prefix_caching=enable_prefix_caching),

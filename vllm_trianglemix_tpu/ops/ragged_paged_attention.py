@@ -1,16 +1,528 @@
-"""Pallas ragged paged attention (TPU hot path).
+"""Pallas ragged paged attention — the TPU hot path.
 
-Round-1 placeholder: forwards to the XLA-native implementation while the
-fused kernel (flash-style online softmax over pages, TriangleMix block
-skipping, GQA packing) lands. The dispatcher in attention/backend.py routes
-here on TPU.
+One kernel serves mixed prefill + decode over a paged KV cache (the role of
+the reference's csrc/attention/paged_attention_v{1,2}.cu and of the external
+torch_xla `ragged_paged_attention` op its TPU backend calls,
+vllm/v1/attention/backends/pallas.py:286). Unlike both, TriangleMix
+structured sparsity is fused *into* the kernel:
+
+- exact per-token triangle visibility (reference semantics
+  vllm/attention/trianglemix_attention.py:53-198, see
+  attention/trianglemix.py) applied inside the flash-attention inner loop;
+- whole KV blocks in the "middle Q-K" region are *skipped* — no DMA, no
+  FLOPs — via a block-level jump in the KV loop (the block-sparse idea of
+  ascend_npu_trianglemix.py:80-124, executed for real);
+- causal block pruning: a query block never iterates KV blocks entirely in
+  its causal future (a win over dense ragged kernels for long prefill).
+
+Design (TPU-first):
+- grid (num_head_blocks, num_q_blocks) over the flat ragged token axis;
+- scalar-prefetched metadata (seq lens, page tables, cumulative query
+  lens, prompt lens) drives double-buffered HBM->VMEM page DMA;
+- online-softmax (flash) accumulation in fp32 VMEM scratch;
+- K/V interleaved on the head axis of each page (K_h at 2h, V_h at 2h+1)
+  so sub-32-bit dtypes can be split with bitcast tricks, not strided
+  gathers.
+
+The XLA-native reference implementation with identical numerics lives in
+attention/backend.py (ragged_paged_attention_xla); tests compare the two in
+interpret mode.
 """
 
 from __future__ import annotations
 
-from vllm_trianglemix_tpu.attention.backend import ragged_paged_attention_xla
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from vllm_trianglemix_tpu.attention.metadata import AttentionMetadata
+
+MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 
-def ragged_paged_attention_pallas(q, kv_cache, md, use_triangle=False,
-                                  **kwargs):
-    return ragged_paged_attention_xla(q, kv_cache, md, use_triangle, **kwargs)
+def _dtype_packing(dtype) -> int:
+    return 32 // (jnp.dtype(dtype).itemsize * 8)
+
+
+def _xla_tileable(x: int, packing: int) -> bool:
+    if x % packing != 0:
+        return False
+    x //= packing
+    return x in (1, 2, 4, 8) or x % 8 == 0
+
+
+def select_head_block(num_q_heads: int, num_combined_kv_heads: int,
+                      q_dtype, kv_dtype) -> tuple[int, int]:
+    """Pick (q_heads_per_blk, combined_kv_heads_per_blk) that tile cleanly.
+
+    Splitting the head axis bounds VMEM for many-head models while keeping
+    each block XLA-fully-tiled for its dtype packing.
+    """
+    q_packing = _dtype_packing(q_dtype)
+    kv_packing = _dtype_packing(kv_dtype)
+    if not _xla_tileable(num_combined_kv_heads, kv_packing):
+        raise ValueError(
+            f"{num_combined_kv_heads=} not tileable for {kv_dtype=}")
+    num_kv_heads = num_combined_kv_heads // 2
+    assert num_q_heads % num_kv_heads == 0
+    group = num_q_heads // num_kv_heads
+    max_combined_tile = 8 * kv_packing
+    min_combined = (max_combined_tile
+                    if num_combined_kv_heads % max_combined_tile == 0
+                    else num_combined_kv_heads)
+    min_q = (min_combined // 2) * group
+    if _xla_tileable(min_q, q_packing):
+        return min_q, min_combined
+    return num_q_heads, num_combined_kv_heads
+
+
+def default_block_sizes(page_size: int, max_q_tokens: int,
+                        pages_per_seq: int) -> tuple[int, int]:
+    """(num_kv_pages_per_blk, num_q_per_blk) heuristic.
+
+    Target ~256 KV tokens and up to 128 query rows per inner tile; shrink to
+    the actual problem so tiny shapes don't over-allocate VMEM.
+    """
+    kv_pages = max(1, min(pages_per_seq, -(-256 // page_size)))
+    num_q = max(8, min(128, max_q_tokens))
+    return kv_pages, num_q
+
+
+class _PageBlockCopy:
+    """Async-copy descriptor for one block of KV pages (HBM -> VMEM)."""
+
+    def __init__(self, pages_hbm_ref, vmem_buf, sem, page_tables_ref,
+                 seq_idx, start_page, end_page):
+        self._buf = vmem_buf
+        self._copies = []
+        for i in range(vmem_buf.shape[0]):
+            page = start_page + i
+            page = lax.select(page < end_page, page, 0)
+            self._copies.append(pltpu.make_async_copy(
+                pages_hbm_ref.at[page_tables_ref[seq_idx, page]],
+                vmem_buf.at[i],
+                sem,
+            ))
+
+    def start(self):
+        for c in self._copies:
+            c.start()
+
+    def wait(self):
+        for c in self._copies:
+            c.wait()
+        return self._buf
+
+
+def _split_kv_heads(kv_ref, kv_head_start: int, num_combined: int,
+                    load_step: int):
+    """Split interleaved rows (K_h at 2h, V_h at 2h+1) into per-head K/V.
+
+    kv_ref: [rows, head_dim] flattened (page*token, combined_head) rows.
+    Returns (k_list, v_list) of [rows / num_combined, head_dim] each, for
+    `load_step` consecutive kv heads starting at kv_head_start.
+    """
+    packing = _dtype_packing(kv_ref.dtype)
+    start = kv_head_start * 2
+    if packing == 1:
+        return ([kv_ref[start + 2 * s::num_combined, :]
+                 for s in range(load_step)],
+                [kv_ref[start + 2 * s + 1::num_combined, :]
+                 for s in range(load_step)])
+    if kv_ref.dtype == jnp.bfloat16:
+        assert packing == 2 and start % 2 == 0
+        packed = kv_ref.bitcast(jnp.uint32)
+        b = packed[start // 2::num_combined // 2, :]
+        # Each packed word holds K (low sublane) and V (high sublane).
+        k = pltpu.bitcast(b << 16, jnp.float32).astype(jnp.bfloat16)
+        v = pltpu.bitcast(b & jnp.uint32(0xFFFF0000),
+                          jnp.float32).astype(jnp.bfloat16)
+        return [k], [v]
+    raise NotImplementedError(f"kv dtype {kv_ref.dtype}")
+
+
+def _kernel(
+    # scalar prefetch
+    kv_lens_ref,        # i32[R]
+    page_tables_ref,    # i32[R, pages_per_seq]
+    cu_q_lens_ref,      # i32[R + 1]
+    prompt_lens_ref,    # i32[R]
+    tri_flag_ref,       # i32[1] — this layer uses TriangleMix
+    num_seqs_ref,       # i32[1]
+    # inputs
+    q_ref,              # [q_blk, q_heads_blk, head_dim]
+    pages_hbm_ref,      # [num_pages, page, combined_heads, head_dim] (HBM)
+    # outputs
+    o_ref,              # like q_ref
+    # scratch
+    seq_buf_ref,        # i32[2] SMEM — (resume seq idx, dma buf idx); must
+                        #   be scratch, not an input: only scratch state
+                        #   persists across grid programs
+    kv_bufs,            # [2, kv_pages_blk, page, combined_heads_blk, head_dim]
+    sems,               # DMA semaphores [2]
+    l_ref,              # f32[kv_heads_blk, q_blk * group, 128]
+    m_ref,              # f32[kv_heads_blk, q_blk * group, 128]
+    acc_ref,            # f32[q_blk, q_heads_blk, head_dim]
+    *,
+    scale: float,
+    sink: int,
+    window: int,
+    last: int,
+    dense_threshold: int,
+    soft_cap: float,
+    k_scale: float | None,
+    v_scale: float | None,
+):
+    q_blk_size, q_heads_blk, head_dim = q_ref.shape
+    pages_per_seq = page_tables_ref.shape[1]
+    num_seqs = num_seqs_ref[0]
+    _, kv_pages_blk, page_size, combined_blk, _ = kv_bufs.shape
+    kv_heads_blk = combined_blk // 2
+    kv_blk_size = kv_pages_blk * page_size
+    group = q_heads_blk // kv_heads_blk
+    heads_blk_idx, q_blk_idx = pl.program_id(0), pl.program_id(1)
+    num_heads_blks = pl.num_programs(0)
+
+    @pl.when(heads_blk_idx + q_blk_idx == 0)
+    def _init_carry():
+        seq_buf_ref[0] = 0
+        seq_buf_ref[1] = 0
+
+    init_seq_idx = seq_buf_ref[0]
+    init_buf_idx = seq_buf_ref[1]
+    q_len_start = q_blk_idx * q_blk_size
+    q_len_end = q_len_start + q_blk_size
+    tri_on = tri_flag_ref[0] > 0
+
+    def seq_q_span(seq_idx):
+        """This sequence's query-row overlap with the current q block, as
+        absolute token positions [pos_lo, pos_hi] plus lengths."""
+        q_start = cu_q_lens_ref[seq_idx]
+        q_end = cu_q_lens_ref[seq_idx + 1]
+        kv_len = kv_lens_ref[seq_idx]
+        q_len = q_end - q_start
+        row_lo = jnp.maximum(q_start, q_len_start)
+        row_hi = jnp.minimum(q_end, q_len_end) - 1
+        pos_lo = kv_len - q_len + (row_lo - q_start)
+        pos_hi = kv_len - q_len + (row_hi - q_start)
+        return q_start, q_end, q_len, kv_len, pos_lo, pos_hi
+
+    def triangle_block_plan(seq_idx):
+        """(tri_active, skip_from_blk, resume_blk, eff_kv_len) for the
+        current (seq, q block) pair.
+
+        When every overlapping query row is a middle prefill row, KV blocks
+        in (skip_from_blk, resume_blk) are invisible: past the sink region
+        and before every row's sliding window. eff_kv_len prunes blocks in
+        the causal future of the whole q block.
+        """
+        _, _, q_len, kv_len, pos_lo, pos_hi = seq_q_span(seq_idx)
+        n = prompt_lens_ref[seq_idx]
+        all_prefill = pos_hi < n
+        no_last_rows = (n - pos_hi) >= last
+        tri_active = (tri_on & (n > dense_threshold) & all_prefill
+                      & no_last_rows)
+        # First kv block after the sink region.
+        skip_from_blk = sink // kv_blk_size + 1
+        # First kv block any row's window reaches.
+        win_lo = jnp.maximum(pos_lo - window, 0)
+        resume_blk = win_lo // kv_blk_size
+        eff_kv_len = jnp.minimum(kv_len, pos_hi + 1)
+        return tri_active, skip_from_blk, resume_blk, eff_kv_len
+
+    def next_kv_blk(kv_blk, seq_idx):
+        """KV block iteration order with the TriangleMix middle-jump."""
+        tri_active, skip_from, resume, _ = triangle_block_plan(seq_idx)
+        nxt = kv_blk + 1
+        jump = tri_active & (nxt >= skip_from) & (nxt < resume)
+        return lax.select(jump, resume, nxt)
+
+    def start_copy(heads_blk, seq_idx, kv_blk, buf_idx):
+        heads_start = heads_blk * combined_blk
+        end_page = jnp.minimum(pages_per_seq,
+                               pl.cdiv(kv_lens_ref[seq_idx], page_size))
+        return _PageBlockCopy(
+            pages_hbm_ref.at[:, :, pl.ds(heads_start, combined_blk), :],
+            kv_bufs.at[buf_idx],
+            sems.at[buf_idx],
+            page_tables_ref,
+            seq_idx,
+            kv_blk * kv_pages_blk,
+            end_page,
+        )
+
+    @pl.when(heads_blk_idx + q_blk_idx == 0)
+    def _prefetch_first():
+        start_copy(heads_blk_idx, init_seq_idx, 0, init_buf_idx).start()
+
+    def flash_tile(q, k, v, head_l, head_m, head_acc, *, kv_blk, q_start,
+                   q_end, q_len, kv_len, prompt_len, eff_kv_len):
+        """One (q block x kv block) online-softmax update for one kv head.
+
+        q: [q_blk*group, head_dim]; k, v: [kv_blk_size, head_dim].
+        """
+        kv_pos_start = kv_blk * kv_blk_size
+
+        # Zero out rows past the valid kv length (contraction NaN guard).
+        kv_valid = (lax.broadcasted_iota(jnp.int32, k.shape, 0)
+                    < kv_len - kv_pos_start)
+        k = jnp.where(kv_valid, k.astype(jnp.float32), 0).astype(k.dtype)
+        v = jnp.where(kv_valid, v.astype(jnp.float32), 0).astype(v.dtype)
+
+        qk = jnp.einsum("nd,md->nm", q, k,
+                        preferred_element_type=jnp.float32) * scale
+        if soft_cap > 0.0:
+            qk = soft_cap * jnp.tanh(qk / soft_cap)
+
+        shape = qk.shape
+        # Absolute position of each query row / key column.
+        row_pos = ((kv_len - q_len) + q_len_start - q_start
+                   + lax.broadcasted_iota(jnp.int32, shape, 0) // group)
+        col_pos = kv_pos_start + lax.broadcasted_iota(jnp.int32, shape, 1)
+        invisible = row_pos < col_pos  # causal
+        # Exact TriangleMix visibility (trianglemix_attention.py:53-198):
+        # prefill rows of long prompts outside the "last" band see only
+        # sink + sliding window. Decode rows (pos >= prompt) stay dense.
+        tri_row = (tri_on & (prompt_len > dense_threshold)
+                   & (row_pos < prompt_len)
+                   & (prompt_len - row_pos >= last))
+        tri_visible = (col_pos <= sink) | (row_pos - col_pos <= window)
+        invisible |= tri_row & ~tri_visible
+        qk += jnp.where(invisible, MASK_VALUE, 0.0)
+
+        store_lo = jnp.maximum(q_start - q_len_start, 0)
+        store_hi = jnp.minimum(q_end - q_len_start, q_blk_size)
+
+        def masked_store(ref, val, rows_per_group=1):
+            iota = lax.broadcasted_iota(jnp.int32, ref.shape, 0) \
+                // rows_per_group
+            pltpu.store(ref, val,
+                        mask=(iota >= store_lo) & (iota < store_hi))
+
+        first_blk = kv_blk == 0
+
+        def with_init(ref, init):
+            return jnp.where(first_blk, jnp.full_like(ref, init), ref[...])
+
+        m_curr = jnp.max(qk, axis=1, keepdims=True)
+        s_curr = jnp.exp(qk - m_curr)
+        sv = jnp.dot(s_curr, v, preferred_element_type=jnp.float32)
+
+        lm_shape = head_m.shape
+        m_curr_b = jnp.broadcast_to(m_curr, lm_shape)
+        l_curr_b = jnp.broadcast_to(s_curr.sum(axis=1, keepdims=True),
+                                    lm_shape)
+        m_prev = with_init(head_m, -jnp.inf)
+        l_prev = with_init(head_l, 0.0)
+        m_next = jnp.maximum(m_prev, m_curr_b)
+        alpha = jnp.exp(m_prev - m_next)
+        beta = jnp.exp(m_curr_b - m_next)
+        l_alpha = alpha * l_prev
+        l_next = l_alpha + beta * l_curr_b
+        l_safe = jnp.where(l_next == 0.0, 1.0, l_next)
+        masked_store(head_m, m_next, group)
+        masked_store(head_l, l_safe, group)
+
+        def tile_cols(arr, shape):
+            # arr columns are all identical (keepdims reductions broadcast
+            # into the 128-lane scratch); widen by no-op concat or narrow
+            # by slicing to match head_dim.
+            if arr.shape == shape:
+                return arr
+            if shape[1] >= arr.shape[1]:
+                return jnp.concatenate([arr] * (shape[1] // arr.shape[1]),
+                                       axis=1)
+            return arr[:, :shape[1]]
+
+        o_prev = with_init(head_acc, 0.0).reshape(-1, head_dim)
+        out = lax.div(
+            tile_cols(l_alpha, sv.shape) * o_prev
+            + tile_cols(beta, sv.shape) * sv,
+            tile_cols(l_safe, sv.shape),
+        )
+        masked_store(head_acc, out.reshape(head_acc.shape))
+
+    def q_blk_pending(state):
+        done, seq_idx, _ = state
+        in_range = (q_len_start < cu_q_lens_ref[num_seqs]) \
+            & (seq_idx < num_seqs)
+        return (done == 0) & in_range
+
+    def process_seq(state):
+        done, seq_idx, buf_idx = state
+        q_start, q_end, q_len, kv_len, _, _ = seq_q_span(seq_idx)
+        _, _, _, eff_kv_len = triangle_block_plan(seq_idx)
+        prompt_len = prompt_lens_ref[seq_idx]
+
+        def prefetch_ids(kv_blk, buf_idx):
+            """Pipeline lookahead: the (heads_blk, seq, kv_blk) the NEXT
+            DMA should fetch, following the same skip-jump order."""
+            nxt_kv = next_kv_blk(kv_blk, seq_idx)
+            is_last_kv = nxt_kv * kv_blk_size >= eff_kv_len
+            nxt_kv = lax.select(is_last_kv, 0, nxt_kv)
+            seq_ends_here = q_end <= q_len_end
+            nxt_seq = lax.select(
+                is_last_kv,
+                lax.select(seq_ends_here, seq_idx + 1, seq_idx),
+                seq_idx)
+            is_last_seq = nxt_seq == num_seqs
+            nxt_seq = lax.select(is_last_seq, 0, nxt_seq)
+            nxt_heads = lax.select(is_last_seq, heads_blk_idx + 1,
+                                   heads_blk_idx)
+            return nxt_heads, nxt_seq, nxt_kv, lax.select(buf_idx == 0, 1, 0)
+
+        def kv_pending(kv_state):
+            kv_blk, _ = kv_state
+            return kv_blk * kv_blk_size < eff_kv_len
+
+        def process_kv_blk(kv_state):
+            kv_blk, buf_idx = kv_state
+            nxt_heads, nxt_seq, nxt_kv, nxt_buf = prefetch_ids(kv_blk,
+                                                               buf_idx)
+
+            @pl.when(nxt_heads < num_heads_blks)
+            def _prefetch_next():
+                start_copy(nxt_heads, nxt_seq, nxt_kv, nxt_buf).start()
+
+            kv_buf = start_copy(heads_blk_idx, seq_idx, kv_blk,
+                                buf_idx).wait()
+            kv_flat = kv_buf.reshape(
+                kv_pages_blk * page_size * combined_blk, head_dim)
+            packing = _dtype_packing(kv_flat.dtype)
+            load_step = max(1, packing // 2)
+            for h0 in range(0, kv_heads_blk, load_step):
+                k_list, v_list = _split_kv_heads(kv_flat, h0, combined_blk,
+                                                 load_step)
+                for s in range(load_step):
+                    k, v = k_list[s], v_list[s]
+                    if k_scale is not None:
+                        k = (k.astype(jnp.float32) * k_scale).astype(
+                            q_ref.dtype)
+                    if v_scale is not None:
+                        v = (v.astype(jnp.float32) * v_scale).astype(
+                            q_ref.dtype)
+                    kv_head = h0 + s
+                    q_head0 = kv_head * group
+                    q = q_ref[:, q_head0:q_head0 + group, :]
+                    if q.shape[1] % _dtype_packing(q.dtype) != 0:
+                        q = q.astype(jnp.float32)
+                    q = q.reshape(-1, head_dim)
+                    flash_tile(
+                        q, k, v,
+                        l_ref.at[kv_head],
+                        m_ref.at[kv_head],
+                        acc_ref.at[:, q_head0:q_head0 + group, :],
+                        kv_blk=kv_blk, q_start=q_start, q_end=q_end,
+                        q_len=q_len, kv_len=kv_len, prompt_len=prompt_len,
+                        eff_kv_len=eff_kv_len)
+            return next_kv_blk(kv_blk, seq_idx), nxt_buf
+
+        _, buf_idx = lax.while_loop(kv_pending, process_kv_blk,
+                                    (0, buf_idx))
+        nxt_seq = lax.select(q_end <= q_len_end, seq_idx + 1, seq_idx)
+        done = lax.select(q_end < q_len_end, done, 1)
+        return done, nxt_seq, buf_idx
+
+    _, seq_idx, buf_idx = lax.while_loop(
+        q_blk_pending, process_seq, (0, init_seq_idx, init_buf_idx))
+    seq_buf_ref[0] = lax.select(seq_idx < num_seqs, seq_idx, 0)
+    seq_buf_ref[1] = buf_idx
+    o_ref[...] = acc_ref[...].astype(q_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("scale", "sink", "window", "last", "dense_threshold",
+                     "soft_cap", "k_scale", "v_scale",
+                     "num_kv_pages_per_block", "num_queries_per_block",
+                     "vmem_limit_bytes", "interpret"))
+def ragged_paged_attention_pallas(
+    q: jax.Array,            # [T, num_q_heads, head_dim]
+    kv_cache: jax.Array,     # [num_pages, page, 2*KH interleaved, head_dim]
+    md: AttentionMetadata,
+    use_triangle=False,      # python bool or traced bool (scanned layer flag)
+    *,
+    scale: float,
+    sink: int = 4,
+    window: int = 32,
+    last: int = 64,
+    dense_threshold: int = 2048,
+    soft_cap: float = 0.0,
+    k_scale: float | None = None,
+    v_scale: float | None = None,
+    num_kv_pages_per_block: int | None = None,
+    num_queries_per_block: int | None = None,
+    vmem_limit_bytes: int | None = None,
+    interpret: bool = False,
+) -> jax.Array:
+    T, num_q_heads, head_dim = q.shape
+    _, page_size, combined_heads, _ = kv_cache.shape
+    num_kv_heads = combined_heads // 2
+    R, pages_per_seq = md.block_tables.shape
+    group = num_q_heads // num_kv_heads
+
+    q_heads_blk, combined_blk = select_head_block(
+        num_q_heads, combined_heads, q.dtype, kv_cache.dtype)
+    kv_pages_blk, q_blk_size = default_block_sizes(page_size, T,
+                                                   pages_per_seq)
+    if num_kv_pages_per_block is not None:
+        kv_pages_blk = num_kv_pages_per_block
+    if num_queries_per_block is not None:
+        q_blk_size = num_queries_per_block
+
+    num_heads_blks = num_q_heads // q_heads_blk
+    num_q_blks = pl.cdiv(T, q_blk_size)
+    grid = (num_heads_blks, num_q_blks)
+
+    def q_index_map(heads_blk, q_blk, *_):
+        return (q_blk, heads_blk, 0)
+
+    q_spec = pl.BlockSpec((q_blk_size, q_heads_blk, head_dim), q_index_map)
+    kernel = pl.pallas_call(
+        functools.partial(
+            _kernel,
+            scale=scale, sink=sink, window=window, last=last,
+            dense_threshold=dense_threshold, soft_cap=soft_cap,
+            k_scale=k_scale, v_scale=v_scale),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=6,
+            in_specs=[q_spec, pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=q_spec,
+            grid=grid,
+            scratch_shapes=[
+                pltpu.SMEM((2,), jnp.int32),
+                pltpu.VMEM((2, kv_pages_blk, page_size, combined_blk,
+                            head_dim), kv_cache.dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.VMEM((combined_blk // 2, q_blk_size * group, 128),
+                           jnp.float32),
+                pltpu.VMEM((combined_blk // 2, q_blk_size * group, 128),
+                           jnp.float32),
+                pltpu.VMEM((q_blk_size, q_heads_blk, head_dim),
+                           jnp.float32),
+            ],
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=vmem_limit_bytes,
+        ),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        name="vtt_ragged_paged_attention",
+        interpret=interpret,
+    )
+    tri_flag = jnp.asarray(use_triangle, jnp.int32).reshape(1)
+    num_seqs = jnp.asarray(md.num_reqs, jnp.int32).reshape(1)
+    return kernel(
+        md.seq_lens.astype(jnp.int32),
+        md.block_tables.astype(jnp.int32),
+        md.query_start_loc.astype(jnp.int32),
+        md.prompt_lens.astype(jnp.int32),
+        tri_flag,
+        num_seqs,
+        q,
+        kv_cache,
+    )

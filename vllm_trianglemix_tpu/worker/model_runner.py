@@ -135,13 +135,22 @@ class ModelRunner:
     def _load_params(self):
         import os
 
-        if os.path.isdir(self.model_config.model):
+        import glob
+
+        path = self.model_config.model
+        if (os.path.isdir(path) and self.model_config.load_format != "dummy"
+                and glob.glob(os.path.join(path, "*.safetensors"))):
             from vllm_trianglemix_tpu.models.weights import SafetensorsReader
 
-            reader = SafetensorsReader(self.model_config.model)
+            reader = SafetensorsReader(path)
             params = self.model.params_from_hf_state_dict(
                 self.cfg, reader, dtype=self.dtype)
         else:
+            # Dummy load (reference model_loader/dummy_loader.py): random
+            # init for perf work without a checkpoint on disk.
+            if os.path.isdir(path) and self.model_config.load_format != "dummy":
+                logger.warning("no *.safetensors under %s; using random init",
+                               path)
             params = self.model.init_random(self.cfg, self.model_config.seed,
                                             dtype=self.dtype)
         if self.mesh is not None:
