@@ -61,6 +61,25 @@ def write_to_kv_cache(kv_cache: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         kv.astype(kv_cache.dtype), mode="drop")
 
 
+def write_kv(kv_cache: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+             md: AttentionMetadata) -> jnp.ndarray:
+    """Dispatch: Pallas slice-DMA scatter on TPU when the runner provided
+    update slices, else the XLA scatter."""
+    from vllm_trianglemix_tpu import envs
+
+    if (md.kv_slices is not None and not envs.VTT_DISABLE_PALLAS
+            and _pallas_supported(k)):
+        from vllm_trianglemix_tpu.ops.kv_cache_update import (
+            kv_cache_update_pallas,
+        )
+
+        T, KH, D = k.shape
+        kv = jnp.stack([k, v], axis=2).reshape(T, 2 * KH, D)
+        return kv_cache_update_pallas(kv, kv_cache, md.kv_slices,
+                                      md.num_kv_slices)
+    return write_to_kv_cache(kv_cache, k, v, md.slot_mapping)
+
+
 @partial(jax.jit, static_argnames=("sink", "window", "last",
                                    "dense_threshold", "soft_cap", "scale"))
 def ragged_paged_attention_xla(

@@ -8,7 +8,7 @@ step function never recompiles on batch mutation.
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax.numpy as jnp
 
@@ -28,6 +28,10 @@ class AttentionMetadata(NamedTuple):
                                   #   scheduled token (for sampling)
     # --- scalars ---
     num_reqs: jnp.ndarray       # int32[] actual (unpadded) request count
+    # --- KV-update slices (host-built contiguous runs; None => XLA scatter
+    #     fallback from slot_mapping) ---
+    kv_slices: Optional[jnp.ndarray] = None      # int32[3, S]
+    num_kv_slices: Optional[jnp.ndarray] = None  # int32[]
 
     @property
     def num_tokens_padded(self) -> int:

@@ -31,6 +31,9 @@ environment_variables: dict[str, Callable[[], Any]] = {
     "VTT_MEMORY_UTILIZATION": lambda: float(
         os.getenv("VTT_MEMORY_UTILIZATION", "0.9")
     ),
+    # Override total device HBM bytes when PJRT memory_stats is missing
+    # (0 = autodetect from device kind).
+    "VTT_HBM_BYTES": lambda: int(os.getenv("VTT_HBM_BYTES", "0")),
     # Force pallas kernels into interpret mode (CPU debugging).
     "VTT_PALLAS_INTERPRET": lambda: bool(int(os.getenv("VTT_PALLAS_INTERPRET", "0"))),
     # Disable in-repo Pallas kernels entirely (fall back to XLA-native ops).

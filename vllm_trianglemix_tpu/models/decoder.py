@@ -1,0 +1,306 @@
+"""Generic Llama-family decoder in functional JAX.
+
+One implementation serves Llama / Qwen2(2.5) / Qwen3 — the reference keeps
+three near-identical model files (vllm/model_executor/models/{llama,qwen2,
+qwen3}.py, where Qwen3 subclasses Qwen2 layers with per-head q/k RMSNorm,
+qwen3.py:61-130, and Qwen2 is Llama plus QKV biases). Here the differences
+are two config flags:
+
+- ``use_qk_norm``  — per-head RMSNorm on q/k over head_dim (Qwen3)
+- ``use_qkv_bias`` — bias on q/k/v projections (Qwen2/2.5)
+
+TPU-first design (NOT from the reference):
+- all per-layer weights are stacked on a leading layer axis; the decoder
+  runs as one ``lax.scan`` — one compiled layer body regardless of depth;
+- the paged KV cache [L, blocks, page, 2*KH, D] is scanned alongside;
+- TriangleMix enablement is a scanned bool vector applied inside the
+  attention op (the reference computed masks but never used them,
+  models/qwen3.py:176-189).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+from vllm_trianglemix_tpu.attention.backend import (
+    ragged_paged_attention,
+    write_kv,
+)
+from vllm_trianglemix_tpu.attention.metadata import AttentionMetadata
+from vllm_trianglemix_tpu.config import TriangleMixConfig
+from vllm_trianglemix_tpu.layers.common import (
+    apply_rope,
+    rms_norm,
+    rope_cos_sin,
+    silu_and_mul,
+)
+
+
+@dataclass(frozen=True)
+class DecoderConfig:
+    vocab_size: int = 151936
+    hidden_size: int = 1024
+    intermediate_size: int = 3072
+    num_hidden_layers: int = 28
+    num_attention_heads: int = 16
+    num_key_value_heads: int = 8
+    head_dim: int = 128
+    rms_norm_eps: float = 1e-6
+    rope_theta: float = 1_000_000.0
+    tie_word_embeddings: bool = True
+    max_position_embeddings: int = 40960
+    eos_token_id: int = 151645
+    bos_token_id: int = 151643
+    # family switches
+    use_qk_norm: bool = False
+    use_qkv_bias: bool = False
+
+    @classmethod
+    def from_hf_config(cls, cfg: dict[str, Any]) -> "DecoderConfig":
+        head_dim = cfg.get("head_dim") or (
+            cfg["hidden_size"] // cfg["num_attention_heads"])
+        eos = cfg.get("eos_token_id", 151645)
+        if isinstance(eos, list):
+            eos = eos[0]
+        return cls(
+            vocab_size=cfg["vocab_size"],
+            hidden_size=cfg["hidden_size"],
+            intermediate_size=cfg["intermediate_size"],
+            num_hidden_layers=cfg["num_hidden_layers"],
+            num_attention_heads=cfg["num_attention_heads"],
+            num_key_value_heads=cfg.get("num_key_value_heads",
+                                        cfg["num_attention_heads"]),
+            head_dim=head_dim,
+            rms_norm_eps=cfg.get("rms_norm_eps", 1e-6),
+            rope_theta=cfg.get("rope_theta", 1e6),
+            tie_word_embeddings=cfg.get("tie_word_embeddings", False),
+            max_position_embeddings=cfg.get("max_position_embeddings", 40960),
+            eos_token_id=eos,
+            bos_token_id=cfg.get("bos_token_id", 151643),
+        )
+
+    @classmethod
+    def from_pretrained(cls, path: str) -> "DecoderConfig":
+        with open(os.path.join(path, "config.json")) as f:
+            return cls.from_hf_config(json.load(f))
+
+
+# --- parameter tree -----------------------------------------------------------
+
+def shape_tree(cfg: DecoderConfig) -> dict:
+    """Shapes of every parameter (stacked layer axis first)."""
+    L, D = cfg.num_hidden_layers, cfg.hidden_size
+    HQ, KH, Dh = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+    I, V = cfg.intermediate_size, cfg.vocab_size
+    layers = {
+        "input_layernorm": (L, D),
+        "q_proj": (L, D, HQ * Dh),
+        "k_proj": (L, D, KH * Dh),
+        "v_proj": (L, D, KH * Dh),
+        "o_proj": (L, HQ * Dh, D),
+        "post_attention_layernorm": (L, D),
+        "gate_proj": (L, D, I),
+        "up_proj": (L, D, I),
+        "down_proj": (L, I, D),
+    }
+    if cfg.use_qk_norm:
+        layers["q_norm"] = (L, Dh)
+        layers["k_norm"] = (L, Dh)
+    if cfg.use_qkv_bias:
+        layers["q_bias"] = (L, HQ * Dh)
+        layers["k_bias"] = (L, KH * Dh)
+        layers["v_bias"] = (L, KH * Dh)
+    tree = {"embed_tokens": (V, D), "layers": layers, "norm": (D,)}
+    if not cfg.tie_word_embeddings:
+        tree["lm_head"] = (D, V)
+    return tree
+
+
+def partition_specs(cfg: DecoderConfig) -> dict:
+    """NamedSharding rules over a ("dp", "tp") mesh — Megatron-style:
+    column-parallel QKV/gate/up (output-feature axis over tp), row-parallel
+    o/down (input-feature axis), vocab-parallel embedding (semantics of
+    reference linear.py:405,1197 / vocab_parallel_embedding.py, expressed
+    declaratively for the XLA SPMD partitioner)."""
+    layers = {
+        "input_layernorm": P(None, None),
+        "q_proj": P(None, None, "tp"),
+        "k_proj": P(None, None, "tp"),
+        "v_proj": P(None, None, "tp"),
+        "o_proj": P(None, "tp", None),
+        "post_attention_layernorm": P(None, None),
+        "gate_proj": P(None, None, "tp"),
+        "up_proj": P(None, None, "tp"),
+        "down_proj": P(None, "tp", None),
+    }
+    if cfg.use_qk_norm:
+        layers["q_norm"] = P(None, None)
+        layers["k_norm"] = P(None, None)
+    if cfg.use_qkv_bias:
+        layers["q_bias"] = P(None, "tp")
+        layers["k_bias"] = P(None, "tp")
+        layers["v_bias"] = P(None, "tp")
+    specs = {"embed_tokens": P("tp", None), "layers": layers, "norm": P(None)}
+    if not cfg.tie_word_embeddings:
+        specs["lm_head"] = P(None, "tp")
+    return specs
+
+
+def init_random(cfg: DecoderConfig, seed: int = 0, dtype=jnp.bfloat16) -> dict:
+    """Random init (shapes only matter — accuracy tests load real weights)."""
+    shapes = shape_tree(cfg)
+    leaves, treedef = jax.tree_util.tree_flatten(
+        shapes, is_leaf=lambda x: isinstance(x, tuple))
+    keys = jax.random.split(jax.random.PRNGKey(seed), len(leaves))
+
+    def init_one(key, shape):
+        # norm weights -> ones; everything else small gaussian
+        if len(shape) <= 2 and shape[-1] in (cfg.hidden_size, cfg.head_dim) \
+                and shape[0] != cfg.vocab_size:
+            return jnp.ones(shape, dtype)
+        return (jax.random.normal(key, shape, jnp.float32) * 0.02).astype(dtype)
+
+    return jax.tree_util.tree_unflatten(
+        treedef, [init_one(k, s) for k, s in zip(keys, leaves)])
+
+
+_HF_LAYER_MAP = {
+    "input_layernorm": "model.layers.{i}.input_layernorm.weight",
+    "q_proj": "model.layers.{i}.self_attn.q_proj.weight",
+    "k_proj": "model.layers.{i}.self_attn.k_proj.weight",
+    "v_proj": "model.layers.{i}.self_attn.v_proj.weight",
+    "q_norm": "model.layers.{i}.self_attn.q_norm.weight",
+    "k_norm": "model.layers.{i}.self_attn.k_norm.weight",
+    "q_bias": "model.layers.{i}.self_attn.q_proj.bias",
+    "k_bias": "model.layers.{i}.self_attn.k_proj.bias",
+    "v_bias": "model.layers.{i}.self_attn.v_proj.bias",
+    "o_proj": "model.layers.{i}.self_attn.o_proj.weight",
+    "post_attention_layernorm":
+        "model.layers.{i}.post_attention_layernorm.weight",
+    "gate_proj": "model.layers.{i}.mlp.gate_proj.weight",
+    "up_proj": "model.layers.{i}.mlp.up_proj.weight",
+    "down_proj": "model.layers.{i}.mlp.down_proj.weight",
+}
+# HF nn.Linear stores [out_features, in_features]; we store [in, out].
+_TRANSPOSED = {"q_proj", "k_proj", "v_proj", "o_proj", "gate_proj",
+               "up_proj", "down_proj"}
+
+
+def params_from_hf_state_dict(cfg: DecoderConfig, get_tensor,
+                              dtype=jnp.bfloat16) -> dict:
+    """Build the stacked param tree from a HF checkpoint.
+
+    ``get_tensor(name) -> np.ndarray`` abstracts safetensors shards vs torch
+    state_dicts (see models/weights.py).
+    """
+    L = cfg.num_hidden_layers
+
+    def stack(key: str) -> jnp.ndarray:
+        mats = []
+        for i in range(L):
+            w = np.asarray(get_tensor(_HF_LAYER_MAP[key].format(i=i)))
+            if key in _TRANSPOSED:
+                w = w.T
+            mats.append(w)
+        return jnp.asarray(np.stack(mats), dtype=dtype)
+
+    layer_keys = set(shape_tree(cfg)["layers"])
+    params = {
+        "embed_tokens": jnp.asarray(
+            np.asarray(get_tensor("model.embed_tokens.weight")), dtype=dtype),
+        "layers": {k: stack(k) for k in layer_keys},
+        "norm": jnp.asarray(np.asarray(get_tensor("model.norm.weight")),
+                            dtype=dtype),
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = jnp.asarray(
+            np.asarray(get_tensor("lm_head.weight")).T, dtype=dtype)
+    return params
+
+
+# --- forward ------------------------------------------------------------------
+
+def forward(
+    params: dict,
+    cfg: DecoderConfig,
+    tri_cfg: TriangleMixConfig,
+    token_ids: jnp.ndarray,        # int32[T]
+    kv_caches: jnp.ndarray,        # [L, blocks, page, 2*KH, D]
+    md: AttentionMetadata,
+    tri_flags: jnp.ndarray,        # bool[L] triangle layer selector
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """One step over a ragged token batch. Returns (hidden[T, D], new_kv)."""
+    Dh = cfg.head_dim
+    HQ, KH = cfg.num_attention_heads, cfg.num_key_value_heads
+    scale = Dh ** -0.5
+    eps = cfg.rms_norm_eps
+
+    x = params["embed_tokens"][token_ids]
+    cos, sin = rope_cos_sin(md.positions, Dh, cfg.rope_theta, dtype=x.dtype)
+
+    attn_kwargs = dict(
+        scale=scale,
+        sink=tri_cfg.num_sink_tokens,
+        window=tri_cfg.sliding_window_size,
+        last=tri_cfg.num_last_tokens,
+        dense_threshold=tri_cfg.dense_threshold,
+    )
+
+    def layer_fn(x, scanned):
+        lp, kv, tri = scanned
+        T = x.shape[0]
+        h = rms_norm(x, lp["input_layernorm"], eps)
+        q = h @ lp["q_proj"]
+        k = h @ lp["k_proj"]
+        v = h @ lp["v_proj"]
+        if cfg.use_qkv_bias:
+            q = q + lp["q_bias"]
+            k = k + lp["k_bias"]
+            v = v + lp["v_bias"]
+        q = q.reshape(T, HQ, Dh)
+        k = k.reshape(T, KH, Dh)
+        v = v.reshape(T, KH, Dh)
+        if cfg.use_qk_norm:
+            q = rms_norm(q, lp["q_norm"], eps)
+            k = rms_norm(k, lp["k_norm"], eps)
+        q, k = apply_rope(q, k, cos, sin)
+        kv = write_kv(kv, k, v, md)
+        attn = ragged_paged_attention(q, kv, md, tri, **attn_kwargs)
+        x = x + attn.reshape(T, HQ * Dh) @ lp["o_proj"]
+        h2 = rms_norm(x, lp["post_attention_layernorm"], eps)
+        mlp = silu_and_mul(h2 @ lp["gate_proj"], h2 @ lp["up_proj"])
+        x = x + mlp @ lp["down_proj"]
+        return x, kv
+
+    x, new_kv = jax.lax.scan(layer_fn, x,
+                             (params["layers"], kv_caches, tri_flags))
+    x = rms_norm(x, params["norm"], eps)
+    return x, new_kv
+
+
+def compute_logits(params: dict, cfg: DecoderConfig,
+                   hidden: jnp.ndarray) -> jnp.ndarray:
+    """hidden[R, D] -> logits[R, V] (fp32, like the reference LogitsProcessor)."""
+    if cfg.tie_word_embeddings:
+        w = params["embed_tokens"].T
+    else:
+        w = params["lm_head"]
+    return jnp.dot(hidden, w, preferred_element_type=jnp.float32)
+
+
+def kv_cache_spec(cfg: DecoderConfig, block_size: int, dtype_bytes: int = 2):
+    from vllm_trianglemix_tpu.core.kv_cache_interface import FullAttentionSpec
+    return FullAttentionSpec(
+        block_size=block_size,
+        num_kv_heads=cfg.num_key_value_heads,
+        head_size=cfg.head_dim,
+        dtype_bytes=dtype_bytes,
+    )

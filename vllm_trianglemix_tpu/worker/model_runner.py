@@ -51,6 +51,28 @@ def cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
+_HBM_BY_DEVICE_KIND = {
+    # device_kind substring -> HBM bytes
+    "v6": 32 * 2**30,           # v6e (Trillium): 32 GiB
+    "v5p": 95 * 2**30,
+    "v5": 16 * 2**30,           # v5e: 16 GiB
+    "v4": 32 * 2**30,
+    "v3": 16 * 2**30,
+    "v2": 8 * 2**30,
+}
+
+
+def _device_hbm_bytes() -> int:
+    try:
+        kind = jax.devices()[0].device_kind.lower()
+    except Exception:
+        return 16 * 2**30
+    for key, size in _HBM_BY_DEVICE_KIND.items():
+        if key in kind:
+            return size
+    return 16 * 2**30
+
+
 def token_paddings(min_pad: int, max_tokens: int) -> list[int]:
     """Powers of two up to the cap (reference _get_token_paddings:1837)."""
     out, p = [], max(16, min_pad)
@@ -169,16 +191,35 @@ class ModelRunner:
                                         dtype_bytes=self.dtype.dtype.itemsize
                                         if hasattr(self.dtype, "dtype") else 2)
         per_block_bytes = spec.page_size_bytes * self.cfg.num_hidden_layers
+        util = self.cache_config.memory_utilization
+        free = None
         try:
             stats = jax.devices()[0].memory_stats()
-            limit = stats["bytes_limit"] * self.cache_config.memory_utilization
-            free = int(limit - stats["bytes_in_use"])
+            free = int(stats["bytes_limit"] * util - stats["bytes_in_use"])
         except Exception:
-            logger.warning("memory_stats unavailable; defaulting to 512 blocks")
-            return 512
+            pass
+        if free is None:
+            # memory_stats is unavailable on some PJRT plugins; estimate
+            # from total HBM minus the weights we just loaded (reference
+            # tpu_worker.py:174-231 probes the same way post-load).
+            from vllm_trianglemix_tpu import envs
+
+            hbm = envs.VTT_HBM_BYTES or _device_hbm_bytes()
+            param_bytes = sum(
+                x.size * x.dtype.itemsize
+                for x in jax.tree_util.tree_leaves(self.params))
+            free = int(hbm * util - param_bytes)
+            logger.info(
+                "memory_stats unavailable; estimating free HBM: "
+                "%.2f GiB total, %.2f GiB weights", hbm / 2**30,
+                param_bytes / 2**30)
         num = max(16, free // per_block_bytes)
         # Leave headroom for activations.
-        num = int(num * 0.95)
+        num = int(num * 0.90)
+        # Never allocate more pages than the model could ever address.
+        max_useful = (self.engine_config.scheduler.max_num_seqs
+                      * self.max_blocks_per_req) + 1
+        num = min(num, max_useful)
         logger.info("KV cache: %d blocks x %d tokens (%.2f GiB)", num,
                     self.block_size, num * per_block_bytes / 2**30)
         return num
@@ -255,6 +296,14 @@ class ModelRunner:
             offset += n_sched
         query_start_loc[num_reqs + 1:] = offset
 
+        from vllm_trianglemix_tpu.ops.kv_cache_update import (
+            build_kv_update_slices,
+        )
+
+        S = self._padded_num_slices(T, R)
+        kv_slices, num_slices = build_kv_update_slices(
+            slot_mapping, self.block_size, S)
+
         md = AttentionMetadata(
             positions=jnp.asarray(positions),
             req_idx=jnp.asarray(req_idx),
@@ -265,6 +314,8 @@ class ModelRunner:
             query_start_loc=jnp.asarray(query_start_loc),
             logits_indices=jnp.asarray(logits_indices),
             num_reqs=jnp.asarray(num_reqs, jnp.int32),
+            kv_slices=jnp.asarray(kv_slices),
+            num_kv_slices=jnp.asarray(num_slices, jnp.int32),
         )
         smd = build_sampling_metadata(params_list, counters, R)
 
@@ -301,7 +352,16 @@ class ModelRunner:
                 n += 1
         logger.info("precompiled %d buckets in %.1fs", n, time.time() - start)
 
+    def _padded_num_slices(self, T: int, R: int) -> int:
+        """Worst-case KV-update slice count for a (token, request) bucket:
+        each request adds at most one partial leading run, plus one run per
+        page the step's tokens span (reference slot-mapping slices,
+        tpu_model_runner.py:553)."""
+        n = min(T, R + cdiv(T, self.block_size) + R)
+        return cdiv(n, 8) * 8
+
     def _dummy_run(self, T: int, R: int) -> None:
+        S = self._padded_num_slices(T, R)
         md = AttentionMetadata(
             positions=jnp.zeros(T, jnp.int32),
             req_idx=jnp.zeros(T, jnp.int32),
@@ -312,6 +372,8 @@ class ModelRunner:
             query_start_loc=jnp.zeros(R + 1, jnp.int32),
             logits_indices=jnp.zeros(R, jnp.int32),
             num_reqs=jnp.asarray(R, jnp.int32),
+            kv_slices=jnp.zeros((3, S), jnp.int32),
+            num_kv_slices=jnp.asarray(0, jnp.int32),
         )
         smd = build_sampling_metadata([], [], R)
         self._rng_key, step_key = jax.random.split(self._rng_key)
