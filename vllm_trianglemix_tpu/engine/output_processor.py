@@ -70,7 +70,10 @@ class OutputProcessor:
                     stop_reason = stop_str
 
             finished = out.finished or stop_str is not None
-            if finished:
+            if finished or out.new_token_ids:
+                # Emit cumulative outputs every step (streaming consumers
+                # compute deltas; reference OutputProcessor does the same
+                # via RequestOutputCollector deltas).
                 req = state.request
                 text = state.detok.output_text if state.detok else ""
                 token_ids = (state.detok.output_token_ids if state.detok
@@ -84,13 +87,15 @@ class OutputProcessor:
                             CompletionOutput(
                                 index=0,
                                 text=text,
-                                token_ids=token_ids,
-                                finish_reason=finish_reason,
-                                stop_reason=stop_reason,
+                                token_ids=list(token_ids),
+                                finish_reason=finish_reason if finished
+                                else None,
+                                stop_reason=stop_reason if finished else None,
                             )
                         ],
-                        finished=True,
+                        finished=finished,
                     ))
+            if finished:
                 self.states.pop(out.request_id, None)
         return ProcessedOutputs(request_outputs, reqs_to_abort)
 

@@ -1,0 +1,201 @@
+"""`vtt` command-line interface.
+
+Mirror of the reference CLI (vllm/entrypoints/cli/main.py: serve / chat /
+complete / bench) on argparse. Engine flags map 1:1 onto EngineConfig
+fields (the reference's EngineArgs role, engine/arg_utils.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _add_engine_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("model", help="checkpoint directory or architecture name")
+    p.add_argument("--dtype", default="bfloat16",
+                   choices=["bfloat16", "float32", "float16"])
+    p.add_argument("--max-model-len", type=int, default=4096)
+    p.add_argument("--block-size", type=int, default=16)
+    p.add_argument("--max-num-seqs", type=int, default=64)
+    p.add_argument("--max-num-batched-tokens", type=int, default=2048)
+    p.add_argument("--tensor-parallel-size", "-tp", type=int, default=1)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--no-enable-prefix-caching", action="store_true")
+    p.add_argument("--load-format", default="auto",
+                   choices=["auto", "dummy"])
+    p.add_argument("--quantization", "-q", default=None)
+    p.add_argument("--enable-trianglemix", action="store_true")
+    p.add_argument("--trianglemix-layers", type=int, default=None,
+                   help="number of triangle layers (first-N policy)")
+    p.add_argument("--warmup", action="store_true",
+                   help="precompile all (token, request) buckets at startup")
+
+
+def _engine_config(args):
+    from vllm_trianglemix_tpu.config import (
+        CacheConfig,
+        EngineConfig,
+        ModelConfig,
+        ParallelConfig,
+        SchedulerConfig,
+        TriangleMixConfig,
+    )
+
+    tri = TriangleMixConfig()
+    if args.enable_trianglemix:
+        tri = TriangleMixConfig(enabled=True,
+                                num_triangle_layers=args.trianglemix_layers
+                                or 8)
+    return EngineConfig(
+        model=ModelConfig(model=args.model, dtype=args.dtype,
+                          max_model_len=args.max_model_len, seed=args.seed,
+                          quantization=args.quantization,
+                          load_format=args.load_format),
+        cache=CacheConfig(
+            block_size=args.block_size,
+            enable_prefix_caching=not args.no_enable_prefix_caching),
+        scheduler=SchedulerConfig(
+            max_num_seqs=args.max_num_seqs,
+            max_num_batched_tokens=args.max_num_batched_tokens),
+        parallel=ParallelConfig(
+            tensor_parallel_size=args.tensor_parallel_size),
+        trianglemix=tri,
+    )
+
+
+def cmd_serve(args) -> int:
+    from vllm_trianglemix_tpu.entrypoints.openai.api_server import run_server
+
+    run_server(_engine_config(args), host=args.host, port=args.port)
+    return 0
+
+
+def cmd_complete(args) -> int:
+    from vllm_trianglemix_tpu.entrypoints.llm import LLM
+    from vllm_trianglemix_tpu.sampling_params import SamplingParams
+
+    llm = LLM(model=args.model, dtype=args.dtype,
+              max_model_len=args.max_model_len,
+              max_num_seqs=args.max_num_seqs,
+              max_num_batched_tokens=args.max_num_batched_tokens,
+              load_format=args.load_format,
+              quantization=args.quantization)
+    params = SamplingParams(max_tokens=args.max_tokens,
+                            temperature=args.temperature)
+    prompt = args.prompt or sys.stdin.read()
+    out = llm.generate([prompt], params)[0]
+    print(out.outputs[0].text)
+    return 0
+
+
+def cmd_bench_latency(args) -> int:
+    """Single-batch latency sweep (reference `vllm bench latency`)."""
+    import numpy as np
+
+    from vllm_trianglemix_tpu.entrypoints.llm import LLM
+    from vllm_trianglemix_tpu.sampling_params import SamplingParams
+
+    llm = LLM(model=args.model, dtype=args.dtype,
+              max_model_len=args.max_model_len,
+              max_num_seqs=args.max_num_seqs,
+              max_num_batched_tokens=args.max_num_batched_tokens,
+              skip_tokenizer_init=True, load_format=args.load_format,
+              quantization=args.quantization)
+    rng = np.random.default_rng(0)
+    prompts = [rng.integers(1, 1000, size=args.input_len).tolist()
+               for _ in range(args.batch_size)]
+    params = SamplingParams(max_tokens=args.output_len, temperature=0.0,
+                            ignore_eos=True)
+    llm.generate(prompts, params)  # warmup
+    times = []
+    for _ in range(args.num_iters):
+        t0 = time.perf_counter()
+        llm.generate(prompts, params)
+        times.append(time.perf_counter() - t0)
+    total_tokens = args.batch_size * args.output_len
+    result = {
+        "avg_latency_s": sum(times) / len(times),
+        "p50_s": sorted(times)[len(times) // 2],
+        "decode_tokens_per_s": total_tokens / (sum(times) / len(times)),
+        "batch_size": args.batch_size,
+        "input_len": args.input_len,
+        "output_len": args.output_len,
+    }
+    print(json.dumps(result))
+    return 0
+
+
+def cmd_bench_throughput(args) -> int:
+    """Offline throughput (reference `vllm bench throughput`)."""
+    import numpy as np
+
+    from vllm_trianglemix_tpu.entrypoints.llm import LLM
+    from vllm_trianglemix_tpu.sampling_params import SamplingParams
+
+    llm = LLM(model=args.model, dtype=args.dtype,
+              max_model_len=args.max_model_len,
+              max_num_seqs=args.max_num_seqs,
+              max_num_batched_tokens=args.max_num_batched_tokens,
+              skip_tokenizer_init=True, load_format=args.load_format,
+              quantization=args.quantization)
+    rng = np.random.default_rng(0)
+    prompts = [rng.integers(1, 1000, size=args.input_len).tolist()
+               for _ in range(args.num_prompts)]
+    params = SamplingParams(max_tokens=args.output_len, temperature=0.0,
+                            ignore_eos=True)
+    llm.generate(prompts[:2], params)  # warmup
+    t0 = time.perf_counter()
+    llm.generate(prompts, params)
+    dt = time.perf_counter() - t0
+    total = args.num_prompts * (args.input_len + args.output_len)
+    print(json.dumps({
+        "elapsed_s": dt,
+        "requests_per_s": args.num_prompts / dt,
+        "total_tokens_per_s": total / dt,
+        "output_tokens_per_s": args.num_prompts * args.output_len / dt,
+    }))
+    return 0
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="vtt",
+                                     description="vllm-trianglemix-tpu CLI")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("serve", help="start the OpenAI-compatible server")
+    _add_engine_args(p)
+    p.add_argument("--host", default="0.0.0.0")
+    p.add_argument("--port", type=int, default=8000)
+    p.set_defaults(fn=cmd_serve)
+
+    p = sub.add_parser("complete", help="one-shot text completion")
+    _add_engine_args(p)
+    p.add_argument("--prompt", default=None)
+    p.add_argument("--max-tokens", type=int, default=64)
+    p.add_argument("--temperature", type=float, default=0.0)
+    p.set_defaults(fn=cmd_complete)
+
+    p = sub.add_parser("bench-latency", help="batch latency benchmark")
+    _add_engine_args(p)
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--input-len", type=int, default=128)
+    p.add_argument("--output-len", type=int, default=128)
+    p.add_argument("--num-iters", type=int, default=3)
+    p.set_defaults(fn=cmd_bench_latency)
+
+    p = sub.add_parser("bench-throughput", help="offline throughput benchmark")
+    _add_engine_args(p)
+    p.add_argument("--num-prompts", type=int, default=64)
+    p.add_argument("--input-len", type=int, default=128)
+    p.add_argument("--output-len", type=int, default=128)
+    p.set_defaults(fn=cmd_bench_throughput)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,282 @@
+"""OpenAI-compatible HTTP server on aiohttp.
+
+Role of the reference's FastAPI server (vllm/entrypoints/openai/
+api_server.py:252-950) on the stack available here (aiohttp): completions,
+chat completions (with tokenizer chat templates), model listing, tokenize/
+detokenize, health, version, and Prometheus /metrics. SSE streaming follows
+the OpenAI wire format (``data: {...}\\n\\n`` ... ``data: [DONE]``).
+"""
+
+from __future__ import annotations
+
+import asyncio
+import json
+import time
+import uuid
+from typing import Optional
+
+from aiohttp import web
+
+from vllm_trianglemix_tpu import __version__
+from vllm_trianglemix_tpu.engine.async_llm import AsyncLLM, EngineDeadError
+from vllm_trianglemix_tpu.entrypoints.openai.protocol import (
+    ChatCompletionRequest,
+    CompletionRequest,
+    DetokenizeRequest,
+    TokenizeRequest,
+    UsageCounter,
+    chat_response,
+    completion_response,
+    error_response,
+)
+from vllm_trianglemix_tpu.logger import init_logger
+
+logger = init_logger(__name__)
+
+ENGINE_KEY = web.AppKey("engine", AsyncLLM)
+MODEL_KEY = web.AppKey("model_name", str)
+
+
+def _json_error(message: str, status: int = 400) -> web.Response:
+    return web.json_response(error_response(message, code=status),
+                             status=status)
+
+
+async def health(request: web.Request) -> web.Response:
+    engine = request.app[ENGINE_KEY]
+    if engine.errored:
+        return _json_error("engine dead", 500)
+    return web.Response(status=200)
+
+
+async def version(request: web.Request) -> web.Response:
+    return web.json_response({"version": __version__})
+
+
+async def list_models(request: web.Request) -> web.Response:
+    model = request.app[MODEL_KEY]
+    return web.json_response({
+        "object": "list",
+        "data": [{
+            "id": model,
+            "object": "model",
+            "created": int(time.time()),
+            "owned_by": "vllm-trianglemix-tpu",
+        }],
+    })
+
+
+async def metrics(request: web.Request) -> web.Response:
+    try:
+        from prometheus_client import generate_latest
+
+        return web.Response(body=generate_latest(),
+                            content_type="text/plain")
+    except ImportError:
+        return _json_error("prometheus_client unavailable", 501)
+
+
+def _resolve_prompts(req: CompletionRequest) -> list:
+    p = req.prompt
+    if isinstance(p, str):
+        return [p]
+    if isinstance(p, list) and p and isinstance(p[0], int):
+        return [p]
+    if isinstance(p, list):
+        return list(p)
+    raise ValueError("invalid prompt")
+
+
+async def create_completion(request: web.Request) -> web.StreamResponse:
+    app = request.app
+    engine = app[ENGINE_KEY]
+    try:
+        body = CompletionRequest(**await request.json())
+        prompts = _resolve_prompts(body)
+        params = body.to_sampling_params()
+    except Exception as e:  # noqa: BLE001
+        return _json_error(str(e))
+
+    request_id = f"cmpl-{uuid.uuid4().hex}"
+    model = body.model or app[MODEL_KEY]
+
+    if body.stream:
+        if len(prompts) != 1:
+            return _json_error("streaming supports a single prompt")
+        return await _stream_completion(request, engine, prompts[0], params,
+                                        request_id, model, chat=False)
+
+    usage = UsageCounter()
+    choices = []
+
+    async def run_one(i, prompt):
+        final = None
+        async for out in engine.generate(prompt, params, f"{request_id}-{i}"):
+            final = out
+        return i, final
+
+    try:
+        results = await asyncio.gather(
+            *(run_one(i, p) for i, p in enumerate(prompts)))
+    except EngineDeadError as e:
+        return _json_error(str(e), 500)
+    except ValueError as e:
+        return _json_error(str(e))
+
+    for i, final in sorted(results):
+        comp = final.outputs[0]
+        usage.prompt_tokens += len(final.prompt_token_ids)
+        usage.completion_tokens += len(comp.token_ids)
+        choices.append({
+            "index": i,
+            "text": comp.text,
+            "finish_reason": comp.finish_reason,
+            "logprobs": None,
+        })
+    return web.json_response(
+        completion_response(request_id, model, choices, usage.as_dict()))
+
+
+async def create_chat_completion(request: web.Request) -> web.StreamResponse:
+    app = request.app
+    engine = app[ENGINE_KEY]
+    tokenizer = engine.tokenizer
+    try:
+        body = ChatCompletionRequest(**await request.json())
+        params = body.to_sampling_params()
+    except Exception as e:  # noqa: BLE001
+        return _json_error(str(e))
+    if tokenizer is None:
+        return _json_error("chat requires a tokenizer with a chat template",
+                           501)
+    try:
+        prompt_ids = tokenizer.apply_chat_template(
+            [m.model_dump(exclude_none=True) for m in body.messages],
+            tokenize=True,
+            add_generation_prompt=body.add_generation_prompt,
+            chat_template=body.chat_template,
+        )
+    except Exception as e:  # noqa: BLE001
+        return _json_error(f"chat template failed: {e}")
+
+    request_id = f"chatcmpl-{uuid.uuid4().hex}"
+    model = body.model or app[MODEL_KEY]
+
+    if body.stream:
+        return await _stream_completion(request, engine, prompt_ids, params,
+                                        request_id, model, chat=True)
+
+    try:
+        final = await engine.generate_once(prompt_ids, params, request_id)
+    except EngineDeadError as e:
+        return _json_error(str(e), 500)
+    except ValueError as e:
+        return _json_error(str(e))
+    comp = final.outputs[0]
+    usage = UsageCounter()
+    usage.prompt_tokens = len(final.prompt_token_ids)
+    usage.completion_tokens = len(comp.token_ids)
+    choices = [{
+        "index": 0,
+        "message": {"role": "assistant", "content": comp.text},
+        "finish_reason": comp.finish_reason,
+    }]
+    return web.json_response(
+        chat_response(request_id, model, choices, usage.as_dict()))
+
+
+async def _stream_completion(request: web.Request, engine: AsyncLLM, prompt,
+                             params, request_id: str, model: str,
+                             chat: bool) -> web.StreamResponse:
+    resp = web.StreamResponse(headers={
+        "Content-Type": "text/event-stream",
+        "Cache-Control": "no-cache",
+    })
+    await resp.prepare(request)
+    sent_len = 0
+    created = int(time.time())
+    obj = "chat.completion.chunk" if chat else "text_completion"
+
+    if chat:
+        first = {
+            "id": request_id, "object": obj, "created": created,
+            "model": model,
+            "choices": [{"index": 0,
+                         "delta": {"role": "assistant", "content": ""},
+                         "finish_reason": None}],
+        }
+        await resp.write(f"data: {json.dumps(first)}\n\n".encode())
+
+    try:
+        async for out in engine.generate(prompt, params, request_id):
+            comp = out.outputs[0]
+            delta = comp.text[sent_len:]
+            sent_len = len(comp.text)
+            if not delta and not out.finished:
+                continue
+            if chat:
+                choice = {"index": 0, "delta": {"content": delta},
+                          "finish_reason": comp.finish_reason}
+            else:
+                choice = {"index": 0, "text": delta,
+                          "finish_reason": comp.finish_reason,
+                          "logprobs": None}
+            chunk = {"id": request_id, "object": obj, "created": created,
+                     "model": model, "choices": [choice]}
+            await resp.write(f"data: {json.dumps(chunk)}\n\n".encode())
+    except (EngineDeadError, ValueError) as e:
+        err = {"error": {"message": str(e)}}
+        await resp.write(f"data: {json.dumps(err)}\n\n".encode())
+    await resp.write(b"data: [DONE]\n\n")
+    await resp.write_eof()
+    return resp
+
+
+async def tokenize(request: web.Request) -> web.Response:
+    engine = request.app[ENGINE_KEY]
+    if engine.tokenizer is None:
+        return _json_error("no tokenizer loaded", 501)
+    try:
+        body = TokenizeRequest(**await request.json())
+    except Exception as e:  # noqa: BLE001
+        return _json_error(str(e))
+    ids = engine.tokenizer.encode(body.prompt,
+                                  add_special_tokens=body.add_special_tokens)
+    return web.json_response({"tokens": ids, "count": len(ids),
+                              "max_model_len":
+                              engine.engine_config.model.max_model_len})
+
+
+async def detokenize(request: web.Request) -> web.Response:
+    engine = request.app[ENGINE_KEY]
+    if engine.tokenizer is None:
+        return _json_error("no tokenizer loaded", 501)
+    try:
+        body = DetokenizeRequest(**await request.json())
+    except Exception as e:  # noqa: BLE001
+        return _json_error(str(e))
+    return web.json_response(
+        {"prompt": engine.tokenizer.decode(body.tokens)})
+
+
+def build_app(engine: AsyncLLM, model_name: str) -> web.Application:
+    app = web.Application(client_max_size=64 * 2**20)
+    app[ENGINE_KEY] = engine
+    app[MODEL_KEY] = model_name
+    app.router.add_get("/health", health)
+    app.router.add_get("/version", version)
+    app.router.add_get("/v1/models", list_models)
+    app.router.add_get("/metrics", metrics)
+    app.router.add_post("/v1/completions", create_completion)
+    app.router.add_post("/v1/chat/completions", create_chat_completion)
+    app.router.add_post("/tokenize", tokenize)
+    app.router.add_post("/detokenize", detokenize)
+    return app
+
+
+def run_server(engine_config, host: str = "0.0.0.0", port: int = 8000,
+               model_name: Optional[str] = None) -> None:
+    engine = AsyncLLM.from_engine_config(engine_config)
+    app = build_app(engine, model_name or engine_config.model.model)
+    logger.info("serving on %s:%d", host, port)
+    web.run_app(app, host=host, port=port, print=None)
