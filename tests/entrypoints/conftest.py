@@ -1,59 +1,1 @@
-"""Fixtures: a tiny on-disk model dir (config.json + offline-built
-tokenizer, random weights) shared by API-surface tests."""
-
-import json
-import os
-
-import pytest
-
-
-@pytest.fixture(scope="session")
-def tiny_model_dir(tmp_path_factory):
-    d = tmp_path_factory.mktemp("tiny_qwen3")
-    cfg = {
-        "architectures": ["Qwen3ForCausalLM"],
-        "vocab_size": 600,
-        "hidden_size": 64,
-        "intermediate_size": 128,
-        "num_hidden_layers": 2,
-        "num_attention_heads": 4,
-        "num_key_value_heads": 2,
-        "head_dim": 16,
-        "max_position_embeddings": 512,
-        "rope_theta": 1_000_000.0,
-        "rms_norm_eps": 1e-6,
-        "tie_word_embeddings": True,
-        "eos_token_id": 501,
-        "bos_token_id": 500,
-    }
-    with open(d / "config.json", "w") as f:
-        json.dump(cfg, f)
-
-    from tokenizers import Tokenizer
-    from tokenizers.models import WordLevel
-    from tokenizers.pre_tokenizers import Whitespace
-
-    vocab = {f"tok{i}": i for i in range(500)}
-    vocab.update({"<bos>": 500, "<eos>": 501, "<unk>": 502,
-                  "hello": 503, "world": 504, "stopword": 505})
-    tok = Tokenizer(WordLevel(vocab, unk_token="<unk>"))
-    tok.pre_tokenizer = Whitespace()
-    tok.save(str(d / "tokenizer.json"))
-    with open(d / "tokenizer_config.json", "w") as f:
-        json.dump({
-            "tokenizer_class": "PreTrainedTokenizerFast",
-            "eos_token": "<eos>",
-            "bos_token": "<bos>",
-            "unk_token": "<unk>",
-            "chat_template":
-                "{% for m in messages %}{{ m['content'] }} {% endfor %}",
-        }, f)
-    return str(d)
-
-
-@pytest.fixture(scope="session")
-def tiny_llm(tiny_model_dir):
-    from vllm_trianglemix_tpu.entrypoints.llm import LLM
-
-    return LLM(model=tiny_model_dir, dtype="float32", max_model_len=256,
-               max_num_seqs=8, max_num_batched_tokens=128, num_kv_blocks=64)
+"""Entrypoint test fixtures live in the top-level conftest."""

@@ -42,6 +42,10 @@ from vllm_trianglemix_tpu.layers.common import (
     rope_cos_sin,
     silu_and_mul,
 )
+from vllm_trianglemix_tpu.quantization.linear import (
+    QuantLinear,
+    apply_linear,
+)
 
 
 @dataclass(frozen=True)
@@ -124,7 +128,7 @@ def shape_tree(cfg: DecoderConfig) -> dict:
     return tree
 
 
-def partition_specs(cfg: DecoderConfig) -> dict:
+def partition_specs(cfg: DecoderConfig, quantized: str | None = None) -> dict:
     """NamedSharding rules over a ("dp", "tp") mesh — Megatron-style:
     column-parallel QKV/gate/up (output-feature axis over tp), row-parallel
     o/down (input-feature axis), vocab-parallel embedding (semantics of
@@ -148,6 +152,21 @@ def partition_specs(cfg: DecoderConfig) -> dict:
         layers["q_bias"] = P(None, "tp")
         layers["k_bias"] = P(None, "tp")
         layers["v_bias"] = P(None, "tp")
+    if quantized:
+        # QuantLinear leaves: qweight keeps the dense mat's spec; scale/
+        # zero [L, G, Dout] follow the output axis for column-parallel
+        # mats. For row-parallel mats the contracted (input) axis is
+        # sharded, which for grouped methods means the group axis G; the
+        # per-channel methods (G == 1) replicate their tiny scales.
+        grouped = quantized in ("int4", "awq", "gptq")
+        row_sz = P(None, "tp", None) if grouped else P(None, None, None)
+        for k in ("q_proj", "k_proj", "v_proj", "gate_proj", "up_proj"):
+            layers[k] = QuantLinear(qweight=P(None, None, "tp"),
+                                    scale=P(None, None, "tp"),
+                                    zero=P(None, None, "tp"))
+        for k in ("o_proj", "down_proj"):
+            layers[k] = QuantLinear(qweight=P(None, "tp", None),
+                                    scale=row_sz, zero=row_sz)
     specs = {"embed_tokens": P("tp", None), "layers": layers, "norm": P(None)}
     if not cfg.tie_word_embeddings:
         specs["lm_head"] = P(None, "tp")
@@ -195,12 +214,23 @@ _TRANSPOSED = {"q_proj", "k_proj", "v_proj", "o_proj", "gate_proj",
 
 
 def params_from_hf_state_dict(cfg: DecoderConfig, get_tensor,
-                              dtype=jnp.bfloat16) -> dict:
+                              dtype=jnp.bfloat16, quant=None) -> dict:
     """Build the stacked param tree from a HF checkpoint.
 
     ``get_tensor(name) -> np.ndarray`` abstracts safetensors shards vs torch
-    state_dicts (see models/weights.py).
+    state_dicts (see models/weights.py). ``quant`` (from
+    quantization.detect_checkpoint_quantization) switches the projection
+    matrices to AWQ/GPTQ ingest.
     """
+    from vllm_trianglemix_tpu.quantization.ingest import (
+        load_awq_linear,
+        load_gptq_linear,
+    )
+    from vllm_trianglemix_tpu.quantization.linear import (
+        QUANTIZED_KEYS,
+        QuantLinear,
+    )
+
     L = cfg.num_hidden_layers
 
     def stack(key: str) -> jnp.ndarray:
@@ -212,11 +242,33 @@ def params_from_hf_state_dict(cfg: DecoderConfig, get_tensor,
             mats.append(w)
         return jnp.asarray(np.stack(mats), dtype=dtype)
 
+    def stack_quant(key: str) -> QuantLinear:
+        loader = (load_awq_linear if quant["method"] == "awq"
+                  else load_gptq_linear)
+        prefix = _HF_LAYER_MAP[key].rsplit(".", 1)[0]  # drop ".weight"
+        qs, ss, zs = [], [], []
+        for i in range(L):
+            q, s, z = loader(get_tensor, prefix.format(i=i))
+            qs.append(q)
+            ss.append(s)
+            zs.append(z)
+        return QuantLinear(
+            qweight=jnp.asarray(np.stack(qs)),
+            scale=jnp.asarray(np.stack(ss), jnp.float32),
+            zero=jnp.asarray(np.stack(zs), jnp.float32),
+        )
+
     layer_keys = set(shape_tree(cfg)["layers"])
+    layers = {}
+    for k in layer_keys:
+        if quant is not None and k in QUANTIZED_KEYS:
+            layers[k] = stack_quant(k)
+        else:
+            layers[k] = stack(k)
     params = {
         "embed_tokens": jnp.asarray(
             np.asarray(get_tensor("model.embed_tokens.weight")), dtype=dtype),
-        "layers": {k: stack(k) for k in layer_keys},
+        "layers": layers,
         "norm": jnp.asarray(np.asarray(get_tensor("model.norm.weight")),
                             dtype=dtype),
     }
@@ -258,9 +310,9 @@ def forward(
         lp, kv, tri = scanned
         T = x.shape[0]
         h = rms_norm(x, lp["input_layernorm"], eps)
-        q = h @ lp["q_proj"]
-        k = h @ lp["k_proj"]
-        v = h @ lp["v_proj"]
+        q = apply_linear(h, lp["q_proj"])
+        k = apply_linear(h, lp["k_proj"])
+        v = apply_linear(h, lp["v_proj"])
         if cfg.use_qkv_bias:
             q = q + lp["q_bias"]
             k = k + lp["k_bias"]
@@ -274,10 +326,11 @@ def forward(
         q, k = apply_rope(q, k, cos, sin)
         kv = write_kv(kv, k, v, md)
         attn = ragged_paged_attention(q, kv, md, tri, **attn_kwargs)
-        x = x + attn.reshape(T, HQ * Dh) @ lp["o_proj"]
+        x = x + apply_linear(attn.reshape(T, HQ * Dh), lp["o_proj"])
         h2 = rms_norm(x, lp["post_attention_layernorm"], eps)
-        mlp = silu_and_mul(h2 @ lp["gate_proj"], h2 @ lp["up_proj"])
-        x = x + mlp @ lp["down_proj"]
+        mlp = silu_and_mul(apply_linear(h2, lp["gate_proj"]),
+                           apply_linear(h2, lp["up_proj"]))
+        x = x + apply_linear(mlp, lp["down_proj"])
         return x, kv
 
     x, new_kv = jax.lax.scan(layer_fn, x,

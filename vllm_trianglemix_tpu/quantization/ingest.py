@@ -1,0 +1,131 @@
+"""Quantized-checkpoint ingest: AWQ / GPTQ -> QuantLinear.
+
+Layouts follow the reference exactly (vllm/model_executor/layers/
+quantization/utils/quant_utils.py):
+
+- AWQ (awq.py:22-206): ``qweight`` int32 [K, N/8] — logical 4-bit values
+  first column-interleaved in groups of 8 with order [0,2,4,6,1,3,5,7]
+  (``awq_pack``, quant_utils.py:579), then packed along N (``pack_cols``:
+  nibble i of word c = interleaved column 8c+i). ``qzeros`` int32
+  [K/G, N/8] same packing; ``scales`` fp16 [K/G, N].
+  w = (q - z) * s.
+- GPTQ (gptq.py:30-327): ``qweight`` int32 [K/8, N] packed along K
+  (``pack_rows``: nibble i of word r = row 8r+i). ``qzeros`` int32
+  [K/G, N/8] packed along N *without* interleave, stored as zero-1
+  (the format's historical off-by-one: true zero = stored + 1).
+  ``scales`` fp16 [K/G, N]; optional ``g_idx`` (act-order) must be
+  trivial (sequential groups) for now.
+
+Both convert to the engine's QuantLinear nibble-row packing
+(quantization/linear.py): uint8 [K/2, N], byte b = rows 2b (low nibble),
+2b+1 (high).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+AWQ_INTERLEAVE = np.array([0, 2, 4, 6, 1, 3, 5, 7])
+
+
+def _unpack_cols(packed: np.ndarray, bits: int = 4) -> np.ndarray:
+    """pack_cols inverse (quant_utils.py:530 unpack_cols): int32 [K, N/f]
+    -> uint8 [K, N], column i::f of each 8-block from nibble i."""
+    factor = 32 // bits
+    K, NP = packed.shape
+    out = np.zeros((K, NP * factor), np.uint8)
+    p = packed.astype(np.uint32)
+    mask = (1 << bits) - 1
+    for i in range(factor):
+        out[:, i::factor] = (p & mask).astype(np.uint8)
+        p >>= bits
+    return out
+
+
+def _unpack_rows(packed: np.ndarray, bits: int = 4) -> np.ndarray:
+    """pack_rows inverse (quant_utils.py:480): int32 [K/f, N] -> uint8
+    [K, N], row i::f from nibble i."""
+    factor = 32 // bits
+    KP, N = packed.shape
+    out = np.zeros((KP * factor, N), np.uint8)
+    p = packed.astype(np.uint32)
+    mask = (1 << bits) - 1
+    for i in range(factor):
+        out[i::factor, :] = (p & mask).astype(np.uint8)
+        p >>= bits
+    return out
+
+
+def _undo_awq_interleave(unpacked: np.ndarray) -> np.ndarray:
+    """awq_pack applied interleave [0,2,4,6,1,3,5,7] over each 8-column
+    block before pack_cols; undo it."""
+    K, N = unpacked.shape
+    blocks = unpacked.reshape(K, N // 8, 8)
+    logical = np.empty_like(blocks)
+    logical[:, :, AWQ_INTERLEAVE] = blocks
+    return logical.reshape(K, N)
+
+
+def unpack_awq(qweight: np.ndarray, bits: int = 4) -> np.ndarray:
+    """AWQ int32 [K, N/8] -> logical uint8 values [K, N]."""
+    if bits != 4:
+        raise NotImplementedError("AWQ ingest supports 4-bit only")
+    return _undo_awq_interleave(_unpack_cols(qweight, bits))
+
+
+def _pack_nibble_rows(q: np.ndarray) -> np.ndarray:
+    """uint8 values [K, N] -> engine packing uint8 [K/2, N]."""
+    assert q.shape[0] % 2 == 0
+    low = q[0::2, :]
+    high = q[1::2, :]
+    return (low | (high << 4)).astype(np.uint8)
+
+
+def load_awq_linear(get_tensor, prefix: str):
+    """Read one AWQ linear ({prefix}.qweight/.qzeros/.scales) as numpy
+    pieces of a QuantLinear (stacking/jnp conversion happens upstream)."""
+    qweight = np.asarray(get_tensor(f"{prefix}.qweight"))
+    qzeros = np.asarray(get_tensor(f"{prefix}.qzeros"))
+    scales = np.asarray(get_tensor(f"{prefix}.scales")).astype(np.float32)
+    q = unpack_awq(qweight)                      # [K, N]
+    z = unpack_awq(qzeros).astype(np.float32)    # [G, N]
+    return _pack_nibble_rows(q), scales, z
+
+
+def load_gptq_linear(get_tensor, prefix: str):
+    """Read one GPTQ linear; rejects non-trivial act-order g_idx."""
+    qweight = np.asarray(get_tensor(f"{prefix}.qweight"))
+    qzeros = np.asarray(get_tensor(f"{prefix}.qzeros"))
+    scales = np.asarray(get_tensor(f"{prefix}.scales")).astype(np.float32)
+    try:
+        g_idx = np.asarray(get_tensor(f"{prefix}.g_idx"))
+    except KeyError:
+        g_idx = None
+    q = _unpack_rows(qweight)                    # [K, N]
+    K = q.shape[0]
+    G = scales.shape[0]
+    if g_idx is not None and g_idx.size:
+        expected = np.arange(K) // (K // G)
+        if not np.array_equal(g_idx, expected):
+            raise NotImplementedError(
+                "GPTQ act-order (non-trivial g_idx) not supported")
+    z = _unpack_cols(qzeros).astype(np.float32) + 1.0  # format off-by-one
+    return _pack_nibble_rows(q), scales, z
+
+
+def detect_checkpoint_quantization(hf_config: dict) -> Optional[dict]:
+    """Return {'method': 'awq'|'gptq', 'bits': n, 'group_size': g} if the
+    checkpoint is pre-quantized (HF quantization_config)."""
+    qc = hf_config.get("quantization_config")
+    if not qc:
+        return None
+    method = (qc.get("quant_method") or "").lower()
+    if method in ("awq", "gptq"):
+        return {
+            "method": method,
+            "bits": qc.get("bits", 4),
+            "group_size": qc.get("group_size", 128),
+        }
+    return None

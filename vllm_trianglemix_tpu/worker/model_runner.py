@@ -121,6 +121,7 @@ class ModelRunner:
         self._req_paddings = req_paddings(engine_config.scheduler.max_num_seqs)
 
         # --- weights --------------------------------------------------------
+        self.quant_method = None
         if params is not None:
             self.params = params
         else:
@@ -158,15 +159,29 @@ class ModelRunner:
         import os
 
         import glob
+        import json
+
+        from vllm_trianglemix_tpu.quantization import (
+            detect_checkpoint_quantization,
+            quantize_params,
+        )
 
         path = self.model_config.model
+        checkpoint_quant = None
+        if os.path.isdir(path):
+            with open(os.path.join(path, "config.json")) as f:
+                checkpoint_quant = detect_checkpoint_quantization(
+                    json.load(f))
+
         if (os.path.isdir(path) and self.model_config.load_format != "dummy"
                 and glob.glob(os.path.join(path, "*.safetensors"))):
             from vllm_trianglemix_tpu.models.weights import SafetensorsReader
 
             reader = SafetensorsReader(path)
             params = self.model.params_from_hf_state_dict(
-                self.cfg, reader, dtype=self.dtype)
+                self.cfg, reader, dtype=self.dtype, quant=checkpoint_quant)
+            self.quant_method = (checkpoint_quant["method"]
+                                 if checkpoint_quant else None)
         else:
             # Dummy load (reference model_loader/dummy_loader.py): random
             # init for perf work without a checkpoint on disk.
@@ -175,11 +190,26 @@ class ModelRunner:
                                path)
             params = self.model.init_random(self.cfg, self.model_config.seed,
                                             dtype=self.dtype)
+            self.quant_method = None
+
+        # Post-load weight-only quantization (int8/int4/fp8), reference
+        # quantization registry role.
+        requested = self.model_config.quantization
+        if requested and self.quant_method is None:
+            if requested in ("awq", "gptq"):
+                raise ValueError(
+                    f"{requested} requires a pre-quantized checkpoint")
+            params = quantize_params(params, requested)
+            self.quant_method = requested
+            logger.info("quantized weights with method=%s", requested)
+
         if self.mesh is not None:
             from vllm_trianglemix_tpu.models.weights import shard_params
 
-            params = shard_params(params, self.mesh,
-                                  self.model.partition_specs(self.cfg))
+            params = shard_params(
+                params, self.mesh,
+                self.model.partition_specs(self.cfg,
+                                           quantized=self.quant_method))
         return params
 
     def _determine_num_kv_blocks(self) -> int:
