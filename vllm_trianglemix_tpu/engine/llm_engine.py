@@ -10,6 +10,7 @@ from vllm_trianglemix_tpu.engine.core import EngineCore
 from vllm_trianglemix_tpu.engine.output_processor import OutputProcessor
 from vllm_trianglemix_tpu.engine.processor import Processor, load_tokenizer
 from vllm_trianglemix_tpu.logger import init_logger
+from vllm_trianglemix_tpu.metrics.stats import IterationStats
 from vllm_trianglemix_tpu.outputs import RequestOutput
 from vllm_trianglemix_tpu.sampling_params import SamplingParams
 
@@ -38,6 +39,15 @@ class LLMEngine:
                 self.processor.eos_token_id = model_cfg.eos_token_id
         self.output_processor = OutputProcessor(tokenizer)
 
+        self.stat_loggers: list = []
+        if engine_config.observability.collect_stats:
+            from vllm_trianglemix_tpu.metrics.loggers import (
+                LoggingStatLogger,
+            )
+
+            self.stat_loggers.append(LoggingStatLogger(
+                engine_config.observability.log_stats_interval_s))
+
     @classmethod
     def from_engine_config(cls, engine_config: EngineConfig) -> "LLMEngine":
         return cls(engine_config)
@@ -60,10 +70,16 @@ class LLMEngine:
 
     def step(self) -> list[RequestOutput]:
         core_outputs = self.engine_core.step()
-        processed = self.output_processor.process_outputs(core_outputs)
+        iteration_stats = (IterationStats() if self.stat_loggers else None)
+        processed = self.output_processor.process_outputs(core_outputs,
+                                                          iteration_stats)
         if processed.reqs_to_abort:
             self.engine_core.abort_requests(processed.reqs_to_abort)
             # Emit final outputs for stop-string-aborted requests now.
+        if self.stat_loggers:
+            scheduler_stats = self.engine_core.make_stats()
+            for stat_logger in self.stat_loggers:
+                stat_logger.record(scheduler_stats, iteration_stats)
         return processed.request_outputs
 
     def has_unfinished_requests(self) -> bool:

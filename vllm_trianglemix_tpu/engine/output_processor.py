@@ -7,11 +7,16 @@ the request in the engine), and RequestOutput assembly.
 
 from __future__ import annotations
 
+import time
 from dataclasses import dataclass, field
 from typing import Optional
 
 from vllm_trianglemix_tpu.core.sched_output import EngineCoreOutput
 from vllm_trianglemix_tpu.engine.detokenizer import IncrementalDetokenizer
+from vllm_trianglemix_tpu.metrics.stats import (
+    IterationStats,
+    RequestStateStats,
+)
 from vllm_trianglemix_tpu.outputs import CompletionOutput, RequestOutput
 from vllm_trianglemix_tpu.request import Request
 
@@ -21,6 +26,7 @@ class RequestState:
     request: Request
     detok: Optional[IncrementalDetokenizer]
     new_token_ids: list[int] = field(default_factory=list)
+    stats: RequestStateStats = field(default_factory=RequestStateStats)
 
 
 @dataclass
@@ -42,20 +48,29 @@ class OutputProcessor:
             detok = IncrementalDetokenizer(self.tokenizer,
                                            request.sampling_params,
                                            request.prompt_token_ids)
-        self.states[request.request_id] = RequestState(request, detok)
+        state = RequestState(request, detok)
+        state.stats.arrival_time = time.monotonic()
+        self.states[request.request_id] = state
 
     def abort_requests(self, request_ids: list[str]) -> None:
         for rid in request_ids:
             self.states.pop(rid, None)
 
-    def process_outputs(self, outputs: list[EngineCoreOutput]
+    def process_outputs(self, outputs: list[EngineCoreOutput],
+                        iteration_stats: Optional[IterationStats] = None,
                         ) -> ProcessedOutputs:
         request_outputs: list[RequestOutput] = []
         reqs_to_abort: list[str] = []
+        now = time.monotonic()
         for out in outputs:
             state = self.states.get(out.request_id)
             if state is None:
                 continue
+            if iteration_stats is not None:
+                iteration_stats.update_from_output(
+                    out, state.stats,
+                    is_prefilling=state.stats.num_generation_tokens == 0,
+                    prompt_len=len(state.request.prompt_token_ids), now=now)
             state.new_token_ids.extend(out.new_token_ids)
             finish_reason = out.finish_reason
             stop_reason = out.stop_reason
@@ -96,6 +111,11 @@ class OutputProcessor:
                         finished=finished,
                     ))
             if finished:
+                if iteration_stats is not None:
+                    iteration_stats.update_from_finished(
+                        out, state.stats,
+                        prompt_len=len(state.request.prompt_token_ids),
+                        now=now)
                 self.states.pop(out.request_id, None)
         return ProcessedOutputs(request_outputs, reqs_to_abort)
 

@@ -277,6 +277,13 @@ def build_app(engine: AsyncLLM, model_name: str) -> web.Application:
 def run_server(engine_config, host: str = "0.0.0.0", port: int = 8000,
                model_name: Optional[str] = None) -> None:
     engine = AsyncLLM.from_engine_config(engine_config)
-    app = build_app(engine, model_name or engine_config.model.model)
+    model_name = model_name or engine_config.model.model
+    try:
+        from vllm_trianglemix_tpu.metrics.loggers import PrometheusStatLogger
+
+        engine.engine.stat_loggers.append(PrometheusStatLogger(model_name))
+    except Exception as e:  # noqa: BLE001 (duplicate registry in tests)
+        logger.warning("prometheus logger unavailable: %s", e)
+    app = build_app(engine, model_name)
     logger.info("serving on %s:%d", host, port)
     web.run_app(app, host=host, port=port, print=None)
