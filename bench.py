@@ -72,6 +72,7 @@ def main() -> None:
             max_num_batched_tokens=2048,
             skip_tokenizer_init=True,
             load_format="dummy",
+            multi_step_decode=8,
         )
         rng = np.random.default_rng(0)
         prompts = [rng.integers(1, 50000, size=PROMPT_LEN).tolist()

@@ -141,6 +141,11 @@ class SchedulerConfig:
     policy: str = "fcfs"  # "fcfs" | "priority"
     # Async scheduling (overlap schedule with execute) — round 2+.
     async_scheduling: bool = False
+    # Multi-step decode: when the whole batch is decoding and nothing is
+    # waiting, run up to this many autoregressive steps per device dispatch
+    # (device-side lax.scan), cutting host<->device round trips per token.
+    # 1 disables. Overrun past a stop token within the window is discarded.
+    multi_step_decode: int = 1
 
 
 @dataclass

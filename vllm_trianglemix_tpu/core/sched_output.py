@@ -63,6 +63,15 @@ class SchedulerOutput:
     num_scheduled_tokens: dict[str, int] = field(default_factory=dict)
     total_num_scheduled_tokens: int = 0
     finished_req_ids: set[str] = field(default_factory=set)
+    # Multi-step decode: req_id -> number of autoregressive decode steps the
+    # worker should run device-side before returning (1 = normal). Set only
+    # when the whole batch is in decode; KV slots for all steps are
+    # pre-allocated by the scheduler.
+    num_decode_steps: dict[str, int] = field(default_factory=dict)
+
+    @property
+    def max_decode_steps(self) -> int:
+        return max(self.num_decode_steps.values(), default=1)
 
     @property
     def is_empty(self) -> bool:

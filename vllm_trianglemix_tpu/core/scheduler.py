@@ -87,6 +87,15 @@ class Scheduler:
         token_budget = self.max_num_batched_tokens
         num_scheduled_tokens: dict[str, int] = {}
 
+        # Multi-step decode eligibility: whole batch decoding, nothing
+        # waiting to admit. KV slots for the lookahead are allocated below.
+        k_cfg = self.scheduler_config.multi_step_decode
+        multi_step = (
+            k_cfg > 1 and not self.waiting and self.running
+            and all(r.num_tokens - r.num_computed_tokens == 1
+                    for r in self.running))
+        num_decode_steps: dict[str, int] = {}
+
         scheduled_new_reqs: list[Request] = []
         scheduled_resumed_reqs: list[Request] = []
         scheduled_running_reqs: list[Request] = []
@@ -107,10 +116,22 @@ class Scheduler:
             assert num_new_tokens > 0, (
                 f"running request {request.request_id} has no new tokens")
 
+            # Decode lookahead: reserve slots for k autoregressive steps.
+            num_alloc_tokens = num_new_tokens
+            if multi_step:
+                params = request.sampling_params
+                steps = min(k_cfg, self.max_model_len - request.num_tokens)
+                if params.max_tokens is not None:
+                    steps = min(steps, params.max_tokens
+                                - request.num_output_tokens)
+                steps = max(1, steps)
+                num_decode_steps[request.request_id] = steps
+                num_alloc_tokens = steps
+
             # Allocate, preempting by recompute until it fits.
             while True:
                 new_blocks = self.kv_cache_manager.allocate_slots(
-                    request, num_new_tokens)
+                    request, num_alloc_tokens)
                 if new_blocks is not None:
                     break
                 victim = self._choose_preemption_victim(
@@ -195,6 +216,9 @@ class Scheduler:
             cached_data.resumed_from_preemption.append(True)
             cached_data.all_token_ids.append(list(request.all_token_ids))
 
+        if preempted_reqs or scheduled_new_reqs or scheduled_resumed_reqs:
+            # Batch composition changed; the lookahead premise may not hold.
+            num_decode_steps = {}
         output = SchedulerOutput(
             scheduled_new_reqs=[
                 NewRequestData.from_request(
@@ -205,6 +229,7 @@ class Scheduler:
             num_scheduled_tokens=num_scheduled_tokens,
             total_num_scheduled_tokens=total,
             finished_req_ids=self.finished_req_ids,
+            num_decode_steps=num_decode_steps,
         )
         self.finished_req_ids = set()
         return output
@@ -246,16 +271,21 @@ class Scheduler:
             request = self.requests.get(req_id)
             if request is None:
                 continue  # aborted mid-step
-            request.num_computed_tokens += num_tokens
-
             new_token_ids = sampled.get(req_id, [])
             stopped = False
+            accepted = 0
             if new_token_ids:
                 for tok in new_token_ids:
                     request.append_output_token_ids(tok)
+                    accepted += 1
                     stopped = self._check_stop(request, tok)
                     if stopped:
                         break
+            new_token_ids = new_token_ids[:accepted]
+            # Multi-step decode computed KV for `accepted` input tokens
+            # (the scheduled one + accepted-1 sampled lookahead tokens);
+            # normal steps computed exactly the scheduled tokens.
+            request.num_computed_tokens += max(num_tokens, accepted)
             if stopped:
                 stopped_reqs.append(request)
 

@@ -21,6 +21,8 @@ def _add_engine_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--block-size", type=int, default=16)
     p.add_argument("--max-num-seqs", type=int, default=64)
     p.add_argument("--max-num-batched-tokens", type=int, default=2048)
+    p.add_argument("--multi-step-decode", type=int, default=1,
+                   help="device-side autoregressive steps per dispatch")
     p.add_argument("--tensor-parallel-size", "-tp", type=int, default=1)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--no-enable-prefix-caching", action="store_true")
@@ -59,7 +61,8 @@ def _engine_config(args):
             enable_prefix_caching=not args.no_enable_prefix_caching),
         scheduler=SchedulerConfig(
             max_num_seqs=args.max_num_seqs,
-            max_num_batched_tokens=args.max_num_batched_tokens),
+            max_num_batched_tokens=args.max_num_batched_tokens,
+            multi_step_decode=args.multi_step_decode),
         parallel=ParallelConfig(
             tensor_parallel_size=args.tensor_parallel_size),
         trianglemix=tri,

@@ -35,6 +35,7 @@ class LLM:
         block_size: int = 16,
         max_num_seqs: int = 64,
         max_num_batched_tokens: int = 2048,
+        multi_step_decode: int = 1,
         num_kv_blocks: Optional[int] = None,
         enable_prefix_caching: bool = True,
         tensor_parallel_size: int = 1,
@@ -56,7 +57,8 @@ class LLM:
                               enable_prefix_caching=enable_prefix_caching),
             scheduler=SchedulerConfig(
                 max_num_seqs=max_num_seqs,
-                max_num_batched_tokens=max_num_batched_tokens),
+                max_num_batched_tokens=max_num_batched_tokens,
+                multi_step_decode=multi_step_decode),
             parallel=ParallelConfig(tensor_parallel_size=tensor_parallel_size),
             trianglemix=trianglemix or TriangleMixConfig(),
         )

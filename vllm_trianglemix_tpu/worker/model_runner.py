@@ -153,6 +153,7 @@ class ModelRunner:
         self._step_count = 0
 
         self._jit_step = self._build_step_fn()
+        self._jit_multi_decode = self._build_multi_decode_fn()
 
     # --- init helpers ------------------------------------------------------
     def _load_params(self):
@@ -272,12 +273,121 @@ class ModelRunner:
 
         return step
 
+    def _build_multi_decode_fn(self):
+        """K autoregressive decode steps in one device dispatch
+        (lax.scan): forward -> sample -> feed back, KV slots computed
+        on-device. Cuts host<->device round trips per generated token by K
+        — the TPU-native answer to per-step dispatch overhead (the
+        reference's async scheduler hides one step; this hides K)."""
+        model, cfg, tri_cfg = self.model, self.cfg, self.tri_cfg
+        page = self.block_size
+
+        @partial(jax.jit, donate_argnums=(1,),
+                 static_argnames=("num_steps", "all_greedy"))
+        def multi_decode(params, kv_caches, tokens0, base_positions, steps,
+                         block_tables, prompt_lens, smd: SamplingMetadata,
+                         tri_flags, step_key, num_reqs, num_steps: int,
+                         all_greedy: bool):
+            R = tokens0.shape[0]
+            req_idx = jnp.arange(R, dtype=jnp.int32)
+            qsl = jnp.arange(R + 1, dtype=jnp.int32)
+            smd_g = smd._replace(all_greedy=all_greedy)
+
+            def one_step(carry, i):
+                kv, toks = carry
+                active = i < steps                       # bool[R]
+                pos = base_positions + i                 # [R]
+                seq_lens = jnp.where(active, pos + 1, 0)
+                slot = (block_tables[req_idx, pos // page] * page
+                        + pos % page)
+                md = AttentionMetadata(
+                    positions=pos,
+                    req_idx=req_idx,
+                    slot_mapping=jnp.where(active, slot, -1),
+                    block_tables=block_tables,
+                    seq_lens=seq_lens,
+                    prompt_lens=prompt_lens,
+                    query_start_loc=qsl,
+                    logits_indices=req_idx,
+                    num_reqs=num_reqs,
+                    kv_slices=jnp.stack([
+                        jnp.where(active, slot, 0),
+                        req_idx,
+                        active.astype(jnp.int32),
+                    ]),
+                    num_kv_slices=jnp.asarray(R, jnp.int32),
+                )
+                hidden, kv = model.forward(params, cfg, tri_cfg, toks, kv,
+                                           md, tri_flags)
+                logits = model.compute_logits(params, cfg, hidden)
+                toks = sample_tokens(logits, smd_g,
+                                     jax.random.fold_in(step_key, i))
+                return (kv, toks), toks
+
+            (kv_caches, _), sampled = jax.lax.scan(
+                one_step, (kv_caches, tokens0),
+                jnp.arange(num_steps, dtype=jnp.int32))
+            return kv_caches, sampled  # [K, R]
+
+        return multi_decode
+
+    def _execute_multi_step(self, scheduler_output: SchedulerOutput
+                            ) -> ModelRunnerOutput:
+        nds = scheduler_output.num_decode_steps
+        req_ids = list(scheduler_output.num_scheduled_tokens.keys())
+        num_reqs = len(req_ids)
+        R = pick_padding(self._req_paddings, num_reqs)
+        K = self.engine_config.scheduler.multi_step_decode
+        MB = self.max_blocks_per_req
+
+        tokens0 = np.zeros(R, np.int32)
+        base_positions = np.zeros(R, np.int32)
+        steps = np.zeros(R, np.int32)
+        block_tables = np.zeros((R, MB), np.int32)
+        prompt_lens = np.zeros(R, np.int32)
+        params_list, counters = [], []
+        for i, req_id in enumerate(req_ids):
+            state = self.input_batch.get(req_id)
+            nc = state.num_computed_tokens
+            tokens0[i] = state.token_ids[nc]
+            base_positions[i] = nc
+            steps[i] = nds[req_id]
+            bt = np.asarray(state.block_ids, np.int32)
+            block_tables[i, :len(bt)] = bt
+            prompt_lens[i] = state.prompt_len
+            params_list.append(state.sampling_params)
+            counters.append(state.step_counter)
+            state.step_counter += 1
+
+        smd = build_sampling_metadata(params_list, counters, R)
+        self._rng_key, step_key = jax.random.split(self._rng_key)
+        self.kv_caches, sampled = self._jit_multi_decode(
+            self.params, self.kv_caches, jnp.asarray(tokens0),
+            jnp.asarray(base_positions), jnp.asarray(steps),
+            jnp.asarray(block_tables), jnp.asarray(prompt_lens), smd,
+            self.tri_flags, step_key, jnp.asarray(num_reqs, jnp.int32),
+            K, bool(smd.all_greedy))
+        self._step_count += 1
+
+        sampled_np = np.asarray(jax.device_get(sampled))  # [K, R]
+        out: list[list[int]] = []
+        for i, req_id in enumerate(req_ids):
+            toks = [int(t) for t in sampled_np[:steps[i], i]]
+            out.append(toks)
+            for tok in toks:
+                self.input_batch.append_token(req_id, tok)
+        return ModelRunnerOutput(req_ids=req_ids, sampled_token_ids=out)
+
     # --- per-step host work -----------------------------------------------------
     def execute_model(self, scheduler_output: SchedulerOutput
                       ) -> ModelRunnerOutput:
         self.input_batch.update_from_scheduler_output(scheduler_output)
         if scheduler_output.total_num_scheduled_tokens == 0:
             return ModelRunnerOutput()
+        if scheduler_output.num_decode_steps and \
+                scheduler_output.max_decode_steps >= 1 and \
+                self.engine_config.scheduler.multi_step_decode > 1:
+            return self._execute_multi_step(scheduler_output)
 
         sched = scheduler_output.num_scheduled_tokens
         req_ids = list(sched.keys())
