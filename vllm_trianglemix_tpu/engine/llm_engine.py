@@ -88,3 +88,17 @@ class LLMEngine:
 
     def warm_up(self) -> None:
         self.engine_core.warm_up()
+
+    def start_profile(self, trace_dir: Optional[str] = None) -> None:
+        """jax.profiler trace capture (reference start_profile plumbing,
+        llm_engine.py:294-298; TPU profiler server tpu_worker.py:93-104)."""
+        import os
+        import tempfile
+
+        trace_dir = trace_dir or os.environ.get(
+            "VTT_PROFILER_DIR", os.path.join(tempfile.gettempdir(),
+                                             "vtt_traces"))
+        self.engine_core.executor.profile_start(trace_dir)
+
+    def stop_profile(self) -> None:
+        self.engine_core.executor.profile_stop()

@@ -232,6 +232,22 @@ async def _stream_completion(request: web.Request, engine: AsyncLLM, prompt,
     return resp
 
 
+async def start_profile(request: web.Request) -> web.Response:
+    engine = request.app[ENGINE_KEY]
+    try:
+        body = await request.json() if request.can_read_body else {}
+    except Exception:  # noqa: BLE001
+        body = {}
+    engine.engine.start_profile(body.get("trace_dir"))
+    return web.Response(status=200)
+
+
+async def stop_profile(request: web.Request) -> web.Response:
+    engine = request.app[ENGINE_KEY]
+    engine.engine.stop_profile()
+    return web.Response(status=200)
+
+
 async def tokenize(request: web.Request) -> web.Response:
     engine = request.app[ENGINE_KEY]
     if engine.tokenizer is None:
@@ -271,6 +287,8 @@ def build_app(engine: AsyncLLM, model_name: str) -> web.Application:
     app.router.add_post("/v1/chat/completions", create_chat_completion)
     app.router.add_post("/tokenize", tokenize)
     app.router.add_post("/detokenize", detokenize)
+    app.router.add_post("/start_profile", start_profile)
+    app.router.add_post("/stop_profile", stop_profile)
     return app
 
 

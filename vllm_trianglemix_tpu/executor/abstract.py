@@ -39,4 +39,8 @@ class Executor(ABC):
 
     def compile_or_warm_up_model(self) -> None: ...
 
+    def profile_start(self, trace_dir: str) -> None: ...
+
+    def profile_stop(self) -> None: ...
+
     def shutdown(self) -> None: ...

@@ -31,3 +31,9 @@ class UniProcExecutor(Executor):
 
     def compile_or_warm_up_model(self) -> None:
         self.worker.compile_or_warm_up_model()
+
+    def profile_start(self, trace_dir: str) -> None:
+        self.worker.profile_start(trace_dir)
+
+    def profile_stop(self) -> None:
+        self.worker.profile_stop()

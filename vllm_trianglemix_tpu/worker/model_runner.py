@@ -376,6 +376,7 @@ class ModelRunner:
             out.append(toks)
             for tok in toks:
                 self.input_batch.append_token(req_id, tok)
+        self._check_recompilation()
         return ModelRunnerOutput(req_ids=req_ids, sampled_token_ids=out)
 
     # --- per-step host work -----------------------------------------------------
@@ -466,6 +467,7 @@ class ModelRunner:
         self._step_count += 1
 
         tokens_np = np.asarray(jax.device_get(tokens))
+        self._check_recompilation()
         sampled: list[list[int]] = []
         for i, req_id in enumerate(req_ids):
             if sampled_valid[i]:
@@ -490,7 +492,48 @@ class ModelRunner:
                     continue
                 self._dummy_run(T, R)
                 n += 1
+        if self.engine_config.scheduler.multi_step_decode > 1:
+            for R in self._req_paddings:
+                self._dummy_multi_decode(R)
+                n += 1
         logger.info("precompiled %d buckets in %.1fs", n, time.time() - start)
+        self._warmup_graph_count = self._graph_count()
+
+    def _graph_count(self) -> int:
+        try:
+            return (self._jit_step._cache_size()
+                    + self._jit_multi_decode._cache_size())
+        except Exception:  # noqa: BLE001 (private jax API moved)
+            return -1
+
+    def _check_recompilation(self) -> None:
+        """Reference VLLM_XLA_CHECK_RECOMPILATION guard
+        (tpu_model_runner.py:308-332): after warmup the number of compiled
+        graphs must stay fixed — a growing count means a shape leaked past
+        the bucketing."""
+        from vllm_trianglemix_tpu import envs
+
+        if not envs.VTT_CHECK_RECOMPILATION:
+            return
+        if getattr(self, "_warmup_graph_count", None) in (None, -1):
+            return
+        now = self._graph_count()
+        assert now <= self._warmup_graph_count, (
+            f"recompilation detected after warmup: {now} graphs vs "
+            f"{self._warmup_graph_count} at warmup")
+
+    def _dummy_multi_decode(self, R: int) -> None:
+        K = self.engine_config.scheduler.multi_step_decode
+        smd = build_sampling_metadata([], [], R)
+        self._rng_key, step_key = jax.random.split(self._rng_key)
+        for all_greedy in (True, False):
+            self.kv_caches, sampled = self._jit_multi_decode(
+                self.params, self.kv_caches, jnp.zeros(R, jnp.int32),
+                jnp.zeros(R, jnp.int32), jnp.zeros(R, jnp.int32),
+                jnp.zeros((R, self.max_blocks_per_req), jnp.int32),
+                jnp.ones(R, jnp.int32), smd, self.tri_flags, step_key,
+                jnp.asarray(0, jnp.int32), K, all_greedy)
+            sampled.block_until_ready()
 
     def _padded_num_slices(self, T: int, R: int) -> int:
         """Worst-case KV-update slice count for a (token, request) bucket:
@@ -517,7 +560,8 @@ class ModelRunner:
         )
         smd = build_sampling_metadata([], [], R)
         self._rng_key, step_key = jax.random.split(self._rng_key)
-        self.kv_caches, tokens = self._jit_step(
-            self.params, self.kv_caches, jnp.zeros(T, jnp.int32), md, smd,
-            self.tri_flags, step_key, True)
-        tokens.block_until_ready()
+        for all_greedy in (True, False):
+            self.kv_caches, tokens = self._jit_step(
+                self.params, self.kv_caches, jnp.zeros(T, jnp.int32), md,
+                smd, self.tri_flags, step_key, all_greedy)
+            tokens.block_until_ready()
