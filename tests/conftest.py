@@ -54,6 +54,12 @@ def tiny_model_dir(tmp_path_factory):
     vocab = {f"tok{i}": i for i in range(500)}
     vocab.update({"<bos>": 500, "<eos>": 501, "<unk>": 502,
                   "hello": 503, "world": 504, "stopword": 505})
+    # JSON-ish single tokens for structured-output tests
+    json_toks = (list('{}[]:,"-.') + [str(d) for d in range(10)]
+                 + ["true", "false", "null", "name", "yes", "no"]
+                 + list("abcdefghijklmnopqrstuvwxyz"))
+    for i, t in enumerate(json_toks):
+        vocab[t] = 510 + i
     tok = Tokenizer(WordLevel(vocab, unk_token="<unk>"))
     tok.pre_tokenizer = Whitespace()
     tok.save(str(d / "tokenizer.json"))

@@ -68,6 +68,10 @@ class SchedulerOutput:
     # when the whole batch is in decode; KV slots for all steps are
     # pre-allocated by the scheduler.
     num_decode_steps: dict[str, int] = field(default_factory=dict)
+    # Structured decoding: allowed-token mask rows for the scheduled
+    # requests (bool[num_reqs, vocab]), None when unconstrained
+    # (reference: grammar bitmask carried via SchedulerOutput).
+    grammar_mask: Optional[object] = None
 
     @property
     def max_decode_steps(self) -> int:

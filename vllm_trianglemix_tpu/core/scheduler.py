@@ -54,6 +54,9 @@ class Scheduler:
         self.requests: dict[str, Request] = {}
         self.waiting = create_request_queue(scheduler_config.policy)
         self.running: list[Request] = []
+        # Requests excluded from multi-step decode lookahead (structured
+        # output needs a host-side mask every step).
+        self.no_lookahead_req_ids: set[str] = set()
         # req_ids finished since the last schedule() — the worker uses this
         # to evict them from its persistent batch.
         self.finished_req_ids: set[str] = set()
@@ -93,7 +96,9 @@ class Scheduler:
         multi_step = (
             k_cfg > 1 and not self.waiting and self.running
             and all(r.num_tokens - r.num_computed_tokens == 1
-                    for r in self.running))
+                    for r in self.running)
+            and not any(r.request_id in self.no_lookahead_req_ids
+                        for r in self.running))
         num_decode_steps: dict[str, int] = {}
 
         scheduled_new_reqs: list[Request] = []

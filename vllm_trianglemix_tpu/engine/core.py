@@ -46,20 +46,56 @@ class EngineCore:
             max_model_len=engine_config.model.max_model_len,
         )
 
+        # Structured-output manager (reference v1/structured_output role).
+        from vllm_trianglemix_tpu.engine.processor import load_tokenizer
+        from vllm_trianglemix_tpu.structured_output import (
+            StructuredOutputManager,
+        )
+
+        import os
+
+        tokenizer = None
+        tok_path = engine_config.model.tokenizer
+        if not engine_config.model.skip_tokenizer_init and tok_path \
+                and os.path.isdir(tok_path):
+            tokenizer = load_tokenizer(tok_path)
+        self.structured_output_manager = StructuredOutputManager(
+            tokenizer, model_cfg.vocab_size, model_cfg.eos_token_id)
+        # The scheduler must not run device-side decode lookahead for
+        # grammar-constrained requests (masks are host-side per step).
+        self.scheduler.no_lookahead_req_ids = set()
+
     def add_request(self, request: Request) -> None:
+        self.structured_output_manager.maybe_add_request(request)
+        if self.structured_output_manager.has_request(request.request_id):
+            self.scheduler.no_lookahead_req_ids.add(request.request_id)
         self.scheduler.add_request(request)
 
     def abort_requests(self, request_ids: list[str]) -> None:
         self.scheduler.abort_requests(request_ids)
+        for rid in request_ids:
+            self.structured_output_manager.remove_request(rid)
+            self.scheduler.no_lookahead_req_ids.discard(rid)
 
     def step(self) -> list[EngineCoreOutput]:
         """One engine iteration (reference core.py:272-291)."""
         if not self.scheduler.has_unfinished_requests():
             return []
         scheduler_output = self.scheduler.schedule()
+        som = self.structured_output_manager
+        if som.requests and scheduler_output.num_scheduled_tokens:
+            req_ids = list(scheduler_output.num_scheduled_tokens.keys())
+            scheduler_output.grammar_mask = som.grammar_mask(
+                req_ids, len(req_ids))
         model_output = self.executor.execute_model(scheduler_output)
-        return self.scheduler.update_from_output(scheduler_output,
-                                                 model_output)
+        outputs = self.scheduler.update_from_output(scheduler_output,
+                                                    model_output)
+        for out in outputs:
+            som.accept_tokens(out.request_id, out.new_token_ids)
+            if out.finished:
+                som.remove_request(out.request_id)
+                self.scheduler.no_lookahead_req_ids.discard(out.request_id)
+        return outputs
 
     def has_unfinished_requests(self) -> bool:
         return self.scheduler.has_unfinished_requests()

@@ -61,8 +61,15 @@ def apply_top_k_top_p_min_p(logits: jnp.ndarray,
 
 
 def sample(logits: jnp.ndarray, md: SamplingMetadata,
-           step_key: jnp.ndarray) -> jnp.ndarray:
-    """logits f32[R, V] → sampled token ids int32[R]."""
+           step_key: jnp.ndarray,
+           allowed_mask: jnp.ndarray | None = None) -> jnp.ndarray:
+    """logits f32[R, V] → sampled token ids int32[R].
+
+    ``allowed_mask`` bool[R, V] (structured decoding): disallowed tokens
+    are masked before BOTH greedy and random paths (reference structured-
+    output bitmask application in the model runner)."""
+    if allowed_mask is not None:
+        logits = jnp.where(allowed_mask, logits, NEG_INF)
     greedy_tokens = jnp.argmax(logits, axis=-1).astype(jnp.int32)
     if md.all_greedy:
         return greedy_tokens

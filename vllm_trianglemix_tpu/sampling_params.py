@@ -37,6 +37,12 @@ class SamplingParams:
     include_stop_str_in_output: bool = False
     # bias per token id, applied pre-softmax
     logit_bias: Optional[dict[int, float]] = None
+    # --- structured (guided) decoding ---
+    # JSON schema (dict or json string), True/{} for free-form JSON
+    guided_json: Optional[object] = None
+    guided_regex: Optional[str] = None
+    guided_choice: Optional[list[str]] = None
+    guided_grammar: Optional[str] = None  # EBNF — not supported yet
     # hard-restrict sampling to these ids
     allowed_token_ids: Optional[list[int]] = None
     bad_words: Optional[list[str]] = None

@@ -1,0 +1,159 @@
+"""StructuredOutputManager: per-request grammar state + step bitmasks.
+
+Role of the reference's vllm/v1/structured_output/__init__.py:32-293:
+compile the request's constraint (here: to a DFA via the regex engine),
+track the automaton state as tokens are accepted, and hand the model
+runner an allowed-token mask to apply before sampling. Grammar compilation
+is cached per (constraint, tokenizer) since DFA + token-matrix
+construction is the expensive part.
+"""
+
+from __future__ import annotations
+
+import json as _json
+from typing import Optional
+
+import numpy as np
+
+from vllm_trianglemix_tpu.logger import init_logger
+from vllm_trianglemix_tpu.structured_output.json_schema import (
+    free_json_regex,
+    schema_to_regex,
+)
+from vllm_trianglemix_tpu.structured_output.regex_engine import (
+    TokenMask,
+    compile_regex,
+)
+
+logger = init_logger(__name__)
+
+
+def constraint_to_regex(params) -> Optional[str]:
+    """SamplingParams guided fields -> one regex source of truth."""
+    if params.guided_regex:
+        return params.guided_regex
+    if params.guided_choice:
+        import re as _re
+
+        return "(" + "|".join(_re.escape(c)
+                              for c in params.guided_choice) + ")"
+    if params.guided_json is not None:
+        schema = params.guided_json
+        if schema is True or schema == {} or schema is None:
+            return free_json_regex()
+        if isinstance(schema, str):
+            schema = _json.loads(schema)
+        return schema_to_regex(schema)
+    if params.guided_grammar:
+        raise ValueError("EBNF guided_grammar is not supported yet; use "
+                         "guided_json/guided_regex/guided_choice")
+    return None
+
+
+class StructuredOutputRequest:
+    """Automaton state for one request."""
+
+    def __init__(self, token_mask: TokenMask) -> None:
+        self.token_mask = token_mask
+        self.state = token_mask.dfa.start
+
+    def allowed_tokens(self) -> np.ndarray:
+        allowed, _ = self.token_mask.row(self.state)
+        return allowed
+
+    def advance(self, token_id: int) -> None:
+        _, nxt = self.token_mask.row(self.state)
+        self.state = int(nxt[token_id])
+
+    @property
+    def is_terminated(self) -> bool:
+        from vllm_trianglemix_tpu.structured_output.regex_engine import DEAD
+
+        return self.state == DEAD
+
+
+class StructuredOutputManager:
+
+    def __init__(self, tokenizer, vocab_size: int,
+                 eos_token_id: int) -> None:
+        self.tokenizer = tokenizer
+        self.vocab_size = vocab_size
+        self.eos_token_id = eos_token_id
+        self._vocab_strings: Optional[list[str]] = None
+        self._grammar_cache: dict[str, TokenMask] = {}
+        # req_id -> automaton
+        self.requests: dict[str, StructuredOutputRequest] = {}
+
+    def _vocab(self) -> list[str]:
+        if self._vocab_strings is None:
+            strings = []
+            for i in range(self.vocab_size):
+                try:
+                    s = self.tokenizer.decode([i])
+                except Exception:  # noqa: BLE001
+                    s = ""
+                # replacement char => partial-byte token; treat as opaque
+                strings.append("" if "�" in s else s)
+            self._vocab_strings = strings
+        return self._vocab_strings
+
+    def maybe_add_request(self, request) -> None:
+        pattern = constraint_to_regex(request.sampling_params)
+        if pattern is None:
+            return
+        if self.tokenizer is None:
+            raise ValueError("structured output requires a tokenizer")
+        tm = self._grammar_cache.get(pattern)
+        if tm is None:
+            dfa = compile_regex(pattern)
+            tm = TokenMask(dfa, self._vocab(), self.eos_token_id)
+            self._grammar_cache[pattern] = tm
+            logger.info("compiled grammar: %d DFA states, %d classes",
+                        dfa.num_states, dfa.alphabet.num_classes)
+        self.requests[request.request_id] = StructuredOutputRequest(tm)
+
+    def remove_request(self, req_id: str) -> None:
+        self.requests.pop(req_id, None)
+
+    def has_request(self, req_id: str) -> bool:
+        return req_id in self.requests
+
+    def grammar_mask(self, req_ids: list[str],
+                     padded_reqs: int) -> Optional[np.ndarray]:
+        """bool[padded_reqs, vocab_size] allowed mask, or None when no
+        request in the batch is constrained (rows without a grammar allow
+        everything)."""
+        if not any(r in self.requests for r in req_ids):
+            return None
+        mask = np.ones((padded_reqs, self.vocab_size), bool)
+        for i, rid in enumerate(req_ids):
+            sor = self.requests.get(rid)
+            if sor is None:
+                continue
+            if sor.is_terminated:
+                # Defensive: a dead automaton can only stop.
+                mask[i] = False
+                mask[i, self.eos_token_id] = True
+                continue
+            row = sor.allowed_tokens()
+            if not row.any():
+                # Token-level dead end (no vocab token continues the
+                # grammar — tokenizer/grammar mismatch): force EOS so the
+                # request terminates instead of degenerating to
+                # unconstrained sampling.
+                logger.warning("grammar dead end for request %s; forcing "
+                               "EOS", rid)
+                mask[i] = False
+                mask[i, self.eos_token_id] = True
+            else:
+                mask[i] = row
+        return mask
+
+    def accept_tokens(self, req_id: str, token_ids: list[int]) -> None:
+        sor = self.requests.get(req_id)
+        if sor is None:
+            return
+        for tok in token_ids:
+            if sor.is_terminated:
+                break
+            sor.advance(tok)

@@ -153,6 +153,7 @@ class ModelRunner:
         self._step_count = 0
 
         self._jit_step = self._build_step_fn()
+        self._jit_sample = self._build_sample_fn()
         self._jit_multi_decode = self._build_multi_decode_fn()
 
     # --- init helpers ------------------------------------------------------
@@ -257,21 +258,32 @@ class ModelRunner:
 
     # --- the compiled step ----------------------------------------------------
     def _build_step_fn(self):
+        """Two stages like the reference TPU runner's precompile pipeline
+        (tpu_model_runner.py:1349-1480): backbone+logits, then a small
+        sampling graph — so structured-output masking only recompiles the
+        cheap sampling stage."""
         model, cfg, tri_cfg = self.model, self.cfg, self.tri_cfg
 
-        @partial(jax.jit, donate_argnums=(1,), static_argnames=("all_greedy",))
+        @partial(jax.jit, donate_argnums=(1,))
         def step(params, kv_caches, token_ids, md: AttentionMetadata,
-                 smd: SamplingMetadata, tri_flags, step_key,
-                 all_greedy: bool):
+                 tri_flags):
             hidden, kv_caches = model.forward(
                 params, cfg, tri_cfg, token_ids, kv_caches, md, tri_flags)
             sel = hidden[md.logits_indices]            # [R, D]
             logits = model.compute_logits(params, cfg, sel)
-            smd = smd._replace(all_greedy=all_greedy)
-            tokens = sample_tokens(logits, smd, step_key)
-            return kv_caches, tokens
+            return kv_caches, logits
 
         return step
+
+    def _build_sample_fn(self):
+        @partial(jax.jit, static_argnames=("all_greedy", "has_mask"))
+        def sample_fn(logits, smd: SamplingMetadata, step_key, mask,
+                      all_greedy: bool, has_mask: bool):
+            smd = smd._replace(all_greedy=all_greedy)
+            return sample_tokens(logits, smd, step_key,
+                                 allowed_mask=mask if has_mask else None)
+
+        return sample_fn
 
     def _build_multi_decode_fn(self):
         """K autoregressive decode steps in one device dispatch
@@ -459,11 +471,20 @@ class ModelRunner:
             num_kv_slices=jnp.asarray(num_slices, jnp.int32),
         )
         smd = build_sampling_metadata(params_list, counters, R)
+        grammar_mask = scheduler_output.grammar_mask
+        if grammar_mask is not None:
+            padded = np.ones((R, grammar_mask.shape[1]), bool)
+            padded[:grammar_mask.shape[0]] = grammar_mask
+            mask_dev = jnp.asarray(padded)
+        else:
+            mask_dev = jnp.ones((1, 1), bool)  # placeholder
 
         self._rng_key, step_key = jax.random.split(self._rng_key)
-        self.kv_caches, tokens = self._jit_step(
-            self.params, self.kv_caches, jnp.asarray(token_ids), md, smd,
-            self.tri_flags, step_key, smd.all_greedy)
+        self.kv_caches, logits = self._jit_step(
+            self.params, self.kv_caches, jnp.asarray(token_ids), md,
+            self.tri_flags)
+        tokens = self._jit_sample(logits, smd, step_key, mask_dev,
+                                  smd.all_greedy, grammar_mask is not None)
         self._step_count += 1
 
         tokens_np = np.asarray(jax.device_get(tokens))
@@ -502,6 +523,7 @@ class ModelRunner:
     def _graph_count(self) -> int:
         try:
             return (self._jit_step._cache_size()
+                    + self._jit_sample._cache_size()
                     + self._jit_multi_decode._cache_size())
         except Exception:  # noqa: BLE001 (private jax API moved)
             return -1
@@ -560,8 +582,13 @@ class ModelRunner:
         )
         smd = build_sampling_metadata([], [], R)
         self._rng_key, step_key = jax.random.split(self._rng_key)
+        self.kv_caches, logits = self._jit_step(
+            self.params, self.kv_caches, jnp.zeros(T, jnp.int32), md,
+            self.tri_flags)
+        mask = jnp.ones((R, self.cfg.vocab_size), bool)
+        placeholder = jnp.ones((1, 1), bool)
         for all_greedy in (True, False):
-            self.kv_caches, tokens = self._jit_step(
-                self.params, self.kv_caches, jnp.zeros(T, jnp.int32), md,
-                smd, self.tri_flags, step_key, all_greedy)
-            tokens.block_until_ready()
+            for m, has_mask in ((placeholder, False), (mask, True)):
+                tokens = self._jit_sample(logits, smd, step_key, m,
+                                          all_greedy, has_mask)
+                tokens.block_until_ready()
