@@ -181,6 +181,19 @@ def test_concurrent_requests_batched(serve):
     serve(body)
 
 
+def test_guided_choice_over_api(serve):
+    async def body(client):
+        r = await client.post("/v1/completions", json={
+            "prompt": "hello", "max_tokens": 8, "temperature": 0.0,
+            "guided_choice": ["yes", "no"],
+        })
+        assert r.status == 200, await r.text()
+        data = await r.json()
+        # WordLevel test tokenizer re-inserts spaces on decode; strip them
+        assert data["choices"][0]["text"].replace(" ", "") in ("yes", "no")
+    serve(body)
+
+
 def test_tokenize_detokenize_roundtrip(serve):
     async def body(client):
         r = await client.post("/tokenize", json={"prompt": "hello world"})

@@ -34,6 +34,10 @@ class CompletionRequest(BaseModel):
     logprobs: Optional[int] = None
     echo: bool = False
     user: Optional[str] = None
+    # guided decoding (vLLM-compatible extension fields)
+    guided_json: Optional[Any] = None
+    guided_regex: Optional[str] = None
+    guided_choice: Optional[list[str]] = None
 
     def to_sampling_params(self) -> SamplingParams:
         return SamplingParams(
@@ -49,6 +53,9 @@ class CompletionRequest(BaseModel):
             ignore_eos=self.ignore_eos,
             seed=self.seed,
             logprobs=self.logprobs,
+            guided_json=self.guided_json,
+            guided_regex=self.guided_regex,
+            guided_choice=self.guided_choice,
         )
 
 
@@ -76,9 +83,22 @@ class ChatCompletionRequest(BaseModel):
     add_generation_prompt: bool = True
     chat_template: Optional[str] = None
     user: Optional[str] = None
+    # OpenAI structured outputs + vLLM guided extensions
+    response_format: Optional[dict[str, Any]] = None
+    guided_json: Optional[Any] = None
+    guided_regex: Optional[str] = None
+    guided_choice: Optional[list[str]] = None
 
     def to_sampling_params(self) -> SamplingParams:
         max_tokens = self.max_completion_tokens or self.max_tokens or 16
+        guided_json = self.guided_json
+        if self.response_format:
+            kind = self.response_format.get("type")
+            if kind == "json_object":
+                guided_json = guided_json or True
+            elif kind == "json_schema":
+                schema = (self.response_format.get("json_schema") or {})
+                guided_json = guided_json or schema.get("schema") or True
         return SamplingParams(
             n=self.n,
             temperature=self.temperature,
@@ -90,6 +110,9 @@ class ChatCompletionRequest(BaseModel):
             stop_token_ids=self.stop_token_ids,
             ignore_eos=self.ignore_eos,
             seed=self.seed,
+            guided_json=guided_json,
+            guided_regex=self.guided_regex,
+            guided_choice=self.guided_choice,
         )
 
 
