@@ -40,14 +40,15 @@ class IncrementalDetokenizer:
             self.token_ids.extend(new_token_ids)
             return None
         stop = None
+        skip = self.params.skip_special_tokens
         for tok in new_token_ids:
             self.token_ids.append(tok)
             prefix_text = self.tokenizer.decode(
                 self.token_ids[self.prefix_offset:self.read_offset],
-                skip_special_tokens=False)
+                skip_special_tokens=skip)
             new_text = self.tokenizer.decode(
                 self.token_ids[self.prefix_offset:],
-                skip_special_tokens=False)
+                skip_special_tokens=skip)
             if len(new_text) > len(prefix_text) and not new_text.endswith("�"):
                 delta = new_text[len(prefix_text):]
                 self.prefix_offset = self.read_offset

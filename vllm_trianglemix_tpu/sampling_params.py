@@ -34,6 +34,7 @@ class SamplingParams:
     seed: Optional[int] = None
     logprobs: Optional[int] = None
     detokenize: bool = True
+    skip_special_tokens: bool = True
     include_stop_str_in_output: bool = False
     # bias per token id, applied pre-softmax
     logit_bias: Optional[dict[int, float]] = None
