@@ -37,12 +37,22 @@ def hash_block_tokens(
     token_ids: tuple[int, ...] | list[int],
     extra_keys: Optional[tuple[Any, ...]] = None,
 ) -> BlockHash:
-    """Chain-hash one block of tokens (reference kv_cache_utils.py:517-560)."""
+    """Chain-hash one block of tokens (reference kv_cache_utils.py:517-560).
+
+    The digest itself comes from the native (C++) chained hash with an
+    identical pure-Python fallback (utils/native.py); MM/LoRA extra keys
+    fold into the parent digest.
+    """
+    from vllm_trianglemix_tpu.utils.native import hash_blocks
+
     parent = parent_hash if parent_hash is not None else NONE_HASH
-    payload = pickle.dumps((parent, tuple(token_ids), extra_keys),
-                           protocol=pickle.HIGHEST_PROTOCOL)
-    return BlockHash(hashlib.blake2b(payload, digest_size=16).digest(),
-                     tuple(token_ids))
+    if extra_keys:
+        payload = pickle.dumps(extra_keys,
+                               protocol=pickle.HIGHEST_PROTOCOL)
+        parent = hashlib.blake2b(parent + payload,
+                                 digest_size=16).digest()
+    digest = hash_blocks(list(token_ids), len(token_ids), parent)[0]
+    return BlockHash(digest, tuple(token_ids))
 
 
 def hash_request_tokens(block_size: int,
@@ -51,15 +61,20 @@ def hash_request_tokens(block_size: int,
                         parent_hash: Optional[bytes] = None
                         ) -> list[BlockHash]:
     """Hash all *full* blocks of a token list, optionally resuming from an
-    existing chain (reference kv_cache_utils.py:562-622)."""
-    hashes: list[BlockHash] = []
+    existing chain (reference kv_cache_utils.py:562-622). One native call
+    hashes the whole span."""
+    from vllm_trianglemix_tpu.utils.native import hash_blocks
+
     n_full = len(token_ids) // block_size
-    for b in range(start_block, n_full):
-        chunk = token_ids[b * block_size:(b + 1) * block_size]
-        bh = hash_block_tokens(parent_hash, chunk)
-        hashes.append(bh)
-        parent_hash = bh.hash_value
-    return hashes
+    if n_full <= start_block:
+        return []
+    parent = parent_hash if parent_hash is not None else NONE_HASH
+    span = token_ids[start_block * block_size:n_full * block_size]
+    digests = hash_blocks(span, block_size, parent)
+    return [
+        BlockHash(d, tuple(token_ids[b * block_size:(b + 1) * block_size]))
+        for d, b in zip(digests, range(start_block, n_full))
+    ]
 
 
 @dataclass
