@@ -172,6 +172,32 @@ class ParallelConfig:
 
 
 @dataclass
+class SpeculativeConfig:
+    """Speculative decoding (reference vllm/config/speculative.py surface,
+    ngram method: v1/spec_decode/ngram_proposer.py).
+
+    Drafts are proposed host-side from prompt n-gram matches and verified
+    by the target model in one step; greedy acceptance keeps exact
+    equivalence for temperature=0 requests (sampled requests skip
+    speculation)."""
+
+    method: Optional[str] = None  # None | "ngram"
+    num_speculative_tokens: int = 4
+    prompt_lookup_max: int = 3
+    prompt_lookup_min: int = 1
+
+    @property
+    def enabled(self) -> bool:
+        return self.method is not None
+
+    def __post_init__(self):
+        if self.method not in (None, "ngram"):
+            raise ValueError(f"unsupported speculative method {self.method}")
+        if self.enabled and self.num_speculative_tokens < 1:
+            raise ValueError("num_speculative_tokens must be >= 1")
+
+
+@dataclass
 class ObservabilityConfig:
     collect_stats: bool = True
     log_stats_interval_s: float = 5.0
@@ -186,6 +212,7 @@ class EngineConfig:
     scheduler: SchedulerConfig = field(default_factory=SchedulerConfig)
     parallel: ParallelConfig = field(default_factory=ParallelConfig)
     trianglemix: TriangleMixConfig = field(default_factory=TriangleMixConfig)
+    speculative: SpeculativeConfig = field(default_factory=SpeculativeConfig)
     observability: ObservabilityConfig = field(default_factory=ObservabilityConfig)
 
     def compute_hash(self) -> str:

@@ -72,6 +72,10 @@ class SchedulerOutput:
     # requests (bool[num_reqs, vocab]), None when unconstrained
     # (reference: grammar bitmask carried via SchedulerOutput).
     grammar_mask: Optional[object] = None
+    # Speculative decoding: req_id -> draft token ids verified this step
+    # (reference scheduled_spec_decode_tokens). The drafts are counted in
+    # num_scheduled_tokens; the runner splices them after the real token.
+    scheduled_spec_tokens: dict[str, list[int]] = field(default_factory=dict)
 
     @property
     def max_decode_steps(self) -> int:

@@ -38,8 +38,18 @@ class Scheduler:
         cache_config: CacheConfig,
         kv_cache_config: KVCacheConfig,
         max_model_len: int,
+        speculative_config=None,
     ) -> None:
         self.scheduler_config = scheduler_config
+        self.proposer = None
+        self.num_spec_tokens = 0
+        if speculative_config is not None and speculative_config.enabled:
+            from vllm_trianglemix_tpu.spec_decode.ngram_proposer import (
+                NgramProposer,
+            )
+
+            self.proposer = NgramProposer(speculative_config)
+            self.num_spec_tokens = speculative_config.num_speculative_tokens
         self.max_num_seqs = scheduler_config.max_num_seqs
         self.max_num_batched_tokens = scheduler_config.max_num_batched_tokens
         self.max_model_len = max_model_len
@@ -94,12 +104,14 @@ class Scheduler:
         # waiting to admit. KV slots for the lookahead are allocated below.
         k_cfg = self.scheduler_config.multi_step_decode
         multi_step = (
-            k_cfg > 1 and not self.waiting and self.running
+            k_cfg > 1 and self.proposer is None and not self.waiting
+            and self.running
             and all(r.num_tokens - r.num_computed_tokens == 1
                     for r in self.running)
             and not any(r.request_id in self.no_lookahead_req_ids
                         for r in self.running))
         num_decode_steps: dict[str, int] = {}
+        scheduled_spec_tokens: dict[str, list[int]] = {}
 
         scheduled_new_reqs: list[Request] = []
         scheduled_resumed_reqs: list[Request] = []
@@ -113,6 +125,24 @@ class Scheduler:
         while req_index < len(self.running) and token_budget > 0:
             request = self.running[req_index]
             num_new_tokens = request.num_tokens - request.num_computed_tokens
+
+            # Speculative drafts: decode-ready greedy requests get n-gram
+            # proposals verified alongside the real token this step.
+            drafts: list[int] = []
+            if (self.proposer is not None and num_new_tokens == 1
+                    and request.sampling_params.temperature == 0.0
+                    and request.request_id not in self.no_lookahead_req_ids):
+                room = self.max_model_len - request.num_tokens - 1
+                if request.sampling_params.max_tokens is not None:
+                    room = min(room, request.sampling_params.max_tokens
+                               - request.num_output_tokens - 1)
+                if room > 0:
+                    drafts = self.proposer.propose(
+                        list(request.all_token_ids))[:room]
+                if drafts:
+                    scheduled_spec_tokens[request.request_id] = drafts
+                    num_new_tokens += len(drafts)
+
             if (self.scheduler_config.long_prefill_token_threshold > 0):
                 num_new_tokens = min(
                     num_new_tokens,
@@ -120,6 +150,13 @@ class Scheduler:
             num_new_tokens = min(num_new_tokens, token_budget)
             assert num_new_tokens > 0, (
                 f"running request {request.request_id} has no new tokens")
+            if drafts and num_new_tokens < 1 + len(drafts):
+                # budget clipped the drafts
+                drafts = drafts[:num_new_tokens - 1]
+                if drafts:
+                    scheduled_spec_tokens[request.request_id] = drafts
+                else:
+                    scheduled_spec_tokens.pop(request.request_id, None)
 
             # Decode lookahead: reserve slots for k autoregressive steps.
             num_alloc_tokens = num_new_tokens
@@ -235,6 +272,7 @@ class Scheduler:
             total_num_scheduled_tokens=total,
             finished_req_ids=self.finished_req_ids,
             num_decode_steps=num_decode_steps,
+            scheduled_spec_tokens=scheduled_spec_tokens,
         )
         self.finished_req_ids = set()
         return output
@@ -287,10 +325,20 @@ class Scheduler:
                     if stopped:
                         break
             new_token_ids = new_token_ids[:accepted]
-            # Multi-step decode computed KV for `accepted` input tokens
-            # (the scheduled one + accepted-1 sampled lookahead tokens);
-            # normal steps computed exactly the scheduled tokens.
-            request.num_computed_tokens += max(num_tokens, accepted)
+            drafts = scheduler_output.scheduled_spec_tokens.get(req_id)
+            if drafts is not None:
+                # Spec decode: scheduled = 1 real + len(drafts); the runner
+                # returned 1..len(drafts)+1 accepted tokens. Rejected
+                # drafts' KV rows are rolled back (reference
+                # update_from_output spec path).
+                num_rejected = len(drafts) + 1 - len(new_token_ids)
+                request.num_computed_tokens += num_tokens - num_rejected
+            else:
+                # Multi-step decode computed KV for `accepted` input
+                # tokens (the scheduled one + accepted-1 sampled lookahead
+                # tokens); normal steps computed exactly the scheduled
+                # tokens.
+                request.num_computed_tokens += max(num_tokens, accepted)
             if stopped:
                 stopped_reqs.append(request)
 

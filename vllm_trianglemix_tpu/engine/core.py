@@ -44,6 +44,7 @@ class EngineCore:
             cache_config=engine_config.cache,
             kv_cache_config=kv_cache_config,
             max_model_len=engine_config.model.max_model_len,
+            speculative_config=engine_config.speculative,
         )
 
         # Structured-output manager (reference v1/structured_output role).

@@ -10,6 +10,7 @@ from vllm_trianglemix_tpu.config import (
     ModelConfig,
     ParallelConfig,
     SchedulerConfig,
+    SpeculativeConfig,
     TriangleMixConfig,
 )
 from vllm_trianglemix_tpu.engine.llm_engine import LLMEngine
@@ -40,6 +41,7 @@ class LLM:
         enable_prefix_caching: bool = True,
         tensor_parallel_size: int = 1,
         trianglemix: Optional[TriangleMixConfig] = None,
+        speculative_config: Optional[dict] = None,
         seed: int = 0,
         skip_tokenizer_init: bool = False,
         warmup: bool = False,
@@ -61,6 +63,8 @@ class LLM:
                 multi_step_decode=multi_step_decode),
             parallel=ParallelConfig(tensor_parallel_size=tensor_parallel_size),
             trianglemix=trianglemix or TriangleMixConfig(),
+            speculative=(SpeculativeConfig(**speculative_config)
+                         if speculative_config else SpeculativeConfig()),
         )
         self.llm_engine = LLMEngine.from_engine_config(self.engine_config)
         if warmup:

@@ -255,7 +255,12 @@ def _kernel(
             end_page,
         )
 
-    @pl.when(heads_blk_idx + q_blk_idx == 0)
+    # DMA-pipeline contract: every sequence with index < num_seqs must
+    # have kv_len >= 1 and q_len >= 1 — each processed (seq, q-block)
+    # consumes exactly the block the previous iteration prefetched. A
+    # zero-kv-block sequence would leave an unconsumed DMA signal and
+    # corrupt the semaphore for later launches.
+    @pl.when((heads_blk_idx + q_blk_idx == 0) & (num_seqs > 0))
     def _prefetch_first():
         start_copy(heads_blk_idx, init_seq_idx, 0, init_buf_idx).start()
 

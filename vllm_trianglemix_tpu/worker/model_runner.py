@@ -309,7 +309,10 @@ class ModelRunner:
                 kv, toks = carry
                 active = i < steps                       # bool[R]
                 pos = base_positions + i                 # [R]
-                seq_lens = jnp.where(active, pos + 1, 0)
+                # Inactive rows keep a nonzero context (their output is
+                # discarded): the attention kernel's DMA pipeline requires
+                # every scheduled sequence to iterate >= 1 KV block.
+                seq_lens = pos + 1
                 slot = (block_tables[req_idx, pos // page] * page
                         + pos % page)
                 md = AttentionMetadata(
@@ -403,6 +406,7 @@ class ModelRunner:
             return self._execute_multi_step(scheduler_output)
 
         sched = scheduler_output.num_scheduled_tokens
+        spec = scheduler_output.scheduled_spec_tokens
         req_ids = list(sched.keys())
         num_reqs = len(req_ids)
         total_tokens = scheduler_output.total_num_scheduled_tokens
@@ -410,6 +414,7 @@ class ModelRunner:
         T = pick_padding(self._token_paddings, total_tokens)
         R = pick_padding(self._req_paddings, num_reqs)
         MB = self.max_blocks_per_req
+        S = self._sample_rows_per_req()
 
         token_ids = np.zeros(T, np.int32)
         positions = np.zeros(T, np.int32)
@@ -419,17 +424,23 @@ class ModelRunner:
         seq_lens = np.zeros(R, np.int32)
         prompt_lens = np.zeros(R, np.int32)
         query_start_loc = np.zeros(R + 1, np.int32)
-        logits_indices = np.full(R, T - 1, np.int32)
+        logits_indices = np.full(R * S, T - 1, np.int32)
 
         params_list, counters = [], []
         sampled_valid = []  # whether row i produces a real sampled token
+        drafts_per_req = []
         offset = 0
         for i, req_id in enumerate(req_ids):
             state = self.input_batch.get(req_id)
             n_sched = sched[req_id]
             start = state.num_computed_tokens
             end = start + n_sched
-            token_ids[offset:offset + n_sched] = state.token_ids[start:end]
+            drafts = spec.get(req_id, [])
+            drafts_per_req.append(drafts)
+            n_real = n_sched - len(drafts)
+            step_tokens = (state.token_ids[start:start + n_real]
+                           + list(drafts))
+            token_ids[offset:offset + n_sched] = step_tokens
             positions[offset:offset + n_sched] = np.arange(start, end)
             req_idx[offset:offset + n_sched] = i
             bt = np.asarray(state.block_ids, np.int32)
@@ -441,11 +452,16 @@ class ModelRunner:
             seq_lens[i] = end
             prompt_lens[i] = state.prompt_len
             query_start_loc[i + 1] = query_start_loc[i] + n_sched
-            logits_indices[i] = offset + n_sched - 1
+            # last 1+len(drafts) scheduled rows sample; repeat the final
+            # row into unused slots
+            last = offset + n_sched - 1
+            for s in range(S):
+                src = last - (len(drafts) - s) if s <= len(drafts) else last
+                logits_indices[i * S + s] = max(src, offset)
             params_list.append(state.sampling_params)
             counters.append(state.step_counter)
             state.step_counter += 1
-            sampled_valid.append(end >= state.num_tokens)
+            sampled_valid.append(start + n_real >= state.num_tokens)
             offset += n_sched
         query_start_loc[num_reqs + 1:] = offset
 
@@ -453,9 +469,9 @@ class ModelRunner:
             build_kv_update_slices,
         )
 
-        S = self._padded_num_slices(T, R)
+        n_slices_padded = self._padded_num_slices(T, R)
         kv_slices, num_slices = build_kv_update_slices(
-            slot_mapping, self.block_size, S)
+            slot_mapping, self.block_size, n_slices_padded)
 
         md = AttentionMetadata(
             positions=jnp.asarray(positions),
@@ -470,11 +486,16 @@ class ModelRunner:
             kv_slices=jnp.asarray(kv_slices),
             num_kv_slices=jnp.asarray(num_slices, jnp.int32),
         )
-        smd = build_sampling_metadata(params_list, counters, R)
+        if S > 1:
+            # One sampling-metadata row per logits row.
+            params_list = [p for p in params_list for _ in range(S)]
+            counters = [c for c in counters for _ in range(S)]
+        smd = build_sampling_metadata(params_list, counters, R * S)
         grammar_mask = scheduler_output.grammar_mask
         if grammar_mask is not None:
-            padded = np.ones((R, grammar_mask.shape[1]), bool)
-            padded[:grammar_mask.shape[0]] = grammar_mask
+            padded = np.ones((R * S, grammar_mask.shape[1]), bool)
+            n = grammar_mask.shape[0]
+            padded[:n * S] = np.repeat(grammar_mask, S, axis=0)
             mask_dev = jnp.asarray(padded)
         else:
             mask_dev = jnp.ones((1, 1), bool)  # placeholder
@@ -487,17 +508,28 @@ class ModelRunner:
                                   smd.all_greedy, grammar_mask is not None)
         self._step_count += 1
 
-        tokens_np = np.asarray(jax.device_get(tokens))
+        tokens_np = np.asarray(jax.device_get(tokens)).reshape(R, S)
         self._check_recompilation()
         sampled: list[list[int]] = []
         for i, req_id in enumerate(req_ids):
-            if sampled_valid[i]:
-                tok = int(tokens_np[i])
-                sampled.append([tok])
-                # Keep the worker's token list in sync for the next step.
-                self.input_batch.append_token(req_id, tok)
-            else:
+            if not sampled_valid[i]:
                 sampled.append([])
+                continue
+            drafts = drafts_per_req[i]
+            row = tokens_np[i]
+            # Greedy draft acceptance (exact for temperature=0): row[j] is
+            # the model's next-token choice after seeing the real token
+            # plus j drafts; draft j is accepted iff it matches row[j],
+            # and each accepted draft validates the following model token.
+            out = [int(row[0])]
+            for j, d in enumerate(drafts):
+                if d != out[-1]:
+                    break
+                out.append(int(row[j + 1]))
+            sampled.append(out)
+            # Keep the worker's token list in sync for the next step.
+            for tok in out:
+                self.input_batch.append_token(req_id, tok)
 
         return ModelRunnerOutput(req_ids=req_ids, sampled_token_ids=sampled)
 
@@ -557,6 +589,13 @@ class ModelRunner:
                 jnp.asarray(0, jnp.int32), K, all_greedy)
             sampled.block_until_ready()
 
+    def _sample_rows_per_req(self) -> int:
+        """Sampling rows per request: 1 normally; 1+k when speculative
+        decoding verifies drafts (fixed-shape like the reference's
+        spec-decode logits gathering)."""
+        spec = self.engine_config.speculative
+        return 1 + (spec.num_speculative_tokens if spec.enabled else 0)
+
     def _padded_num_slices(self, T: int, R: int) -> int:
         """Worst-case KV-update slice count for a (token, request) bucket:
         each request adds at most one partial leading run, plus one run per
@@ -567,25 +606,31 @@ class ModelRunner:
 
     def _dummy_run(self, T: int, R: int) -> None:
         S = self._padded_num_slices(T, R)
+        # Shapes must look like a real batch: every scheduled sequence has
+        # >= 1 kv token and 1 query token (attention DMA-pipeline
+        # contract), writes masked out via slot -1 / zero-length slices.
         md = AttentionMetadata(
             positions=jnp.zeros(T, jnp.int32),
-            req_idx=jnp.zeros(T, jnp.int32),
+            req_idx=jnp.minimum(jnp.arange(T, dtype=jnp.int32), R - 1),
             slot_mapping=jnp.full((T,), -1, jnp.int32),
             block_tables=jnp.zeros((R, self.max_blocks_per_req), jnp.int32),
-            seq_lens=jnp.zeros(R, jnp.int32),
+            seq_lens=jnp.ones(R, jnp.int32),
             prompt_lens=jnp.ones(R, jnp.int32),
-            query_start_loc=jnp.zeros(R + 1, jnp.int32),
-            logits_indices=jnp.zeros(R, jnp.int32),
+            query_start_loc=jnp.minimum(
+                jnp.arange(R + 1, dtype=jnp.int32), T),
+            logits_indices=jnp.zeros(R * self._sample_rows_per_req(),
+                                     jnp.int32),
             num_reqs=jnp.asarray(R, jnp.int32),
             kv_slices=jnp.zeros((3, S), jnp.int32),
             num_kv_slices=jnp.asarray(0, jnp.int32),
         )
-        smd = build_sampling_metadata([], [], R)
+        RS = R * self._sample_rows_per_req()
+        smd = build_sampling_metadata([], [], RS)
         self._rng_key, step_key = jax.random.split(self._rng_key)
         self.kv_caches, logits = self._jit_step(
             self.params, self.kv_caches, jnp.zeros(T, jnp.int32), md,
             self.tri_flags)
-        mask = jnp.ones((R, self.cfg.vocab_size), bool)
+        mask = jnp.ones((RS, self.cfg.vocab_size), bool)
         placeholder = jnp.ones((1, 1), bool)
         for all_greedy in (True, False):
             for m, has_mask in ((placeholder, False), (mask, True)):
