@@ -198,6 +198,19 @@ class SpeculativeConfig:
 
 
 @dataclass
+class LoRAConfig:
+    """Multi-LoRA serving (reference vllm/lora/ role): adapters are
+    registered at engine build (name -> HF/peft adapter directory) and
+    selected per request."""
+
+    modules: dict[str, str] = field(default_factory=dict)
+
+    @property
+    def enabled(self) -> bool:
+        return bool(self.modules)
+
+
+@dataclass
 class ObservabilityConfig:
     collect_stats: bool = True
     log_stats_interval_s: float = 5.0
@@ -213,6 +226,7 @@ class EngineConfig:
     parallel: ParallelConfig = field(default_factory=ParallelConfig)
     trianglemix: TriangleMixConfig = field(default_factory=TriangleMixConfig)
     speculative: SpeculativeConfig = field(default_factory=SpeculativeConfig)
+    lora: LoRAConfig = field(default_factory=LoRAConfig)
     observability: ObservabilityConfig = field(default_factory=ObservabilityConfig)
 
     def compute_hash(self) -> str:

@@ -121,6 +121,7 @@ class BlockPool:
                 request.all_token_ids[:num_full_blocks * block_size],
                 start_block=len(request.block_hashes),
                 parent_hash=parent,
+                salt=request.cache_salt,
             )
             request.block_hashes.extend(new_hashes)
 

@@ -81,7 +81,8 @@ class KVCacheManager:
         # Lazily hash the request's full prompt blocks.
         if not request.block_hashes:
             request.block_hashes = hash_request_tokens(
-                self.block_size, request.prompt_token_ids)
+                self.block_size, request.prompt_token_ids,
+                salt=request.cache_salt)
 
         # Cap so at least one token must be computed (sampling needs the
         # logits of the final prompt token; reference kv_cache_manager.py:154).

@@ -58,17 +58,23 @@ def hash_block_tokens(
 def hash_request_tokens(block_size: int,
                         token_ids: list[int],
                         start_block: int = 0,
-                        parent_hash: Optional[bytes] = None
+                        parent_hash: Optional[bytes] = None,
+                        salt: Optional[str] = None,
                         ) -> list[BlockHash]:
     """Hash all *full* blocks of a token list, optionally resuming from an
     existing chain (reference kv_cache_utils.py:562-622). One native call
-    hashes the whole span."""
+    hashes the whole span. ``salt`` (e.g. the LoRA adapter name) seeds the
+    chain root so differently-adapted requests never share cache entries.
+    """
     from vllm_trianglemix_tpu.utils.native import hash_blocks
 
     n_full = len(token_ids) // block_size
     if n_full <= start_block:
         return []
     parent = parent_hash if parent_hash is not None else NONE_HASH
+    if parent_hash is None and salt:
+        parent = hashlib.blake2b(NONE_HASH + salt.encode(),
+                                 digest_size=16).digest()
     span = token_ids[start_block * block_size:n_full * block_size]
     digests = hash_blocks(span, block_size, parent)
     return [

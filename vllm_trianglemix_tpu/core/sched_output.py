@@ -23,6 +23,7 @@ class NewRequestData:
     block_ids: list[int]
     num_computed_tokens: int
     sampling_params: SamplingParams
+    lora_name: Optional[str] = None
 
     @classmethod
     def from_request(cls, request: Request,
@@ -33,6 +34,7 @@ class NewRequestData:
             block_ids=block_ids,
             num_computed_tokens=request.num_computed_tokens,
             sampling_params=request.sampling_params,
+            lora_name=request.lora_name,
         )
 
 

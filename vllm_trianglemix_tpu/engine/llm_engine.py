@@ -58,9 +58,11 @@ class LLMEngine:
         prompt: Union[str, list[int], dict],
         params: SamplingParams,
         priority: int = 0,
+        lora_name: Optional[str] = None,
     ) -> None:
         request = self.processor.process_inputs(request_id, prompt, params,
-                                                priority=priority)
+                                                priority=priority,
+                                                lora_name=lora_name)
         self.output_processor.add_request(request)
         self.engine_core.add_request(request)
 

@@ -52,6 +52,7 @@ class Processor:
         params: SamplingParams,
         arrival_time: Optional[float] = None,
         priority: int = 0,
+        lora_name: Optional[str] = None,
     ) -> Request:
         prompt_text: Optional[str] = None
         if isinstance(prompt, str):
@@ -85,4 +86,5 @@ class Processor:
             arrival_time=arrival_time or time.time(),
             priority=priority,
             prompt=prompt_text,
+            lora_name=lora_name,
         )

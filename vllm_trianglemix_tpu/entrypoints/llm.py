@@ -7,6 +7,7 @@ from typing import Optional, Sequence, Union
 from vllm_trianglemix_tpu.config import (
     CacheConfig,
     EngineConfig,
+    LoRAConfig,
     ModelConfig,
     ParallelConfig,
     SchedulerConfig,
@@ -42,6 +43,7 @@ class LLM:
         tensor_parallel_size: int = 1,
         trianglemix: Optional[TriangleMixConfig] = None,
         speculative_config: Optional[dict] = None,
+        lora_modules: Optional[dict] = None,
         seed: int = 0,
         skip_tokenizer_init: bool = False,
         warmup: bool = False,
@@ -65,6 +67,7 @@ class LLM:
             trianglemix=trianglemix or TriangleMixConfig(),
             speculative=(SpeculativeConfig(**speculative_config)
                          if speculative_config else SpeculativeConfig()),
+            lora=LoRAConfig(modules=lora_modules or {}),
         )
         self.llm_engine = LLMEngine.from_engine_config(self.engine_config)
         if warmup:
@@ -76,6 +79,7 @@ class LLM:
         prompts: Union[PromptType, Sequence[PromptType]],
         sampling_params: Optional[Union[SamplingParams,
                                         Sequence[SamplingParams]]] = None,
+        lora_request: Union[None, str, Sequence[Optional[str]]] = None,
     ) -> list[RequestOutput]:
         if isinstance(prompts, (str, dict)) or (
                 isinstance(prompts, list) and prompts
@@ -88,12 +92,17 @@ class LLM:
             sampling_params = [sampling_params] * n
         if len(sampling_params) != n:
             raise ValueError("len(sampling_params) != len(prompts)")
+        if lora_request is None or isinstance(lora_request, str):
+            lora_request = [lora_request] * n
+        if len(lora_request) != n:
+            raise ValueError("len(lora_request) != len(prompts)")
 
         request_ids = []
-        for prompt, params in zip(prompts, sampling_params):
+        for prompt, params, lora in zip(prompts, sampling_params,
+                                        lora_request):
             rid = str(self._request_counter)
             self._request_counter += 1
-            self.llm_engine.add_request(rid, prompt, params)
+            self.llm_engine.add_request(rid, prompt, params, lora_name=lora)
             request_ids.append(rid)
 
         order = {rid: i for i, rid in enumerate(request_ids)}

@@ -288,6 +288,8 @@ def forward(
     kv_caches: jnp.ndarray,        # [L, blocks, page, 2*KH, D]
     md: AttentionMetadata,
     tri_flags: jnp.ndarray,        # bool[L] triangle layer selector
+    lora=None,                     # {"stacks": {mod: (A[L,S,.,r], B)},
+                                   #  "idx": int32[T]} or None
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """One step over a ragged token batch. Returns (hidden[T, D], new_kv)."""
     Dh = cfg.head_dim
@@ -306,13 +308,30 @@ def forward(
         dense_threshold=tri_cfg.dense_threshold,
     )
 
+    lora_stacks = lora["stacks"] if lora is not None else {}
+    if lora is not None:
+        from vllm_trianglemix_tpu.lora.layers import slot_onehot
+
+        n_slots = next(iter(lora_stacks.values()))[0].shape[1]
+        onehot = slot_onehot(lora["idx"], n_slots)
+
     def layer_fn(x, scanned):
-        lp, kv, tri = scanned
+        lp, kv, tri, lmods = scanned
         T = x.shape[0]
+
+        def proj(h, key):
+            y = apply_linear(h, lp[key])
+            if key in lmods:
+                from vllm_trianglemix_tpu.lora.layers import apply_lora
+
+                A, B = lmods[key]
+                y = apply_lora(h, y, A, B, onehot)
+            return y
+
         h = rms_norm(x, lp["input_layernorm"], eps)
-        q = apply_linear(h, lp["q_proj"])
-        k = apply_linear(h, lp["k_proj"])
-        v = apply_linear(h, lp["v_proj"])
+        q = proj(h, "q_proj")
+        k = proj(h, "k_proj")
+        v = proj(h, "v_proj")
         if cfg.use_qkv_bias:
             q = q + lp["q_bias"]
             k = k + lp["k_bias"]
@@ -326,15 +345,15 @@ def forward(
         q, k = apply_rope(q, k, cos, sin)
         kv = write_kv(kv, k, v, md)
         attn = ragged_paged_attention(q, kv, md, tri, **attn_kwargs)
-        x = x + apply_linear(attn.reshape(T, HQ * Dh), lp["o_proj"])
+        x = x + proj(attn.reshape(T, HQ * Dh), "o_proj")
         h2 = rms_norm(x, lp["post_attention_layernorm"], eps)
-        mlp = silu_and_mul(apply_linear(h2, lp["gate_proj"]),
-                           apply_linear(h2, lp["up_proj"]))
-        x = x + apply_linear(mlp, lp["down_proj"])
+        mlp = silu_and_mul(proj(h2, "gate_proj"), proj(h2, "up_proj"))
+        x = x + proj(mlp, "down_proj")
         return x, kv
 
-    x, new_kv = jax.lax.scan(layer_fn, x,
-                             (params["layers"], kv_caches, tri_flags))
+    x, new_kv = jax.lax.scan(
+        layer_fn, x,
+        (params["layers"], kv_caches, tri_flags, lora_stacks))
     x = rms_norm(x, params["norm"], eps)
     return x, new_kv
 

@@ -49,8 +49,10 @@ class Request:
         arrival_time: Optional[float] = None,
         priority: int = 0,
         prompt: Optional[str] = None,
+        lora_name: Optional[str] = None,
     ) -> None:
         self.request_id = request_id
+        self.lora_name = lora_name
         self.prompt = prompt
         self.prompt_token_ids = list(prompt_token_ids)
         self.num_prompt_tokens = len(self.prompt_token_ids)
@@ -77,6 +79,13 @@ class Request:
         self.num_preemptions = 0
         # Spec-decode placeholder ids for future rounds.
         self.spec_token_ids: list[int] = []
+
+    @property
+    def cache_salt(self) -> Optional[str]:
+        """Prefix-cache isolation key: requests under different LoRA
+        adapters must never share cached KV blocks (reference: LoRA extra
+        keys in block hashing, kv_cache_utils.py:517-622)."""
+        return self.lora_name
 
         params = sampling_params
         if params.max_tokens is None:

@@ -25,6 +25,7 @@ class CachedRequestState:
     block_ids: list[int]
     num_computed_tokens: int
     sampling_params: SamplingParams
+    lora_name: str = None
     # monotonically increasing per-request step counter (sampling seeds)
     step_counter: int = 0
 
@@ -51,6 +52,7 @@ class InputBatch:
                 block_ids=list(new_req.block_ids),
                 num_computed_tokens=new_req.num_computed_tokens,
                 sampling_params=new_req.sampling_params,
+                lora_name=new_req.lora_name,
             )
 
         cached = so.scheduled_cached_reqs

@@ -127,6 +127,30 @@ class ModelRunner:
         else:
             self.params = self._load_params()
 
+        # --- LoRA adapter stacks ---------------------------------------------
+        self.lora_stacks = None
+        self.lora_slot_map: dict[str, int] = {}
+        if engine_config.lora.enabled:
+            from vllm_trianglemix_tpu.lora.loader import load_lora_stacks
+
+            c = self.cfg
+            shapes = {
+                "q_proj": (c.hidden_size,
+                           c.num_attention_heads * c.head_dim),
+                "k_proj": (c.hidden_size,
+                           c.num_key_value_heads * c.head_dim),
+                "v_proj": (c.hidden_size,
+                           c.num_key_value_heads * c.head_dim),
+                "o_proj": (c.num_attention_heads * c.head_dim,
+                           c.hidden_size),
+                "gate_proj": (c.hidden_size, c.intermediate_size),
+                "up_proj": (c.hidden_size, c.intermediate_size),
+                "down_proj": (c.intermediate_size, c.hidden_size),
+            }
+            self.lora_stacks, self.lora_slot_map, _ = load_lora_stacks(
+                engine_config.lora.modules, c.num_hidden_layers, shapes,
+                dtype=self.dtype)
+
         # --- TriangleMix per-layer flags -------------------------------------
         tri = np.zeros(self.cfg.num_hidden_layers, dtype=bool)
         if self.tri_cfg.enabled:
@@ -266,9 +290,10 @@ class ModelRunner:
 
         @partial(jax.jit, donate_argnums=(1,))
         def step(params, kv_caches, token_ids, md: AttentionMetadata,
-                 tri_flags):
+                 tri_flags, lora):
             hidden, kv_caches = model.forward(
-                params, cfg, tri_cfg, token_ids, kv_caches, md, tri_flags)
+                params, cfg, tri_cfg, token_ids, kv_caches, md, tri_flags,
+                lora=lora)
             sel = hidden[md.logits_indices]            # [R, D]
             logits = model.compute_logits(params, cfg, sel)
             return kv_caches, logits
@@ -298,8 +323,8 @@ class ModelRunner:
                  static_argnames=("num_steps", "all_greedy"))
         def multi_decode(params, kv_caches, tokens0, base_positions, steps,
                          block_tables, prompt_lens, smd: SamplingMetadata,
-                         tri_flags, step_key, num_reqs, num_steps: int,
-                         all_greedy: bool):
+                         tri_flags, step_key, num_reqs, lora,
+                         num_steps: int, all_greedy: bool):
             R = tokens0.shape[0]
             req_idx = jnp.arange(R, dtype=jnp.int32)
             qsl = jnp.arange(R + 1, dtype=jnp.int32)
@@ -333,7 +358,7 @@ class ModelRunner:
                     num_kv_slices=jnp.asarray(R, jnp.int32),
                 )
                 hidden, kv = model.forward(params, cfg, tri_cfg, toks, kv,
-                                           md, tri_flags)
+                                           md, tri_flags, lora=lora)
                 logits = model.compute_logits(params, cfg, hidden)
                 toks = sample_tokens(logits, smd_g,
                                      jax.random.fold_in(step_key, i))
@@ -360,6 +385,7 @@ class ModelRunner:
         steps = np.zeros(R, np.int32)
         block_tables = np.zeros((R, MB), np.int32)
         prompt_lens = np.zeros(R, np.int32)
+        lora_idx = np.zeros(R, np.int32)
         params_list, counters = [], []
         for i, req_id in enumerate(req_ids):
             state = self.input_batch.get(req_id)
@@ -370,10 +396,13 @@ class ModelRunner:
             bt = np.asarray(state.block_ids, np.int32)
             block_tables[i, :len(bt)] = bt
             prompt_lens[i] = state.prompt_len
+            lora_idx[i] = self.lora_slot_map.get(state.lora_name, 0)
             params_list.append(state.sampling_params)
             counters.append(state.step_counter)
             state.step_counter += 1
 
+        lora = (None if self.lora_stacks is None else
+                {"stacks": self.lora_stacks, "idx": jnp.asarray(lora_idx)})
         smd = build_sampling_metadata(params_list, counters, R)
         self._rng_key, step_key = jax.random.split(self._rng_key)
         self.kv_caches, sampled = self._jit_multi_decode(
@@ -381,7 +410,7 @@ class ModelRunner:
             jnp.asarray(base_positions), jnp.asarray(steps),
             jnp.asarray(block_tables), jnp.asarray(prompt_lens), smd,
             self.tri_flags, step_key, jnp.asarray(num_reqs, jnp.int32),
-            K, bool(smd.all_greedy))
+            lora, K, bool(smd.all_greedy))
         self._step_count += 1
 
         sampled_np = np.asarray(jax.device_get(sampled))  # [K, R]
@@ -429,6 +458,7 @@ class ModelRunner:
         params_list, counters = [], []
         sampled_valid = []  # whether row i produces a real sampled token
         drafts_per_req = []
+        lora_idx = np.zeros(T, np.int32)
         offset = 0
         for i, req_id in enumerate(req_ids):
             state = self.input_batch.get(req_id)
@@ -443,6 +473,8 @@ class ModelRunner:
             token_ids[offset:offset + n_sched] = step_tokens
             positions[offset:offset + n_sched] = np.arange(start, end)
             req_idx[offset:offset + n_sched] = i
+            lora_idx[offset:offset + n_sched] = \
+                self.lora_slot_map.get(state.lora_name, 0)
             bt = np.asarray(state.block_ids, np.int32)
             block_tables[i, :len(bt)] = bt
             pos = np.arange(start, end)
@@ -500,10 +532,12 @@ class ModelRunner:
         else:
             mask_dev = jnp.ones((1, 1), bool)  # placeholder
 
+        lora = (None if self.lora_stacks is None else
+                {"stacks": self.lora_stacks, "idx": jnp.asarray(lora_idx)})
         self._rng_key, step_key = jax.random.split(self._rng_key)
         self.kv_caches, logits = self._jit_step(
             self.params, self.kv_caches, jnp.asarray(token_ids), md,
-            self.tri_flags)
+            self.tri_flags, lora)
         tokens = self._jit_sample(logits, smd, step_key, mask_dev,
                                   smd.all_greedy, grammar_mask is not None)
         self._step_count += 1
@@ -576,6 +610,12 @@ class ModelRunner:
             f"recompilation detected after warmup: {now} graphs vs "
             f"{self._warmup_graph_count} at warmup")
 
+    def _dummy_lora(self, n_rows: int):
+        if self.lora_stacks is None:
+            return None
+        return {"stacks": self.lora_stacks,
+                "idx": jnp.zeros(n_rows, jnp.int32)}
+
     def _dummy_multi_decode(self, R: int) -> None:
         K = self.engine_config.scheduler.multi_step_decode
         smd = build_sampling_metadata([], [], R)
@@ -586,7 +626,8 @@ class ModelRunner:
                 jnp.zeros(R, jnp.int32), jnp.zeros(R, jnp.int32),
                 jnp.zeros((R, self.max_blocks_per_req), jnp.int32),
                 jnp.ones(R, jnp.int32), smd, self.tri_flags, step_key,
-                jnp.asarray(0, jnp.int32), K, all_greedy)
+                jnp.asarray(0, jnp.int32), self._dummy_lora(R), K,
+                all_greedy)
             sampled.block_until_ready()
 
     def _sample_rows_per_req(self) -> int:
@@ -629,7 +670,7 @@ class ModelRunner:
         self._rng_key, step_key = jax.random.split(self._rng_key)
         self.kv_caches, logits = self._jit_step(
             self.params, self.kv_caches, jnp.zeros(T, jnp.int32), md,
-            self.tri_flags)
+            self.tri_flags, self._dummy_lora(T))
         mask = jnp.ones((RS, self.cfg.vocab_size), bool)
         placeholder = jnp.ones((1, 1), bool)
         for all_greedy in (True, False):
