@@ -91,6 +91,14 @@ class LLMEngine:
     def warm_up(self) -> None:
         self.engine_core.warm_up()
 
+    def save_state(self, path: str) -> None:
+        """Persist weights for fast resume (reference core.py:401
+        save_sharded_state)."""
+        self.engine_core.executor.save_state(path)
+
+    def reload_weights(self, path=None) -> None:
+        self.engine_core.executor.reload_weights(path)
+
     def start_profile(self, trace_dir: Optional[str] = None) -> None:
         """jax.profiler trace capture (reference start_profile plumbing,
         llm_engine.py:294-298; TPU profiler server tpu_worker.py:93-104)."""

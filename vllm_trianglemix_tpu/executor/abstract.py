@@ -39,6 +39,10 @@ class Executor(ABC):
 
     def compile_or_warm_up_model(self) -> None: ...
 
+    def save_state(self, path: str) -> None: ...
+
+    def reload_weights(self, path=None) -> None: ...
+
     def profile_start(self, trace_dir: str) -> None: ...
 
     def profile_stop(self) -> None: ...

@@ -32,6 +32,12 @@ class UniProcExecutor(Executor):
     def compile_or_warm_up_model(self) -> None:
         self.worker.compile_or_warm_up_model()
 
+    def save_state(self, path: str) -> None:
+        self.worker.save_state(path)
+
+    def reload_weights(self, path=None) -> None:
+        self.worker.reload_weights(path)
+
     def profile_start(self, trace_dir: str) -> None:
         self.worker.profile_start(trace_dir)
 

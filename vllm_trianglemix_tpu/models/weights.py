@@ -66,6 +66,106 @@ def torch_state_dict_reader(state_dict) -> Callable[[str], np.ndarray]:
     return get
 
 
+_NATIVE_STATE_FILE = "vtt_native_state.safetensors"
+_NATIVE_META_FILE = "vtt_native_state.json"
+
+
+def _flatten_params(params, prefix=""):
+    flat = {}
+    for k, v in params.items():
+        key = f"{prefix}{k}"
+        if isinstance(v, dict):
+            flat.update(_flatten_params(v, key + "."))
+        elif isinstance(v, tuple):  # QuantLinear NamedTuple
+            for fname, leaf in zip(v._fields, v):
+                if leaf is not None:
+                    flat[f"{key}.{fname}"] = leaf
+        else:
+            flat[key] = v
+    return flat
+
+
+def save_native_state(params, path: str, rank: int = 0,
+                      world_size: int = 1) -> None:
+    """Save the engine's stacked param tree for fast resume (the
+    reference's save_sharded_state role, core.py:401 /
+    sharded_state_loader.py: skip HF-layout transposes on reload; one
+    file per host rank)."""
+    import jax.numpy as jnp
+    from safetensors.numpy import save_file
+
+    os.makedirs(path, exist_ok=True)
+    flat = _flatten_params(params)
+    arrays = {}
+    meta = {"dtypes": {}, "world_size": world_size}
+    for k, v in flat.items():
+        arr = np.asarray(jax.device_get(v))
+        if arr.dtype == jnp.bfloat16:
+            meta["dtypes"][k] = "bfloat16"
+            arr = arr.view(np.uint16)
+        elif str(arr.dtype) == "float8_e4m3fn":
+            meta["dtypes"][k] = "float8_e4m3fn"
+            arr = arr.view(np.uint8)
+        arrays[k] = arr
+    fname = (_NATIVE_STATE_FILE if world_size == 1 else
+             f"vtt_native_state-rank{rank}-of-{world_size}.safetensors")
+    save_file(arrays, os.path.join(path, fname))
+    with open(os.path.join(path, _NATIVE_META_FILE), "w") as f:
+        json.dump(meta, f)
+    logger.info("saved native state to %s (%d tensors)", path, len(arrays))
+
+
+def has_native_state(path: str) -> bool:
+    return os.path.exists(os.path.join(path, _NATIVE_STATE_FILE)) and \
+        os.path.exists(os.path.join(path, _NATIVE_META_FILE))
+
+
+def load_native_state(path: str):
+    """Load a save_native_state checkpoint back into a flat dict of jnp
+    arrays; the model's shape_tree re-nests it."""
+    import jax.numpy as jnp
+    from safetensors import safe_open
+
+    with open(os.path.join(path, _NATIVE_META_FILE)) as f:
+        meta = json.load(f)
+    flat = {}
+    with safe_open(os.path.join(path, _NATIVE_STATE_FILE),
+                   framework="numpy") as f:
+        for name in f.keys():
+            arr = f.get_tensor(name)
+            dt = meta["dtypes"].get(name)
+            if dt == "bfloat16":
+                arr = arr.view(jnp.bfloat16)
+            elif dt == "float8_e4m3fn":
+                arr = arr.view(jnp.float8_e4m3fn)
+            flat[name] = jnp.asarray(arr)
+    return flat
+
+
+def unflatten_params(flat: dict, template: dict):
+    """Re-nest a flat name->array dict following a template tree (shape
+    tree or an existing params tree)."""
+    from vllm_trianglemix_tpu.quantization.linear import QuantLinear
+
+    def build(node, prefix=""):
+        out = {}
+        for k, v in node.items():
+            key = f"{prefix}{k}"
+            if isinstance(v, dict):
+                out[k] = build(v, key + ".")
+            elif isinstance(v, QuantLinear):
+                out[k] = QuantLinear(
+                    qweight=flat[f"{key}.qweight"],
+                    scale=flat[f"{key}.scale"],
+                    zero=flat.get(f"{key}.zero"),
+                )
+            else:
+                out[k] = flat[key]
+        return out
+
+    return build(template)
+
+
 def shard_params(params, mesh, specs):
     """device_put every leaf with its NamedSharding (multi-chip load path)."""
     from jax.sharding import NamedSharding

@@ -14,6 +14,7 @@ Role of the reference's TPUModelRunner (vllm/v1/worker/tpu_model_runner.py):
 
 from __future__ import annotations
 
+import os
 import time
 from functools import partial
 from typing import Optional
@@ -199,7 +200,21 @@ class ModelRunner:
                 checkpoint_quant = detect_checkpoint_quantization(
                     json.load(f))
 
+        from vllm_trianglemix_tpu.models.weights import (
+            has_native_state,
+            load_native_state,
+            unflatten_params,
+        )
+
         if (os.path.isdir(path) and self.model_config.load_format != "dummy"
+                and has_native_state(path)):
+            # Fast resume from a save_native_state checkpoint (no HF
+            # transposes/stacking).
+            template = self.model.shape_tree(self.cfg)
+            params = unflatten_params(load_native_state(path), template)
+            self.quant_method = self.model_config.quantization
+        elif (os.path.isdir(path)
+                and self.model_config.load_format != "dummy"
                 and glob.glob(os.path.join(path, "*.safetensors"))):
             from vllm_trianglemix_tpu.models.weights import SafetensorsReader
 
@@ -629,6 +644,36 @@ class ModelRunner:
                 jnp.asarray(0, jnp.int32), self._dummy_lora(R), K,
                 all_greedy)
             sampled.block_until_ready()
+
+    def save_state(self, path: str) -> None:
+        """Fast-resume checkpoint (reference save_sharded_state role)."""
+        from vllm_trianglemix_tpu.models.weights import save_native_state
+
+        save_native_state(self.params, path)
+        # A native checkpoint still needs the model config next to it.
+        import json as _json
+        import shutil
+
+        src_cfg = os.path.join(self.model_config.model, "config.json")
+        dst_cfg = os.path.join(path, "config.json")
+        if os.path.exists(src_cfg):
+            shutil.copy(src_cfg, dst_cfg)
+        elif not os.path.exists(dst_cfg):
+            with open(dst_cfg, "w") as f:
+                _json.dump({"architectures": ["Qwen3ForCausalLM"]}, f)
+
+    def reload_weights(self, path: Optional[str] = None) -> None:
+        """Swap weights in place (reference reload_weights,
+        tpu_model_runner.py:1194 — RLHF weight push)."""
+        if path is not None:
+            old = self.model_config.model
+            self.model_config.model = path
+            try:
+                self.params = self._load_params()
+            finally:
+                self.model_config.model = old
+        else:
+            self.params = self._load_params()
 
     def _sample_rows_per_req(self) -> int:
         """Sampling rows per request: 1 normally; 1+k when speculative

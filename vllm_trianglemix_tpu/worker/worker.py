@@ -50,6 +50,12 @@ class Worker:
                       ) -> ModelRunnerOutput:
         return self.model_runner.execute_model(scheduler_output)
 
+    def save_state(self, path: str) -> None:
+        self.model_runner.save_state(path)
+
+    def reload_weights(self, path=None) -> None:
+        self.model_runner.reload_weights(path)
+
     def profile_start(self, trace_dir: str) -> None:
         jax.profiler.start_trace(trace_dir)
 
