@@ -228,3 +228,16 @@ def test_metrics_endpoint(serve):
         r = await client.get("/metrics")
         assert r.status == 200
     serve(body)
+
+
+def test_embeddings_endpoint(serve):
+    async def body(client):
+        r = await client.post("/v1/embeddings", json={
+            "input": "hello world", "dimensions": 8,
+        })
+        assert r.status == 200, await r.text()
+        data = await r.json()
+        assert data["object"] == "list"
+        assert len(data["data"][0]["embedding"]) == 8
+        assert data["usage"]["prompt_tokens"] == 2
+    serve(body)

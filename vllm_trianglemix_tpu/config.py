@@ -220,6 +220,11 @@ class ObservabilityConfig:
 class EngineConfig:
     """Composite engine config (mirror of reference VllmConfig)."""
 
+    # Run the engine core (scheduler+executor+device) in a background
+    # process over ZMQ (reference EngineCoreProc, core.py:453) instead of
+    # in the frontend process.
+    multiprocess_engine: bool = False
+
     model: ModelConfig = field(default_factory=ModelConfig)
     cache: CacheConfig = field(default_factory=CacheConfig)
     scheduler: SchedulerConfig = field(default_factory=SchedulerConfig)

@@ -24,6 +24,7 @@ class NewRequestData:
     num_computed_tokens: int
     sampling_params: SamplingParams
     lora_name: Optional[str] = None
+    pooling_params: object = None
 
     @classmethod
     def from_request(cls, request: Request,
@@ -35,6 +36,7 @@ class NewRequestData:
             num_computed_tokens=request.num_computed_tokens,
             sampling_params=request.sampling_params,
             lora_name=request.lora_name,
+            pooling_params=request.pooling_params,
         )
 
 
@@ -99,6 +101,8 @@ class ModelRunnerOutput:
     sampled_token_ids: list[list[int]] = field(default_factory=list)
     # Optional per-request logprobs: (token_ids, logprobs) of top-k + sampled.
     logprobs: Optional[list] = None
+    # Embedding requests: req_id -> pooled (and normalized) vector.
+    pooled: Optional[dict] = None
 
 
 EMPTY_MODEL_RUNNER_OUTPUT = ModelRunnerOutput()
@@ -113,6 +117,8 @@ class EngineCoreOutput:
     finished: bool = False
     finish_reason: Optional[str] = None
     stop_reason: Optional[int | str] = None
+    # Embedding requests: the pooled vector (numpy), set on finish.
+    pooled_output: Optional[object] = None
 
 
 @dataclass

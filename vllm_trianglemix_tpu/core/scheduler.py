@@ -314,6 +314,24 @@ class Scheduler:
             request = self.requests.get(req_id)
             if request is None:
                 continue  # aborted mid-step
+
+            if request.pooling_params is not None:
+                # Embedding request: finishes when prefill completes; no
+                # tokens are appended (reference pooling path).
+                request.num_computed_tokens += num_tokens
+                if request.num_computed_tokens >= request.num_tokens:
+                    request.status = RequestStatus.FINISHED_STOPPED
+                    stopped_reqs.append(request)
+                    pooled = (model_output.pooled or {}).get(req_id)
+                    outputs.append(EngineCoreOutput(
+                        request_id=req_id,
+                        new_token_ids=[],
+                        finished=True,
+                        finish_reason="stop",
+                        pooled_output=pooled,
+                    ))
+                continue
+
             new_token_ids = sampled.get(req_id, [])
             stopped = False
             accepted = 0

@@ -62,6 +62,7 @@ class AsyncLLM:
         sampling_params: SamplingParams,
         request_id: str,
         priority: int = 0,
+        pooling_params=None,
     ) -> AsyncGenerator[RequestOutput, None]:
         """Async generator of cumulative RequestOutputs (last one has
         ``finished=True``)."""
@@ -70,7 +71,8 @@ class AsyncLLM:
         self._ensure_loop()
         queue: asyncio.Queue = asyncio.Queue()
         self._queues[request_id] = queue
-        self._pending.append((request_id, prompt, sampling_params, priority))
+        self._pending.append((request_id, prompt, sampling_params, priority,
+                              pooling_params))
         self._wakeup.set()
         try:
             while True:
@@ -96,10 +98,11 @@ class AsyncLLM:
             while True:
                 # Admit pending requests between steps.
                 pending, self._pending = self._pending, []
-                for rid, prompt, params, priority in pending:
+                for rid, prompt, params, priority, pooling in pending:
                     try:
                         self.engine.add_request(rid, prompt, params,
-                                                priority=priority)
+                                                priority=priority,
+                                                pooling_params=pooling)
                     except Exception as e:  # noqa: BLE001 (bad request)
                         q = self._queues.get(rid)
                         if q is not None:

@@ -1,0 +1,202 @@
+"""Background-process engine core over ZMQ.
+
+Role of the reference's EngineCoreProc / EngineCoreClient
+(vllm/v1/engine/core.py:453-943, core_client.py:49): the engine core —
+scheduler, executor, device — runs in its own process with a busy loop;
+the frontend process talks to it over two ZMQ pipes (PUSH requests in,
+PULL outputs back). This isolates device work from the API server's
+event loop and is the seam for data-parallel engine replicas.
+
+Serialization is pickle (msgspec isn't in the environment); messages are
+(kind, payload) tuples. The handshake returns engine facts (KV block
+count) so the frontend never touches the device.
+"""
+
+from __future__ import annotations
+
+import multiprocessing as mp
+import pickle
+import queue
+import threading
+import time
+from typing import Optional
+
+import zmq
+
+from vllm_trianglemix_tpu.config import EngineConfig
+from vllm_trianglemix_tpu.logger import init_logger
+
+logger = init_logger(__name__)
+
+READY = b"VTT_READY"
+
+
+def _engine_core_main(engine_config: EngineConfig, input_addr: str,
+                      output_addr: str, jax_platforms: Optional[str]) -> None:
+    """Subprocess entry: build the engine core and run the busy loop
+    (reference core.py:720 run_busy_loop)."""
+    if jax_platforms:
+        # Inherit the parent's platform choice — site customizations may
+        # force a different default in the fresh interpreter.
+        import jax
+
+        jax.config.update("jax_platforms", jax_platforms)
+
+    from vllm_trianglemix_tpu.engine.core import EngineCore
+
+    ctx = zmq.Context()
+    input_sock = ctx.socket(zmq.PULL)
+    input_sock.connect(input_addr)
+    output_sock = ctx.socket(zmq.PUSH)
+    output_sock.connect(output_addr)
+
+    engine_core = EngineCore(engine_config)
+    output_sock.send(pickle.dumps(("ready", {
+        "num_kv_blocks": engine_core.executor.num_kv_blocks,
+    })))
+
+    running = True
+    while running:
+        # Drain all pending control messages; block only when idle.
+        while True:
+            try:
+                flags = (0 if not engine_core.has_unfinished_requests()
+                         else zmq.NOBLOCK)
+                msg = input_sock.recv(flags=flags)
+            except zmq.Again:
+                break
+            kind, payload = pickle.loads(msg)
+            if kind == "add":
+                engine_core.add_request(payload)
+            elif kind == "abort":
+                engine_core.abort_requests(payload)
+            elif kind == "warmup":
+                engine_core.warm_up()
+                output_sock.send(pickle.dumps(("warmed", None)))
+            elif kind == "save_state":
+                engine_core.executor.save_state(payload)
+                output_sock.send(pickle.dumps(("saved", None)))
+            elif kind == "shutdown":
+                running = False
+                break
+            if not engine_core.has_unfinished_requests():
+                break  # go back to blocking recv
+
+        if running and engine_core.has_unfinished_requests():
+            outputs = engine_core.step()
+            if outputs:
+                output_sock.send(pickle.dumps(("outputs", outputs)))
+
+    engine_core.shutdown()
+    output_sock.send(pickle.dumps(("bye", None)))
+    input_sock.close(0)
+    output_sock.close(0)
+    ctx.term()
+
+
+class EngineCoreClient:
+    """In-process frontend handle to a background EngineCoreProc
+    (reference SyncMPClient, core_client.py:597)."""
+
+    def __init__(self, engine_config: EngineConfig,
+                 start_timeout: float = 600.0) -> None:
+        self.ctx = zmq.Context()
+        self.input_sock = self.ctx.socket(zmq.PUSH)
+        input_port = self.input_sock.bind_to_random_port("tcp://127.0.0.1")
+        self.output_sock = self.ctx.socket(zmq.PULL)
+        output_port = self.output_sock.bind_to_random_port("tcp://127.0.0.1")
+
+        try:
+            import jax
+
+            jax_platforms = jax.config.read("jax_platforms")
+        except Exception:  # noqa: BLE001
+            jax_platforms = None
+        mp_ctx = mp.get_context("spawn")
+        self.proc = mp_ctx.Process(
+            target=_engine_core_main,
+            args=(engine_config, f"tcp://127.0.0.1:{input_port}",
+                  f"tcp://127.0.0.1:{output_port}", jax_platforms),
+            daemon=True,
+            name="VTTEngineCore",
+        )
+        self.proc.start()
+
+        # Monitor thread: engine death must not hang the frontend
+        # (reference worker-death monitor, multiproc_executor.py:138).
+        self._dead = False
+        self._outputs: "queue.Queue" = queue.Queue()
+        self._unfinished: set[str] = set()
+
+        kind, payload = self._recv(timeout=start_timeout)
+        if kind != "ready":
+            raise RuntimeError(f"engine handshake failed: {kind}")
+        self.num_kv_blocks = payload["num_kv_blocks"]
+        logger.info("engine core process ready (pid %d)", self.proc.pid)
+
+    def _recv(self, timeout: Optional[float] = None):
+        deadline = time.monotonic() + (timeout or 0)
+        while True:
+            if self.proc is not None and not self.proc.is_alive():
+                self._dead = True
+                raise RuntimeError("engine core process died")
+            if self.output_sock.poll(200):
+                return pickle.loads(self.output_sock.recv())
+            if timeout is not None and time.monotonic() > deadline:
+                raise TimeoutError("engine core recv timeout")
+
+    def _send(self, kind: str, payload) -> None:
+        self.input_sock.send(pickle.dumps((kind, payload)))
+
+    # --- engine-core-compatible surface ------------------------------------
+    def add_request(self, request) -> None:
+        self._unfinished.add(request.request_id)
+        self._send("add", request)
+
+    def abort_requests(self, request_ids: list[str]) -> None:
+        self._unfinished.difference_update(request_ids)
+        self._send("abort", request_ids)
+
+    def step(self):
+        """Pull the next batch of outputs (blocking while work remains)."""
+        if not self._unfinished:
+            return []
+        kind, payload = self._recv(timeout=600.0)
+        if kind != "outputs":
+            return []
+        for out in payload:
+            if out.finished:
+                self._unfinished.discard(out.request_id)
+        return payload
+
+    def has_unfinished_requests(self) -> bool:
+        return bool(self._unfinished)
+
+    def make_stats(self):
+        from vllm_trianglemix_tpu.core.sched_output import SchedulerStats
+
+        return SchedulerStats()
+
+    def warm_up(self) -> None:
+        self._send("warmup", None)
+        kind, _ = self._recv(timeout=3600.0)
+        assert kind == "warmed", kind
+
+    def save_state(self, path: str) -> None:
+        self._send("save_state", path)
+        kind, _ = self._recv(timeout=600.0)
+        assert kind == "saved", kind
+
+    def shutdown(self) -> None:
+        if self._dead or self.proc is None:
+            return
+        try:
+            self._send("shutdown", None)
+            self.proc.join(timeout=10)
+        finally:
+            if self.proc.is_alive():
+                self.proc.terminate()
+            self.input_sock.close(0)
+            self.output_sock.close(0)
+            self.ctx.term()
+            self.proc = None

@@ -29,14 +29,27 @@ class LLMEngine:
                 tokenizer = load_tokenizer(tok_path)
         self.tokenizer = tokenizer
 
-        self.engine_core = EngineCore(engine_config)
+        if engine_config.multiprocess_engine:
+            from vllm_trianglemix_tpu.engine.core_proc import (
+                EngineCoreClient,
+            )
+
+            self.engine_core = EngineCoreClient(engine_config)
+        else:
+            self.engine_core = EngineCore(engine_config)
         self.processor = Processor(engine_config, tokenizer)
         if self.processor.eos_token_id is None:
-            # Model config knows the eos id even without a tokenizer.
-            model_cfg = self.engine_core.executor.worker.model_runner.cfg \
-                if hasattr(self.engine_core.executor, "worker") else None
-            if model_cfg is not None:
+            # The model config knows the eos id even without a tokenizer
+            # (host-side config parse — works for the MP engine too).
+            try:
+                from vllm_trianglemix_tpu.models.registry import (
+                    resolve_model,
+                )
+
+                _, model_cfg = resolve_model(engine_config.model.model)
                 self.processor.eos_token_id = model_cfg.eos_token_id
+            except Exception:  # noqa: BLE001
+                pass
         self.output_processor = OutputProcessor(tokenizer)
 
         self.stat_loggers: list = []
@@ -59,10 +72,12 @@ class LLMEngine:
         params: SamplingParams,
         priority: int = 0,
         lora_name: Optional[str] = None,
+        pooling_params=None,
     ) -> None:
         request = self.processor.process_inputs(request_id, prompt, params,
                                                 priority=priority,
-                                                lora_name=lora_name)
+                                                lora_name=lora_name,
+                                                pooling_params=pooling_params)
         self.output_processor.add_request(request)
         self.engine_core.add_request(request)
 
@@ -94,10 +109,17 @@ class LLMEngine:
     def save_state(self, path: str) -> None:
         """Persist weights for fast resume (reference core.py:401
         save_sharded_state)."""
-        self.engine_core.executor.save_state(path)
+        if hasattr(self.engine_core, "executor"):
+            self.engine_core.executor.save_state(path)
+        else:
+            self.engine_core.save_state(path)  # MP engine client
 
     def reload_weights(self, path=None) -> None:
         self.engine_core.executor.reload_weights(path)
+
+    def shutdown(self) -> None:
+        if hasattr(self.engine_core, "shutdown"):
+            self.engine_core.shutdown()
 
     def start_profile(self, trace_dir: Optional[str] = None) -> None:
         """jax.profiler trace capture (reference start_profile plumbing,

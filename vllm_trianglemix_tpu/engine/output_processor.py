@@ -109,6 +109,9 @@ class OutputProcessor:
                             )
                         ],
                         finished=finished,
+                        pooled=(list(map(float, out.pooled_output))
+                                if getattr(out, "pooled_output", None)
+                                is not None else None),
                     ))
             if finished:
                 if iteration_stats is not None:

@@ -53,6 +53,7 @@ class Processor:
         arrival_time: Optional[float] = None,
         priority: int = 0,
         lora_name: Optional[str] = None,
+        pooling_params=None,
     ) -> Request:
         prompt_text: Optional[str] = None
         if isinstance(prompt, str):
@@ -87,4 +88,5 @@ class Processor:
             priority=priority,
             prompt=prompt_text,
             lora_name=lora_name,
+            pooling_params=pooling_params,
         )

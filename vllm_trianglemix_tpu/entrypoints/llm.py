@@ -113,3 +113,36 @@ class LLM:
                     results[order[out.request_id]] = out
         assert all(r is not None for r in results)
         return results
+
+    def encode(
+        self,
+        prompts: Union[PromptType, Sequence[PromptType]],
+        pooling_params=None,
+    ) -> list[RequestOutput]:
+        """Embedding inference (reference LLM.encode, llm.py:900): runs
+        prefill only and returns pooled vectors in ``output.pooled``."""
+        from vllm_trianglemix_tpu.pooling_params import PoolingParams
+
+        if isinstance(prompts, (str, dict)) or (
+                isinstance(prompts, list) and prompts
+                and isinstance(prompts[0], int)):
+            prompts = [prompts]
+        pooling_params = pooling_params or PoolingParams()
+
+        request_ids = []
+        for prompt in prompts:
+            rid = str(self._request_counter)
+            self._request_counter += 1
+            self.llm_engine.add_request(
+                rid, prompt, SamplingParams(max_tokens=1),
+                pooling_params=pooling_params)
+            request_ids.append(rid)
+
+        order = {rid: i for i, rid in enumerate(request_ids)}
+        results: list[Optional[RequestOutput]] = [None] * len(request_ids)
+        while self.llm_engine.has_unfinished_requests():
+            for out in self.llm_engine.step():
+                if out.request_id in order and out.finished:
+                    results[order[out.request_id]] = out
+        assert all(r is not None for r in results)
+        return results

@@ -232,6 +232,58 @@ async def _stream_completion(request: web.Request, engine: AsyncLLM, prompt,
     return resp
 
 
+async def create_embeddings(request: web.Request) -> web.Response:
+    """OpenAI /v1/embeddings (reference serving_embedding role)."""
+    app = request.app
+    engine = app[ENGINE_KEY]
+    try:
+        body = await request.json()
+        inputs = body["input"]
+        dimensions = int(body.get("dimensions") or 0)
+    except Exception as e:  # noqa: BLE001
+        return _json_error(str(e))
+    if isinstance(inputs, str):
+        inputs = [inputs]
+    elif isinstance(inputs, list) and inputs \
+            and isinstance(inputs[0], int):
+        inputs = [inputs]
+
+    from vllm_trianglemix_tpu.pooling_params import PoolingParams
+    from vllm_trianglemix_tpu.sampling_params import SamplingParams
+
+    pooling = PoolingParams(dimensions=dimensions)
+    request_id = f"embd-{uuid.uuid4().hex}"
+    usage = UsageCounter()
+
+    async def run_one(i, prompt):
+        final = None
+        async for out in engine.generate(
+                prompt, SamplingParams(max_tokens=1), f"{request_id}-{i}",
+                pooling_params=pooling):
+            final = out
+        return i, final
+
+    try:
+        results = await asyncio.gather(
+            *(run_one(i, p) for i, p in enumerate(inputs)))
+    except EngineDeadError as e:
+        return _json_error(str(e), 500)
+    except ValueError as e:
+        return _json_error(str(e))
+
+    data = []
+    for i, final in sorted(results):
+        usage.prompt_tokens += len(final.prompt_token_ids)
+        data.append({"object": "embedding", "index": i,
+                     "embedding": final.pooled})
+    return web.json_response({
+        "object": "list",
+        "data": data,
+        "model": body.get("model") or app[MODEL_KEY],
+        "usage": usage.as_dict(),
+    })
+
+
 async def start_profile(request: web.Request) -> web.Response:
     engine = request.app[ENGINE_KEY]
     try:
@@ -285,6 +337,7 @@ def build_app(engine: AsyncLLM, model_name: str) -> web.Application:
     app.router.add_get("/metrics", metrics)
     app.router.add_post("/v1/completions", create_completion)
     app.router.add_post("/v1/chat/completions", create_chat_completion)
+    app.router.add_post("/v1/embeddings", create_embeddings)
     app.router.add_post("/tokenize", tokenize)
     app.router.add_post("/detokenize", detokenize)
     app.router.add_post("/start_profile", start_profile)

@@ -29,3 +29,5 @@ class RequestOutput:
     outputs: list[CompletionOutput]
     finished: bool
     metrics: dict[str, Any] = field(default_factory=dict)
+    # Embedding requests: the pooled vector (list of floats).
+    pooled: Optional[list] = None

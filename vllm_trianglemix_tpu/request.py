@@ -50,9 +50,13 @@ class Request:
         priority: int = 0,
         prompt: Optional[str] = None,
         lora_name: Optional[str] = None,
+        pooling_params=None,
     ) -> None:
         self.request_id = request_id
         self.lora_name = lora_name
+        # Non-None marks an embedding request (finishes at end of prefill,
+        # returns a pooled vector instead of sampling).
+        self.pooling_params = pooling_params
         self.prompt = prompt
         self.prompt_token_ids = list(prompt_token_ids)
         self.num_prompt_tokens = len(self.prompt_token_ids)
@@ -80,18 +84,18 @@ class Request:
         # Spec-decode placeholder ids for future rounds.
         self.spec_token_ids: list[int] = []
 
+        params = sampling_params
+        if params.max_tokens is None:
+            params.max_tokens = 2**31
+        if (self.eos_token_id is not None and not params.ignore_eos):
+            params.all_stop_token_ids.add(self.eos_token_id)
+
     @property
     def cache_salt(self) -> Optional[str]:
         """Prefix-cache isolation key: requests under different LoRA
         adapters must never share cached KV blocks (reference: LoRA extra
         keys in block hashing, kv_cache_utils.py:517-622)."""
         return self.lora_name
-
-        params = sampling_params
-        if params.max_tokens is None:
-            params.max_tokens = 2**31
-        if (self.eos_token_id is not None and not params.ignore_eos):
-            params.all_stop_token_ids.add(self.eos_token_id)
 
     # --- token accounting -------------------------------------------------
     @property

@@ -26,6 +26,7 @@ class CachedRequestState:
     num_computed_tokens: int
     sampling_params: SamplingParams
     lora_name: str = None
+    pooling_params: object = None
     # monotonically increasing per-request step counter (sampling seeds)
     step_counter: int = 0
 
@@ -53,6 +54,7 @@ class InputBatch:
                 num_computed_tokens=new_req.num_computed_tokens,
                 sampling_params=new_req.sampling_params,
                 lora_name=new_req.lora_name,
+                pooling_params=new_req.pooling_params,
             )
 
         cached = so.scheduled_cached_reqs

@@ -309,9 +309,23 @@ class ModelRunner:
             hidden, kv_caches = model.forward(
                 params, cfg, tri_cfg, token_ids, kv_caches, md, tri_flags,
                 lora=lora)
-            sel = hidden[md.logits_indices]            # [R, D]
+            sel = hidden[md.logits_indices]            # [R*S, D]
             logits = model.compute_logits(params, cfg, sel)
-            return kv_caches, logits
+
+            # Pooled embedding candidates (fetched only when the batch has
+            # embedding requests): last-token / masked-mean / first-token.
+            R = md.seq_lens.shape[0]
+            S = md.logits_indices.shape[0] // R
+            hid = hidden.astype(jnp.float32)
+            valid = (md.slot_mapping >= 0).astype(jnp.float32)
+            sums = jax.ops.segment_sum(hid * valid[:, None], md.req_idx,
+                                       num_segments=R)
+            counts = jax.ops.segment_sum(valid, md.req_idx, num_segments=R)
+            mean = sums / jnp.maximum(counts, 1.0)[:, None]
+            last = hid[md.logits_indices.reshape(R, S)[:, 0]]
+            cls = hid[md.query_start_loc[:R]]
+            pooled = jnp.stack([last, mean, cls])      # [3, R, D]
+            return kv_caches, logits, pooled
 
         return step
 
@@ -550,18 +564,39 @@ class ModelRunner:
         lora = (None if self.lora_stacks is None else
                 {"stacks": self.lora_stacks, "idx": jnp.asarray(lora_idx)})
         self._rng_key, step_key = jax.random.split(self._rng_key)
-        self.kv_caches, logits = self._jit_step(
+        self.kv_caches, logits, pooled = self._jit_step(
             self.params, self.kv_caches, jnp.asarray(token_ids), md,
             self.tri_flags, lora)
         tokens = self._jit_sample(logits, smd, step_key, mask_dev,
                                   smd.all_greedy, grammar_mask is not None)
         self._step_count += 1
 
+        # Embedding requests: fetch pooled vectors for those finishing now.
+        pooled_out = None
+        pooling_reqs = [
+            (i, rid) for i, rid in enumerate(req_ids)
+            if self.input_batch.get(rid).pooling_params is not None
+            and sampled_valid[i]
+        ]
+        if pooling_reqs:
+            pooled_np = np.asarray(jax.device_get(pooled))  # [3, R, D]
+            kinds = {"last": 0, "mean": 1, "cls": 2}
+            pooled_out = {}
+            for i, rid in pooling_reqs:
+                pp = self.input_batch.get(rid).pooling_params
+                vec = pooled_np[kinds[pp.pooling_type], i]
+                if pp.dimensions:
+                    vec = vec[:pp.dimensions]
+                if pp.normalize:
+                    vec = vec / max(float(np.linalg.norm(vec)), 1e-12)
+                pooled_out[rid] = vec
+
         tokens_np = np.asarray(jax.device_get(tokens)).reshape(R, S)
         self._check_recompilation()
         sampled: list[list[int]] = []
         for i, req_id in enumerate(req_ids):
-            if not sampled_valid[i]:
+            if not sampled_valid[i] or \
+                    self.input_batch.get(req_id).pooling_params is not None:
                 sampled.append([])
                 continue
             drafts = drafts_per_req[i]
@@ -580,7 +615,8 @@ class ModelRunner:
             for tok in out:
                 self.input_batch.append_token(req_id, tok)
 
-        return ModelRunnerOutput(req_ids=req_ids, sampled_token_ids=sampled)
+        return ModelRunnerOutput(req_ids=req_ids, sampled_token_ids=sampled,
+                                 pooled=pooled_out)
 
     # --- warmup -----------------------------------------------------------------
     def capture_graphs(self) -> None:
@@ -713,7 +749,7 @@ class ModelRunner:
         RS = R * self._sample_rows_per_req()
         smd = build_sampling_metadata([], [], RS)
         self._rng_key, step_key = jax.random.split(self._rng_key)
-        self.kv_caches, logits = self._jit_step(
+        self.kv_caches, logits, _pooled = self._jit_step(
             self.params, self.kv_caches, jnp.zeros(T, jnp.int32), md,
             self.tri_flags, self._dummy_lora(T))
         mask = jnp.ones((RS, self.cfg.vocab_size), bool)
