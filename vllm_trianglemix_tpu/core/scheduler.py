@@ -109,6 +109,7 @@ class Scheduler:
             and all(r.num_tokens - r.num_computed_tokens == 1
                     for r in self.running)
             and not any(r.request_id in self.no_lookahead_req_ids
+                        or r.sampling_params.needs_logit_rows
                         for r in self.running))
         num_decode_steps: dict[str, int] = {}
         scheduled_spec_tokens: dict[str, list[int]] = {}
@@ -131,6 +132,7 @@ class Scheduler:
             drafts: list[int] = []
             if (self.proposer is not None and num_new_tokens == 1
                     and request.sampling_params.temperature == 0.0
+                    and not request.sampling_params.needs_logit_rows
                     and request.request_id not in self.no_lookahead_req_ids):
                 room = self.max_model_len - request.num_tokens - 1
                 if request.sampling_params.max_tokens is not None:

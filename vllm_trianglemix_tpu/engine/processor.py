@@ -77,6 +77,20 @@ class Processor:
             raise ValueError(
                 f"prompt length {len(token_ids)} >= max_model_len {max_len}")
 
+        # Tokenize banned words once at admission (reference
+        # sample/ops/bad_words.py expects token sequences; both bare and
+        # space-prefixed forms are banned like the reference).
+        if params.bad_words and params.bad_words_token_ids is None \
+                and self.tokenizer is not None:
+            seqs = []
+            for w in params.bad_words:
+                for form in (w, " " + w):
+                    ids = self.tokenizer.encode(form,
+                                                add_special_tokens=False)
+                    if ids:
+                        seqs.append(list(ids))
+            params.bad_words_token_ids = seqs
+
         # Encode stop strings' token ids are NOT precomputed (stop strings are
         # matched on detokenized text by the output processor).
         return Request(

@@ -62,12 +62,26 @@ def apply_top_k_top_p_min_p(logits: jnp.ndarray,
 
 def sample(logits: jnp.ndarray, md: SamplingMetadata,
            step_key: jnp.ndarray,
-           allowed_mask: jnp.ndarray | None = None) -> jnp.ndarray:
+           allowed_mask: jnp.ndarray | None = None,
+           logit_bias: jnp.ndarray | None = None,
+           penalty_mask: jnp.ndarray | None = None) -> jnp.ndarray:
     """logits f32[R, V] → sampled token ids int32[R].
 
     ``allowed_mask`` bool[R, V] (structured decoding): disallowed tokens
     are masked before BOTH greedy and random paths (reference structured-
-    output bitmask application in the model runner)."""
+    output bitmask application in the model runner).
+
+    ``logit_bias`` f32[R, V]: additive bias (user logit_bias +
+    presence/frequency penalties + min-tokens / bad-words / allowed-ids
+    bans, host-assembled). ``penalty_mask`` bool[R, V]: tokens subject to
+    the multiplicative repetition penalty (reference
+    sample/ops/penalties.py semantics)."""
+    if penalty_mask is not None:
+        rp = md.repetition_penalty[:, None]
+        penalized = jnp.where(logits > 0, logits / rp, logits * rp)
+        logits = jnp.where(penalty_mask, penalized, logits)
+    if logit_bias is not None:
+        logits = logits + logit_bias
     if allowed_mask is not None:
         logits = jnp.where(allowed_mask, logits, NEG_INF)
     greedy_tokens = jnp.argmax(logits, axis=-1).astype(jnp.int32)

@@ -49,6 +49,10 @@ class SamplingParams:
     bad_words: Optional[list[str]] = None
     # filled by the processor:
     all_stop_token_ids: set[int] = field(default_factory=set, repr=False)
+    # tokenized bad words (processor fills from `bad_words` when a
+    # tokenizer is available; may also be provided directly)
+    bad_words_token_ids: Optional[list[list[int]]] = field(
+        default=None, repr=False)
 
     def __post_init__(self):
         if self.n < 1:
@@ -83,3 +87,17 @@ class SamplingParams:
     def sampling_type(self) -> SamplingType:
         return (SamplingType.GREEDY
                 if self.temperature == 0.0 else SamplingType.RANDOM)
+
+    @property
+    def needs_logit_rows(self) -> bool:
+        """True when this request needs host-built per-step logit bias /
+        mask rows (penalties, biases, banned words, min-tokens EOS ban) —
+        these also exclude it from device-side decode lookahead."""
+        return bool(
+            self.presence_penalty != 0.0
+            or self.frequency_penalty != 0.0
+            or self.repetition_penalty != 1.0
+            or self.logit_bias
+            or self.allowed_token_ids is not None
+            or self.bad_words or self.bad_words_token_ids
+            or self.min_tokens > 0)

@@ -330,14 +330,68 @@ class ModelRunner:
         return step
 
     def _build_sample_fn(self):
-        @partial(jax.jit, static_argnames=("all_greedy", "has_mask"))
-        def sample_fn(logits, smd: SamplingMetadata, step_key, mask,
-                      all_greedy: bool, has_mask: bool):
+        @partial(jax.jit,
+                 static_argnames=("all_greedy", "has_mask", "has_bias"))
+        def sample_fn(logits, smd: SamplingMetadata, step_key, mask, bias,
+                      pmask, all_greedy: bool, has_mask: bool,
+                      has_bias: bool):
             smd = smd._replace(all_greedy=all_greedy)
-            return sample_tokens(logits, smd, step_key,
-                                 allowed_mask=mask if has_mask else None)
+            return sample_tokens(
+                logits, smd, step_key,
+                allowed_mask=mask if has_mask else None,
+                logit_bias=bias if has_bias else None,
+                penalty_mask=pmask if has_bias else None)
 
         return sample_fn
+
+    def _build_logit_rows(self, req_ids, R: int, S: int):
+        """Host-assembled per-request logit bias + repetition-penalty mask
+        rows (reference sample/ops/{penalties,bad_words}.py + min-tokens
+        logits processor + allowed_token_ids)."""
+        V = self.cfg.vocab_size
+        bias = np.zeros((R * S, V), np.float32)
+        pmask = np.zeros((R * S, V), bool)
+        for i, req_id in enumerate(req_ids):
+            state = self.input_batch.get(req_id)
+            p = state.sampling_params
+            if not p.needs_logit_rows:
+                continue
+            out_toks = np.asarray(state.token_ids[state.prompt_len:],
+                                  np.int64)
+            row = np.zeros(V, np.float32)
+            if p.presence_penalty != 0.0 or p.frequency_penalty != 0.0:
+                counts = np.bincount(out_toks, minlength=V)[:V]
+                row -= (p.presence_penalty * (counts > 0)
+                        + p.frequency_penalty * counts)
+            if p.logit_bias:
+                for tok, b in p.logit_bias.items():
+                    if 0 <= int(tok) < V:
+                        row[int(tok)] += float(b)
+            if p.allowed_token_ids is not None:
+                banned = np.full(V, -1e10, np.float32)
+                ok = [t for t in p.allowed_token_ids if 0 <= t < V]
+                banned[ok] = 0.0
+                row += banned
+            if p.min_tokens > 0 and len(out_toks) < p.min_tokens:
+                for tok in p.all_stop_token_ids:
+                    if 0 <= tok < V:
+                        row[tok] = -1e10
+            for seq in (p.bad_words_token_ids or []):
+                if not seq:
+                    continue
+                tail = state.token_ids[len(state.token_ids)
+                                       - (len(seq) - 1):] \
+                    if len(seq) > 1 else []
+                if len(seq) == 1 or tail == seq[:-1]:
+                    if 0 <= seq[-1] < V:
+                        row[seq[-1]] = -1e10
+            if p.repetition_penalty != 1.0:
+                seen = np.asarray(state.token_ids, np.int64)
+                prow = np.zeros(V, bool)
+                prow[seen[(seen >= 0) & (seen < V)]] = True
+                pmask[i * S:(i + 1) * S] = prow
+            bias[i * S:(i + 1) * S] = row
+        return bias, pmask
 
     def _build_multi_decode_fn(self):
         """K autoregressive decode steps in one device dispatch
@@ -561,14 +615,24 @@ class ModelRunner:
         else:
             mask_dev = jnp.ones((1, 1), bool)  # placeholder
 
+        has_bias = any(p.needs_logit_rows for p in params_list)
+        if has_bias:
+            bias_np, pmask_np = self._build_logit_rows(req_ids, R, S)
+            bias_dev = jnp.asarray(bias_np)
+            pmask_dev = jnp.asarray(pmask_np)
+        else:
+            bias_dev = jnp.zeros((1, 1), jnp.float32)
+            pmask_dev = jnp.zeros((1, 1), bool)
+
         lora = (None if self.lora_stacks is None else
                 {"stacks": self.lora_stacks, "idx": jnp.asarray(lora_idx)})
         self._rng_key, step_key = jax.random.split(self._rng_key)
         self.kv_caches, logits, pooled = self._jit_step(
             self.params, self.kv_caches, jnp.asarray(token_ids), md,
             self.tri_flags, lora)
-        tokens = self._jit_sample(logits, smd, step_key, mask_dev,
-                                  smd.all_greedy, grammar_mask is not None)
+        tokens = self._jit_sample(logits, smd, step_key, mask_dev, bias_dev,
+                                  pmask_dev, smd.all_greedy,
+                                  grammar_mask is not None, has_bias)
         self._step_count += 1
 
         # Embedding requests: fetch pooled vectors for those finishing now.
@@ -754,8 +818,14 @@ class ModelRunner:
             self.tri_flags, self._dummy_lora(T))
         mask = jnp.ones((RS, self.cfg.vocab_size), bool)
         placeholder = jnp.ones((1, 1), bool)
+        bias = jnp.zeros((RS, self.cfg.vocab_size), jnp.float32)
+        bias_ph = jnp.zeros((1, 1), jnp.float32)
         for all_greedy in (True, False):
             for m, has_mask in ((placeholder, False), (mask, True)):
-                tokens = self._jit_sample(logits, smd, step_key, m,
-                                          all_greedy, has_mask)
-                tokens.block_until_ready()
+                for has_bias in (False, True):
+                    tokens = self._jit_sample(
+                        logits, smd, step_key, m,
+                        bias if has_bias else bias_ph,
+                        mask if has_bias else placeholder,
+                        all_greedy, has_mask, has_bias)
+                    tokens.block_until_ready()
