@@ -69,7 +69,7 @@ def run_config(multi_step: int) -> float:
             dtype="bfloat16",
             max_model_len=1024,
             max_num_seqs=32,
-            max_num_batched_tokens=2048,
+            max_num_batched_tokens=8192,
             skip_tokenizer_init=True,
             load_format="dummy",
             multi_step_decode=multi_step,
@@ -87,7 +87,7 @@ def run_config(multi_step: int) -> float:
 
 def main() -> None:
     try:
-        value = run_config(multi_step=8)
+        value = run_config(multi_step=16)
     except Exception as e:  # noqa: BLE001 — never lose the bench number
         print(f"multi-step bench failed ({type(e).__name__}); "
               "falling back to single-step", file=sys.stderr)

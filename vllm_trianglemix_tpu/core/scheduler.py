@@ -103,8 +103,13 @@ class Scheduler:
         # Multi-step decode eligibility: whole batch decoding, nothing
         # waiting to admit. KV slots for the lookahead are allocated below.
         k_cfg = self.scheduler_config.multi_step_decode
+        # Lookahead must not delay admission — but waiting requests that
+        # cannot be admitted anyway (running set at max_num_seqs) don't
+        # count.
+        waiting_blocked = (not self.waiting
+                           or len(self.running) >= self.max_num_seqs)
         multi_step = (
-            k_cfg > 1 and self.proposer is None and not self.waiting
+            k_cfg > 1 and self.proposer is None and waiting_blocked
             and self.running
             and all(r.num_tokens - r.num_computed_tokens == 1
                     for r in self.running)

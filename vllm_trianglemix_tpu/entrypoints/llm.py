@@ -97,21 +97,46 @@ class LLM:
         if len(lora_request) != n:
             raise ValueError("len(lora_request) != len(prompts)")
 
-        request_ids = []
-        for prompt, params, lora in zip(prompts, sampling_params,
-                                        lora_request):
-            rid = str(self._request_counter)
-            self._request_counter += 1
-            self.llm_engine.add_request(rid, prompt, params, lora_name=lora)
-            request_ids.append(rid)
+        # n>1 fan-out (reference v1/engine/parallel_sampling.py): each
+        # sample runs as its own engine request; results aggregate into
+        # one RequestOutput with n CompletionOutputs.
+        from dataclasses import replace as dc_replace
 
-        order = {rid: i for i, rid in enumerate(request_ids)}
-        results: list[Optional[RequestOutput]] = [None] * n
+        child_map: dict[str, tuple[int, int]] = {}  # rid -> (prompt, k)
+        fanout: list[int] = []
+        for i, (prompt, params, lora) in enumerate(
+                zip(prompts, sampling_params, lora_request)):
+            fanout.append(params.n)
+            for k in range(params.n):
+                child = params
+                if params.n > 1:
+                    child = dc_replace(
+                        params, n=1,
+                        seed=(params.seed + k if params.seed is not None
+                              else None))
+                    child.all_stop_token_ids = set(
+                        params.all_stop_token_ids)
+                rid = str(self._request_counter)
+                self._request_counter += 1
+                self.llm_engine.add_request(rid, prompt, child,
+                                            lora_name=lora)
+                child_map[rid] = (i, k)
+
+        finals: dict[tuple[int, int], RequestOutput] = {}
         while self.llm_engine.has_unfinished_requests():
             for out in self.llm_engine.step():
-                if out.request_id in order:
-                    results[order[out.request_id]] = out
-        assert all(r is not None for r in results)
+                key = child_map.get(out.request_id)
+                if key is not None and out.finished:
+                    finals[key] = out
+
+        results: list[RequestOutput] = []
+        for i in range(n):
+            children = [finals[(i, k)] for k in range(fanout[i])]
+            parent = children[0]
+            for k, child in enumerate(children):
+                child.outputs[0].index = k
+            parent.outputs = [c.outputs[0] for c in children]
+            results.append(parent)
         return results
 
     def encode(
