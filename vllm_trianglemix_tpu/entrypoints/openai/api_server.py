@@ -150,11 +150,15 @@ async def create_chat_completion(request: web.Request) -> web.StreamResponse:
         return _json_error("chat requires a tokenizer with a chat template",
                            501)
     try:
+        template_kwargs = {}
+        if body.tools:
+            template_kwargs["tools"] = body.tools
         prompt_ids = tokenizer.apply_chat_template(
             [m.model_dump(exclude_none=True) for m in body.messages],
             tokenize=True,
             add_generation_prompt=body.add_generation_prompt,
             chat_template=body.chat_template,
+            **template_kwargs,
         )
     except Exception as e:  # noqa: BLE001
         return _json_error(f"chat template failed: {e}")
@@ -176,10 +180,19 @@ async def create_chat_completion(request: web.Request) -> web.StreamResponse:
     usage = UsageCounter()
     usage.prompt_tokens = len(final.prompt_token_ids)
     usage.completion_tokens = len(comp.token_ids)
+    from vllm_trianglemix_tpu.entrypoints.openai.parsers import (
+        parse_chat_output,
+    )
+
+    message = parse_chat_output(comp.text,
+                                enable_tools=bool(body.tools))
+    finish_reason = comp.finish_reason
+    if message.get("tool_calls"):
+        finish_reason = "tool_calls"
     choices = [{
         "index": 0,
-        "message": {"role": "assistant", "content": comp.text},
-        "finish_reason": comp.finish_reason,
+        "message": message,
+        "finish_reason": finish_reason,
     }]
     return web.json_response(
         chat_response(request_id, model, choices, usage.as_dict()))

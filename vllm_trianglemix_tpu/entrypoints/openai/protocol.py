@@ -83,6 +83,9 @@ class ChatCompletionRequest(BaseModel):
     add_generation_prompt: bool = True
     chat_template: Optional[str] = None
     user: Optional[str] = None
+    # tools (hermes-format parsing; templates that support `tools`)
+    tools: Optional[list[dict[str, Any]]] = None
+    tool_choice: Optional[Union[str, dict[str, Any]]] = None
     # OpenAI structured outputs + vLLM guided extensions
     response_format: Optional[dict[str, Any]] = None
     guided_json: Optional[Any] = None
