@@ -241,3 +241,19 @@ def test_embeddings_endpoint(serve):
         assert len(data["data"][0]["embedding"]) == 8
         assert data["usage"]["prompt_tokens"] == 2
     serve(body)
+
+
+def test_logprobs_api_shape(serve):
+    async def body(client):
+        r = await client.post("/v1/completions", json={
+            "prompt": [5, 6, 7], "max_tokens": 3, "temperature": 0.0,
+            "ignore_eos": True, "logprobs": 2,
+        })
+        assert r.status == 200, await r.text()
+        data = await r.json()
+        lp = data["choices"][0]["logprobs"]
+        assert len(lp["tokens"]) == 3
+        assert len(lp["token_logprobs"]) == 3
+        assert all(len(t) <= 2 for t in lp["top_logprobs"])
+        assert lp["text_offset"][0] == 0
+    serve(body)

@@ -119,6 +119,8 @@ class EngineCoreOutput:
     stop_reason: Optional[int | str] = None
     # Embedding requests: the pooled vector (numpy), set on finish.
     pooled_output: Optional[object] = None
+    # Per accepted token: ([sampled_id, topk ids...], [logprobs...]).
+    new_logprobs: Optional[list] = None
 
 
 @dataclass

@@ -114,7 +114,7 @@ class Scheduler:
             and all(r.num_tokens - r.num_computed_tokens == 1
                     for r in self.running)
             and not any(r.request_id in self.no_lookahead_req_ids
-                        or r.sampling_params.needs_logit_rows
+                        or r.sampling_params.needs_host_sampling
                         for r in self.running))
         num_decode_steps: dict[str, int] = {}
         scheduled_spec_tokens: dict[str, list[int]] = {}
@@ -137,7 +137,7 @@ class Scheduler:
             drafts: list[int] = []
             if (self.proposer is not None and num_new_tokens == 1
                     and request.sampling_params.temperature == 0.0
-                    and not request.sampling_params.needs_logit_rows
+                    and not request.sampling_params.needs_host_sampling
                     and request.request_id not in self.no_lookahead_req_ids):
                 room = self.max_model_len - request.num_tokens - 1
                 if request.sampling_params.max_tokens is not None:
@@ -368,6 +368,7 @@ class Scheduler:
                 stopped_reqs.append(request)
 
             if new_token_ids or stopped:
+                lp = (model_output.logprobs or {}).get(req_id)
                 outputs.append(
                     EngineCoreOutput(
                         request_id=req_id,
@@ -375,6 +376,7 @@ class Scheduler:
                         finished=request.is_finished,
                         finish_reason=request.get_finished_reason(),
                         stop_reason=request.stop_reason,
+                        new_logprobs=lp[:accepted] if lp else None,
                     ))
 
         for request in stopped_reqs:

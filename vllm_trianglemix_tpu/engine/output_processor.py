@@ -27,6 +27,9 @@ class RequestState:
     detok: Optional[IncrementalDetokenizer]
     new_token_ids: list[int] = field(default_factory=list)
     stats: RequestStateStats = field(default_factory=RequestStateStats)
+    # per-token {token_id: logprob} dicts (sampled + top-k)
+    logprobs: list = field(default_factory=list)
+    cumulative_logprob: float = 0.0
 
 
 @dataclass
@@ -72,6 +75,10 @@ class OutputProcessor:
                     is_prefilling=state.stats.num_generation_tokens == 0,
                     prompt_len=len(state.request.prompt_token_ids), now=now)
             state.new_token_ids.extend(out.new_token_ids)
+            if out.new_logprobs:
+                for ids, lps in out.new_logprobs:
+                    state.logprobs.append(dict(zip(ids, lps)))
+                    state.cumulative_logprob += lps[0]
             finish_reason = out.finish_reason
             stop_reason = out.stop_reason
 
@@ -103,6 +110,11 @@ class OutputProcessor:
                                 index=0,
                                 text=text,
                                 token_ids=list(token_ids),
+                                cumulative_logprob=(
+                                    state.cumulative_logprob
+                                    if state.logprobs else None),
+                                logprobs=(list(state.logprobs)
+                                          if state.logprobs else None),
                                 finish_reason=finish_reason if finished
                                 else None,
                                 stop_reason=stop_reason if finished else None,

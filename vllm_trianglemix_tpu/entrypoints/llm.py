@@ -139,6 +139,65 @@ class LLM:
             results.append(parent)
         return results
 
+    def beam_search(
+        self,
+        prompts: Sequence[list[int]],
+        beam_width: int = 4,
+        max_tokens: int = 32,
+        ignore_eos: bool = False,
+        length_penalty: float = 1.0,
+    ) -> list[list[dict]]:
+        """Beam search (reference LLM.beam_search): iterative one-token
+        expansion scored by logprobs; the prefix cache makes the repeated
+        prefills cheap. Returns, per prompt, ``beam_width`` dicts with
+        ``token_ids`` (generated suffix) and ``cumulative_logprob``,
+        best first."""
+        eos = self.llm_engine.processor.eos_token_id
+
+        def score(lp: float, n: int) -> float:
+            return lp / (max(n, 1) ** length_penalty)
+
+        results = []
+        for prompt in prompts:
+            beams = [(list(prompt), 0.0)]
+            completed: list[tuple[list[int], float]] = []
+            for _ in range(max_tokens):
+                if not beams:
+                    break
+                outs = self.generate(
+                    [b[0] for b in beams],
+                    SamplingParams(max_tokens=1, temperature=0.0,
+                                   ignore_eos=True,
+                                   logprobs=2 * beam_width))
+                candidates = []
+                for (toks, cum), out in zip(beams, outs):
+                    row = out.outputs[0].logprobs[0]
+                    for tid, lp in sorted(row.items(),
+                                          key=lambda kv: -kv[1]):
+                        candidates.append((toks + [tid], cum + lp))
+                candidates.sort(
+                    key=lambda c: score(c[1], len(c[0]) - len(prompt)),
+                    reverse=True)
+                beams = []
+                for toks, cum in candidates:
+                    if not ignore_eos and eos is not None \
+                            and toks[-1] == eos:
+                        completed.append((toks, cum))
+                    else:
+                        beams.append((toks, cum))
+                    if len(beams) >= beam_width:
+                        break
+            completed.extend(beams)
+            completed.sort(
+                key=lambda c: score(c[1], len(c[0]) - len(prompt)),
+                reverse=True)
+            results.append([
+                {"token_ids": toks[len(prompt):],
+                 "cumulative_logprob": cum}
+                for toks, cum in completed[:beam_width]
+            ])
+        return results
+
     def encode(
         self,
         prompts: Union[PromptType, Sequence[PromptType]],

@@ -123,15 +123,36 @@ async def create_completion(request: web.Request) -> web.StreamResponse:
     except ValueError as e:
         return _json_error(str(e))
 
+    tokenizer = engine.tokenizer
     for i, final in sorted(results):
         comp = final.outputs[0]
         usage.prompt_tokens += len(final.prompt_token_ids)
         usage.completion_tokens += len(comp.token_ids)
+        lp_block = None
+        if comp.logprobs is not None:
+            # OpenAI legacy logprobs shape.
+            def tok_str(tid):
+                return (tokenizer.decode([tid]) if tokenizer is not None
+                        else str(tid))
+
+            k = body.logprobs or 0
+            lp_block = {"tokens": [], "token_logprobs": [],
+                        "top_logprobs": [], "text_offset": []}
+            offset = 0
+            for tid, row in zip(comp.token_ids, comp.logprobs):
+                s = tok_str(tid)
+                lp_block["tokens"].append(s)
+                lp_block["token_logprobs"].append(row.get(tid))
+                top = sorted(row.items(), key=lambda kv: -kv[1])[:k]
+                lp_block["top_logprobs"].append(
+                    {tok_str(t): v for t, v in top})
+                lp_block["text_offset"].append(offset)
+                offset += len(s)
         choices.append({
             "index": i,
             "text": comp.text,
             "finish_reason": comp.finish_reason,
-            "logprobs": None,
+            "logprobs": lp_block,
         })
     return web.json_response(
         completion_response(request_id, model, choices, usage.as_dict()))

@@ -89,6 +89,13 @@ class SamplingParams:
                 if self.temperature == 0.0 else SamplingType.RANDOM)
 
     @property
+    def needs_host_sampling(self) -> bool:
+        """Excluded from device-side decode lookahead / speculation:
+        per-step host state (logit rows) or per-step host outputs
+        (logprobs)."""
+        return self.needs_logit_rows or self.logprobs is not None
+
+    @property
     def needs_logit_rows(self) -> bool:
         """True when this request needs host-built per-step logit bias /
         mask rows (penalties, biases, banned words, min-tokens EOS ban) —

@@ -36,7 +36,10 @@ from vllm_trianglemix_tpu.sample.metadata import (
     SamplingMetadata,
     build_sampling_metadata,
 )
-from vllm_trianglemix_tpu.sample.sampler import sample as sample_tokens
+from vllm_trianglemix_tpu.sample.sampler import (
+    gather_logprobs,
+    sample as sample_tokens,
+)
 from vllm_trianglemix_tpu.worker.input_batch import InputBatch
 
 logger = init_logger(__name__)
@@ -179,6 +182,8 @@ class ModelRunner:
 
         self._jit_step = self._build_step_fn()
         self._jit_sample = self._build_sample_fn()
+        self._jit_logprobs = partial(jax.jit, static_argnames=(
+            "num_logprobs",))(gather_logprobs)
         self._jit_multi_decode = self._build_multi_decode_fn()
 
     # --- init helpers ------------------------------------------------------
@@ -655,6 +660,20 @@ class ModelRunner:
                     vec = vec / max(float(np.linalg.norm(vec)), 1e-12)
                 pooled_out[rid] = vec
 
+        lp_reqs = [
+            (i, rid) for i, rid in enumerate(req_ids)
+            if self.input_batch.get(rid).sampling_params.logprobs is not None
+        ]
+        lp_ids = lp_vals = None
+        if lp_reqs:
+            k = max(1, min(20, max(
+                self.input_batch.get(rid).sampling_params.logprobs or 1
+                for _, rid in lp_reqs)))
+            ids_dev, lps_dev = self._jit_logprobs(logits, tokens,
+                                                  num_logprobs=k)
+            lp_ids = np.asarray(jax.device_get(ids_dev)).reshape(R, S, -1)
+            lp_vals = np.asarray(jax.device_get(lps_dev)).reshape(R, S, -1)
+
         tokens_np = np.asarray(jax.device_get(tokens)).reshape(R, S)
         self._check_recompilation()
         sampled: list[list[int]] = []
@@ -679,8 +698,17 @@ class ModelRunner:
             for tok in out:
                 self.input_batch.append_token(req_id, tok)
 
+        logprobs_out = None
+        if lp_reqs:
+            logprobs_out = {}
+            for i, rid in lp_reqs:
+                n_acc = len(sampled[i])
+                logprobs_out[rid] = [
+                    (lp_ids[i, j].tolist(), lp_vals[i, j].tolist())
+                    for j in range(n_acc)
+                ]
         return ModelRunnerOutput(req_ids=req_ids, sampled_token_ids=sampled,
-                                 pooled=pooled_out)
+                                 pooled=pooled_out, logprobs=logprobs_out)
 
     # --- warmup -----------------------------------------------------------------
     def capture_graphs(self) -> None:
