@@ -70,8 +70,30 @@ def check_kv_update():
     print("kv_cache_update (dynamic-length DMA, bf16): OK")
 
 
+def check_quantized_kv_attention():
+    from tests.attention.test_kv_cache_quant import quantized_batch
+
+    for cache_dtype, scale in ((jnp.float8_e4m3fn, 0.25),
+                               (jnp.int8, 4.0 / 127)):
+        q, cache, md = quantized_batch(cache_dtype, scale)
+        q = q.astype(jnp.bfloat16)
+        common = dict(scale=128 ** -0.5, sink=4, window=32, last=64,
+                      dense_threshold=2048, k_scale=scale, v_scale=scale)
+        got = np.asarray(ragged_paged_attention_pallas(q, cache, md, False,
+                                                       **common))
+        ref = np.asarray(ragged_paged_attention_xla(q, cache, md, False,
+                                                    **common))
+        T = int(md.query_start_loc[-1])
+        err = np.abs(got[:T].astype(np.float32)
+                     - ref[:T].astype(np.float32)).max()
+        assert err < 5e-2, (cache_dtype, err)
+        print(f"quantized KV attention ({cache_dtype.__name__}): OK,",
+              "max err", err)
+
+
 if __name__ == "__main__":
     assert jax.default_backend() == "tpu", jax.default_backend()
     check_attention()
     check_kv_update()
+    check_quantized_kv_attention()
     print("TPU smoke: all OK")

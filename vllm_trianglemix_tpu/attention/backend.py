@@ -37,6 +37,21 @@ def kv_cache_shape(num_blocks: int, block_size: int, num_kv_heads: int,
     return (num_blocks, block_size, 2 * num_kv_heads, head_dim)
 
 
+def quantize_kv(k: jnp.ndarray, v: jnp.ndarray, cache_dtype,
+                k_scale: float, v_scale: float):
+    """Quantize new K/V rows into the cache dtype (reference
+    write_to_kv_cache FP8/INT8 inline quantization, pallas.py:313-356)."""
+    if cache_dtype == jnp.int8:
+        k = jnp.clip(jnp.round(k.astype(jnp.float32) / k_scale),
+                     -127, 127).astype(jnp.int8)
+        v = jnp.clip(jnp.round(v.astype(jnp.float32) / v_scale),
+                     -127, 127).astype(jnp.int8)
+    elif cache_dtype == jnp.float8_e4m3fn:
+        k = (k.astype(jnp.float32) / k_scale).astype(jnp.float8_e4m3fn)
+        v = (v.astype(jnp.float32) / v_scale).astype(jnp.float8_e4m3fn)
+    return k, v
+
+
 def write_to_kv_cache(kv_cache: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                       slot_mapping: jnp.ndarray) -> jnp.ndarray:
     """Scatter new K/V rows into the paged cache.
@@ -62,11 +77,14 @@ def write_to_kv_cache(kv_cache: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
 
 def write_kv(kv_cache: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
-             md: AttentionMetadata) -> jnp.ndarray:
+             md: AttentionMetadata, kv_quant=None) -> jnp.ndarray:
     """Dispatch: Pallas slice-DMA scatter on TPU when the runner provided
-    update slices, else the XLA scatter."""
+    update slices, else the XLA scatter. ``kv_quant=(k_scale, v_scale)``
+    quantizes into a sub-bf16 cache dtype on write."""
     from vllm_trianglemix_tpu import envs
 
+    if kv_quant is not None and kv_cache.dtype != k.dtype:
+        k, v = quantize_kv(k, v, kv_cache.dtype, *kv_quant)
     if (md.kv_slices is not None and not envs.VTT_DISABLE_PALLAS
             and _pallas_supported(k)):
         from vllm_trianglemix_tpu.ops.kv_cache_update import (
@@ -81,7 +99,8 @@ def write_kv(kv_cache: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
 
 @partial(jax.jit, static_argnames=("sink", "window", "last",
-                                   "dense_threshold", "soft_cap", "scale"))
+                                   "dense_threshold", "soft_cap", "scale",
+                                   "k_scale", "v_scale"))
 def ragged_paged_attention_xla(
     q: jnp.ndarray,               # [T, HQ, D]
     kv_cache: jnp.ndarray,        # [num_blocks, page, 2*KH, D]
@@ -95,6 +114,8 @@ def ragged_paged_attention_xla(
     last: int = 64,
     dense_threshold: int = 2048,
     soft_cap: float = 0.0,
+    k_scale=None,
+    v_scale=None,
 ) -> jnp.ndarray:
     """Reference ragged paged attention, O(T × max_ctx) but pure XLA.
 
@@ -120,8 +141,10 @@ def ragged_paged_attention_xla(
     v_t = v[md.req_idx]
 
     qf = q.reshape(T, KH, G, D).astype(jnp.float32)
-    scores = jnp.einsum("tkgd,tckd->tkgc", qf * scale,
-                        k_t.astype(jnp.float32))
+    k_f = k_t.astype(jnp.float32)
+    if k_scale is not None:
+        k_f = k_f * k_scale
+    scores = jnp.einsum("tkgd,tckd->tkgc", qf * scale, k_f)
     if soft_cap > 0.0:
         scores = soft_cap * jnp.tanh(scores / soft_cap)
 
@@ -143,7 +166,10 @@ def ragged_paged_attention_xla(
     probs = jax.nn.softmax(scores, axis=-1)
     # Fully-masked (padded) rows produce uniform probs; their output is
     # garbage but they are never read (logits_indices skips them).
-    out = jnp.einsum("tkgc,tckd->tkgd", probs, v_t.astype(jnp.float32))
+    v_f = v_t.astype(jnp.float32)
+    if v_scale is not None:
+        v_f = v_f * v_scale
+    out = jnp.einsum("tkgc,tckd->tkgd", probs, v_f)
     return out.reshape(T, HQ, D).astype(q.dtype)
 
 

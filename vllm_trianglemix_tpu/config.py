@@ -99,6 +99,9 @@ class ModelConfig:
     quantization: Optional[str] = None
     # KV cache dtype: "auto" (model dtype) | "fp8" | "int8"
     kv_cache_dtype: str = "auto"
+    # Static dequant scale for fp8/int8 KV (reference k_scale/v_scale
+    # plumbing, pallas.py:282-305); same scale for K and V.
+    kv_cache_scale: float = 1.0
     tokenizer: Optional[str] = None  # defaults to `model`
     skip_tokenizer_init: bool = False
     # "auto" = safetensors if present else random; "dummy" = always random
@@ -224,6 +227,10 @@ class EngineConfig:
     # process over ZMQ (reference EngineCoreProc, core.py:453) instead of
     # in the frontend process.
     multiprocess_engine: bool = False
+    # KV connector (reference kv_transfer): e.g.
+    # {"type": "shared_storage", "path": "/mnt/kv"} enables cross-engine
+    # prefix reuse / P-D disaggregation.
+    kv_connector: Optional[dict] = None
 
     model: ModelConfig = field(default_factory=ModelConfig)
     cache: CacheConfig = field(default_factory=CacheConfig)

@@ -80,6 +80,11 @@ class SchedulerOutput:
     # (reference scheduled_spec_decode_tokens). The drafts are counted in
     # num_scheduled_tokens; the runner splices them after the real token.
     scheduled_spec_tokens: dict[str, list[int]] = field(default_factory=dict)
+    # KV connector ops (reference KVConnector worker role): blocks to pull
+    # from / push to the external store this step, as
+    # (block_hash_hex, block_id) pairs.
+    kv_load_ops: list = field(default_factory=list)
+    kv_save_ops: list = field(default_factory=list)
 
     @property
     def max_decode_steps(self) -> int:

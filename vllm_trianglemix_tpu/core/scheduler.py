@@ -39,8 +39,10 @@ class Scheduler:
         kv_cache_config: KVCacheConfig,
         max_model_len: int,
         speculative_config=None,
+        kv_connector=None,
     ) -> None:
         self.scheduler_config = scheduler_config
+        self.kv_connector = kv_connector
         self.proposer = None
         self.num_spec_tokens = 0
         if speculative_config is not None and speculative_config.enabled:
@@ -118,6 +120,24 @@ class Scheduler:
                         for r in self.running))
         num_decode_steps: dict[str, int] = {}
         scheduled_spec_tokens: dict[str, list[int]] = {}
+        kv_load_ops: list = []
+        kv_save_ops: list = []
+
+        # KV connector push: newly-filled full blocks since last step
+        # (reference: connector save hooks in update_from_output).
+        if self.kv_connector is not None:
+            for request in self.running:
+                full = min(request.num_computed_tokens // self.block_size,
+                           len(request.block_hashes))
+                saved = getattr(request, "_kv_saved_blocks", 0)
+                if full > saved:
+                    ids = self.kv_cache_manager.get_block_ids(
+                        request.request_id)
+                    for j in range(saved, full):
+                        h = request.block_hashes[j].hash_value.hex()
+                        if not self.kv_connector.exists(h):
+                            kv_save_ops.append((h, ids[j]))
+                    request._kv_saved_blocks = full
 
         scheduled_new_reqs: list[Request] = []
         scheduled_resumed_reqs: list[Request] = []
@@ -214,10 +234,27 @@ class Scheduler:
                     self.kv_cache_manager.get_computed_blocks(request)
                     if request.status == RequestStatus.WAITING else
                     (None, 0))
+                num_external_tokens = 0
                 if request.status == RequestStatus.WAITING:
                     request.num_computed_tokens = num_hit_tokens
                     if request.num_cached_tokens < 0:
                         request.num_cached_tokens = num_hit_tokens
+                    # External KV (reference scheduler.py:389
+                    # get_num_new_matched_tokens): blocks available in the
+                    # connector beyond the local hit load instead of
+                    # recompute.
+                    if self.kv_connector is not None:
+                        num_external_tokens = \
+                            self.kv_connector.get_num_new_matched_tokens(
+                                request.block_hashes, num_hit_tokens,
+                                self.block_size)
+                        # sampling needs >= 1 computable token
+                        cap = request.num_tokens - 1 - num_hit_tokens
+                        num_external_tokens = max(
+                            0, min(num_external_tokens,
+                                   (cap // self.block_size)
+                                   * self.block_size))
+                        request.num_computed_tokens += num_external_tokens
 
                 num_new_tokens = request.num_tokens - request.num_computed_tokens
                 if self.scheduler_config.long_prefill_token_threshold > 0:
@@ -235,6 +272,20 @@ class Scheduler:
                 )
                 if new_blocks is None:
                     break  # out of KV space; keep waiting
+
+                if num_external_tokens > 0:
+                    # Schedule loads for the externally-cached blocks just
+                    # allocated: indices [hit_blocks, hit+ext_blocks).
+                    all_ids = self.kv_cache_manager.get_block_ids(
+                        request.request_id)
+                    b0 = (request.num_computed_tokens
+                          - num_external_tokens) // self.block_size
+                    b1 = request.num_computed_tokens // self.block_size
+                    for j in range(b0, b1):
+                        kv_load_ops.append(
+                            (request.block_hashes[j].hash_value.hex(),
+                             all_ids[j]))
+                    request.num_cached_tokens += num_external_tokens
 
                 self.waiting.pop_request()
                 was_preempted = request.status == RequestStatus.PREEMPTED
@@ -280,6 +331,8 @@ class Scheduler:
             finished_req_ids=self.finished_req_ids,
             num_decode_steps=num_decode_steps,
             scheduled_spec_tokens=scheduled_spec_tokens,
+            kv_load_ops=kv_load_ops,
+            kv_save_ops=kv_save_ops,
         )
         self.finished_req_ids = set()
         return output

@@ -39,12 +39,17 @@ class EngineCore:
             num_blocks=self.executor.num_kv_blocks,
             kv_cache_groups=(KVCacheGroupSpec(("all_layers",), spec),),
         )
+        from vllm_trianglemix_tpu.distributed.kv_connector import (
+            create_connector,
+        )
+
         self.scheduler = Scheduler(
             scheduler_config=engine_config.scheduler,
             cache_config=engine_config.cache,
             kv_cache_config=kv_cache_config,
             max_model_len=engine_config.model.max_model_len,
             speculative_config=engine_config.speculative,
+            kv_connector=create_connector(engine_config.kv_connector),
         )
 
         # Structured-output manager (reference v1/structured_output role).

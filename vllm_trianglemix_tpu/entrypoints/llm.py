@@ -49,13 +49,19 @@ class LLM:
         warmup: bool = False,
         quantization: Optional[str] = None,
         load_format: str = "auto",
+        kv_cache_dtype: str = "auto",
+        kv_cache_scale: float = 1.0,
+        kv_connector: Optional[dict] = None,
     ) -> None:
         self.engine_config = EngineConfig(
+            kv_connector=kv_connector,
             model=ModelConfig(model=model, dtype=dtype,
                               max_model_len=max_model_len, seed=seed,
                               skip_tokenizer_init=skip_tokenizer_init,
                               quantization=quantization,
-                              load_format=load_format),
+                              load_format=load_format,
+                              kv_cache_dtype=kv_cache_dtype,
+                              kv_cache_scale=kv_cache_scale),
             cache=CacheConfig(block_size=block_size,
                               num_gpu_blocks=num_kv_blocks,
                               enable_prefix_caching=enable_prefix_caching),

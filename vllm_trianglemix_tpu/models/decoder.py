@@ -66,6 +66,11 @@ class DecoderConfig:
     # family switches
     use_qk_norm: bool = False
     use_qkv_bias: bool = False
+    # Mixture-of-experts (Qwen3-MoE): 0 experts = dense MLP
+    num_experts: int = 0
+    num_experts_per_tok: int = 0
+    moe_intermediate_size: int = 0
+    norm_topk_prob: bool = True
 
     @classmethod
     def from_hf_config(cls, cfg: dict[str, Any]) -> "DecoderConfig":
@@ -89,6 +94,10 @@ class DecoderConfig:
             max_position_embeddings=cfg.get("max_position_embeddings", 40960),
             eos_token_id=eos,
             bos_token_id=cfg.get("bos_token_id", 151643),
+            num_experts=cfg.get("num_experts", 0),
+            num_experts_per_tok=cfg.get("num_experts_per_tok", 0),
+            moe_intermediate_size=cfg.get("moe_intermediate_size", 0),
+            norm_topk_prob=cfg.get("norm_topk_prob", True),
         )
 
     @classmethod
@@ -111,10 +120,17 @@ def shape_tree(cfg: DecoderConfig) -> dict:
         "v_proj": (L, D, KH * Dh),
         "o_proj": (L, HQ * Dh, D),
         "post_attention_layernorm": (L, D),
-        "gate_proj": (L, D, I),
-        "up_proj": (L, D, I),
-        "down_proj": (L, I, D),
     }
+    if cfg.num_experts > 0:
+        E, Im = cfg.num_experts, cfg.moe_intermediate_size
+        layers["moe_gate"] = (L, D, E)
+        layers["gate_proj"] = (L, E, D, Im)
+        layers["up_proj"] = (L, E, D, Im)
+        layers["down_proj"] = (L, E, Im, D)
+    else:
+        layers["gate_proj"] = (L, D, I)
+        layers["up_proj"] = (L, D, I)
+        layers["down_proj"] = (L, I, D)
     if cfg.use_qk_norm:
         layers["q_norm"] = (L, Dh)
         layers["k_norm"] = (L, Dh)
@@ -141,10 +157,18 @@ def partition_specs(cfg: DecoderConfig, quantized: str | None = None) -> dict:
         "v_proj": P(None, None, "tp"),
         "o_proj": P(None, "tp", None),
         "post_attention_layernorm": P(None, None),
-        "gate_proj": P(None, None, "tp"),
-        "up_proj": P(None, None, "tp"),
-        "down_proj": P(None, "tp", None),
     }
+    if cfg.num_experts > 0:
+        # experts tensor-sharded on the ffn axis (true expert parallelism
+        # = shard the E axis instead; both are one spec change here)
+        layers["moe_gate"] = P(None, None, None)
+        layers["gate_proj"] = P(None, None, None, "tp")
+        layers["up_proj"] = P(None, None, None, "tp")
+        layers["down_proj"] = P(None, None, "tp", None)
+    else:
+        layers["gate_proj"] = P(None, None, "tp")
+        layers["up_proj"] = P(None, None, "tp")
+        layers["down_proj"] = P(None, "tp", None)
     if cfg.use_qk_norm:
         layers["q_norm"] = P(None, None)
         layers["k_norm"] = P(None, None)
@@ -193,6 +217,7 @@ def init_random(cfg: DecoderConfig, seed: int = 0, dtype=jnp.bfloat16) -> dict:
 
 _HF_LAYER_MAP = {
     "input_layernorm": "model.layers.{i}.input_layernorm.weight",
+    "moe_gate": "model.layers.{i}.mlp.gate.weight",
     "q_proj": "model.layers.{i}.self_attn.q_proj.weight",
     "k_proj": "model.layers.{i}.self_attn.k_proj.weight",
     "v_proj": "model.layers.{i}.self_attn.v_proj.weight",
@@ -210,7 +235,7 @@ _HF_LAYER_MAP = {
 }
 # HF nn.Linear stores [out_features, in_features]; we store [in, out].
 _TRANSPOSED = {"q_proj", "k_proj", "v_proj", "o_proj", "gate_proj",
-               "up_proj", "down_proj"}
+               "up_proj", "down_proj", "moe_gate"}
 
 
 def params_from_hf_state_dict(cfg: DecoderConfig, get_tensor,
@@ -242,6 +267,18 @@ def params_from_hf_state_dict(cfg: DecoderConfig, get_tensor,
             mats.append(w)
         return jnp.asarray(np.stack(mats), dtype=dtype)
 
+    def stack_experts(key: str) -> jnp.ndarray:
+        # [L, E, Din, Dout] from per-expert HF linears
+        mats = []
+        for i in range(L):
+            per_e = []
+            for e in range(cfg.num_experts):
+                name = (f"model.layers.{i}.mlp.experts.{e}."
+                        f"{key}.weight")
+                per_e.append(np.asarray(get_tensor(name)).T)
+            mats.append(np.stack(per_e))
+        return jnp.asarray(np.stack(mats), dtype=dtype)
+
     def stack_quant(key: str) -> QuantLinear:
         loader = (load_awq_linear if quant["method"] == "awq"
                   else load_gptq_linear)
@@ -261,7 +298,10 @@ def params_from_hf_state_dict(cfg: DecoderConfig, get_tensor,
     layer_keys = set(shape_tree(cfg)["layers"])
     layers = {}
     for k in layer_keys:
-        if quant is not None and k in QUANTIZED_KEYS:
+        if (cfg.num_experts > 0
+                and k in ("gate_proj", "up_proj", "down_proj")):
+            layers[k] = stack_experts(k)
+        elif quant is not None and k in QUANTIZED_KEYS:
             layers[k] = stack_quant(k)
         else:
             layers[k] = stack(k)
@@ -280,6 +320,35 @@ def params_from_hf_state_dict(cfg: DecoderConfig, get_tensor,
 
 # --- forward ------------------------------------------------------------------
 
+def _moe_mlp(h: jnp.ndarray, lp: dict, cfg: DecoderConfig) -> jnp.ndarray:
+    """Sparse-MoE MLP, TPU-style (reference fused_moe/moe_pallas.py:
+    evaluate experts densely, weight by the top-k routing mask — a
+    lax.scan over experts keeps memory at one dense MLP; megablox-style
+    grouped GEMM is the later optimization). Routing matches HF
+    Qwen3MoeSparseMoeBlock: softmax over all experts, top-k, optional
+    renorm."""
+    T, D = h.shape
+    logits = (h @ lp["moe_gate"]).astype(jnp.float32)       # [T, E]
+    probs = jax.nn.softmax(logits, axis=-1)
+    topv, topi = jax.lax.top_k(probs, cfg.num_experts_per_tok)
+    if cfg.norm_topk_prob:
+        topv = topv / jnp.maximum(topv.sum(-1, keepdims=True), 1e-20)
+    weights = jnp.zeros((T, cfg.num_experts), jnp.float32)
+    weights = weights.at[
+        jnp.arange(T)[:, None], topi].set(topv)             # [T, E]
+
+    def expert(acc, xs):
+        wg, wu, wd, w_t = xs                                # w_t [T]
+        y = silu_and_mul(h @ wg, h @ wu) @ wd               # [T, D]
+        return acc + w_t[:, None] * y.astype(jnp.float32), None
+
+    acc, _ = jax.lax.scan(
+        expert, jnp.zeros((T, D), jnp.float32),
+        (lp["gate_proj"], lp["up_proj"], lp["down_proj"],
+         weights.T))
+    return acc.astype(h.dtype)
+
+
 def forward(
     params: dict,
     cfg: DecoderConfig,
@@ -290,6 +359,8 @@ def forward(
     tri_flags: jnp.ndarray,        # bool[L] triangle layer selector
     lora=None,                     # {"stacks": {mod: (A[L,S,.,r], B)},
                                    #  "idx": int32[T]} or None
+    kv_quant=None,                 # (k_scale, v_scale) static floats when
+                                   # the cache dtype is fp8/int8
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """One step over a ragged token batch. Returns (hidden[T, D], new_kv)."""
     Dh = cfg.head_dim
@@ -307,6 +378,9 @@ def forward(
         last=tri_cfg.num_last_tokens,
         dense_threshold=tri_cfg.dense_threshold,
     )
+    if kv_quant is not None:
+        attn_kwargs["k_scale"] = kv_quant[0]
+        attn_kwargs["v_scale"] = kv_quant[1]
 
     lora_stacks = lora["stacks"] if lora is not None else {}
     if lora is not None:
@@ -343,12 +417,15 @@ def forward(
             q = rms_norm(q, lp["q_norm"], eps)
             k = rms_norm(k, lp["k_norm"], eps)
         q, k = apply_rope(q, k, cos, sin)
-        kv = write_kv(kv, k, v, md)
+        kv = write_kv(kv, k, v, md, kv_quant=kv_quant)
         attn = ragged_paged_attention(q, kv, md, tri, **attn_kwargs)
         x = x + proj(attn.reshape(T, HQ * Dh), "o_proj")
         h2 = rms_norm(x, lp["post_attention_layernorm"], eps)
-        mlp = silu_and_mul(proj(h2, "gate_proj"), proj(h2, "up_proj"))
-        x = x + proj(mlp, "down_proj")
+        if cfg.num_experts > 0:
+            x = x + _moe_mlp(h2, lp, cfg)
+        else:
+            mlp = silu_and_mul(proj(h2, "gate_proj"), proj(h2, "up_proj"))
+            x = x + proj(mlp, "down_proj")
         return x, kv
 
     x, new_kv = jax.lax.scan(

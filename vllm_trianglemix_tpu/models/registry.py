@@ -21,6 +21,8 @@ import os
 _REGISTRY: dict[str, tuple[str, str]] = {
     # architecture -> (module, config attr)
     "Qwen3ForCausalLM": ("vllm_trianglemix_tpu.models.qwen3", "Qwen3Config"),
+    "Qwen3MoeForCausalLM": ("vllm_trianglemix_tpu.models.qwen3_moe",
+                            "Qwen3MoeConfig"),
     "Qwen2ForCausalLM": ("vllm_trianglemix_tpu.models.qwen2", "Qwen2Config"),
     "LlamaForCausalLM": ("vllm_trianglemix_tpu.models.llama", "LlamaConfig"),
 }

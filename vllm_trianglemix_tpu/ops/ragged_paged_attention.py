@@ -142,6 +142,19 @@ def _split_kv_heads(kv_ref, kv_head_start: int, num_combined: int,
         v = pltpu.bitcast(b & jnp.uint32(0xFFFF0000),
                           jnp.float32).astype(jnp.bfloat16)
         return [k], [v]
+    if packing == 4:
+        # 8-bit KV (int8 / fp8 e4m3): one packed word holds sublanes
+        # (K_h, V_h, K_{h+1}, V_{h+1}); shift-extract each byte lane.
+        assert start % 4 == 0
+        packed = kv_ref.bitcast(jnp.uint32)
+        b = packed[start // 4::num_combined // 4, :]
+        k_list, v_list = [], []
+        for i in range(0, 4, 2):
+            bk = (b >> (i * 8)).astype(jnp.uint8)
+            bv = (b >> ((i + 1) * 8)).astype(jnp.uint8)
+            k_list.append(pltpu.bitcast(bk, kv_ref.dtype))
+            v_list.append(pltpu.bitcast(bv, kv_ref.dtype))
+        return k_list, v_list
     raise NotImplementedError(f"kv dtype {kv_ref.dtype}")
 
 

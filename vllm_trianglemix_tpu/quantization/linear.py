@@ -139,6 +139,10 @@ def quantize_params(params: dict, method: str) -> dict:
     out = dict(params)
     out["layers"] = dict(params["layers"])
     for key in QUANTIZED_KEYS:
-        if key in out["layers"]:
-            out["layers"][key] = fn(out["layers"][key])
+        w = out["layers"].get(key)
+        # MoE expert stacks [L, E, Din, Dout] keep full precision for now
+        # (the dense-eval MoE path consumes raw arrays).
+        if w is not None and not isinstance(w, QuantLinear) \
+                and w.ndim <= 3:
+            out["layers"][key] = fn(w)
     return out

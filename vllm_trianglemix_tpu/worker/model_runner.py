@@ -164,7 +164,16 @@ class ModelRunner:
 
         # --- KV cache ---------------------------------------------------------
         self.num_kv_blocks = self._determine_num_kv_blocks()
-        kv_dtype = self.dtype  # fp8/int8 KV handled by quantization rounds
+        self.kv_quant = None
+        kv_dtype = self.dtype
+        if self.model_config.kv_cache_dtype == "fp8":
+            kv_dtype = jnp.float8_e4m3fn
+            s_ = float(self.model_config.kv_cache_scale)
+            self.kv_quant = (s_, s_)
+        elif self.model_config.kv_cache_dtype == "int8":
+            kv_dtype = jnp.int8
+            s_ = float(self.model_config.kv_cache_scale)
+            self.kv_quant = (s_, s_)
         self.kv_caches = jnp.zeros(
             (self.cfg.num_hidden_layers,
              *kv_cache_shape(self.num_kv_blocks, self.block_size,
@@ -175,6 +184,13 @@ class ModelRunner:
             self.kv_caches = jax.device_put(
                 self.kv_caches,
                 NamedSharding(self.mesh, P(None, None, None, "tp", None)))
+
+        # KV connector (worker role: move pages device<->store)
+        from vllm_trianglemix_tpu.distributed.kv_connector import (
+            create_connector,
+        )
+
+        self.kv_connector = create_connector(engine_config.kv_connector)
 
         # step key for sampling randomness
         self._rng_key = jax.random.PRNGKey(self.model_config.seed)
@@ -308,12 +324,14 @@ class ModelRunner:
         cheap sampling stage."""
         model, cfg, tri_cfg = self.model, self.cfg, self.tri_cfg
 
+        kv_quant = self.kv_quant
+
         @partial(jax.jit, donate_argnums=(1,))
         def step(params, kv_caches, token_ids, md: AttentionMetadata,
                  tri_flags, lora):
             hidden, kv_caches = model.forward(
                 params, cfg, tri_cfg, token_ids, kv_caches, md, tri_flags,
-                lora=lora)
+                lora=lora, kv_quant=kv_quant)
             sel = hidden[md.logits_indices]            # [R*S, D]
             logits = model.compute_logits(params, cfg, sel)
 
@@ -406,6 +424,7 @@ class ModelRunner:
         reference's async scheduler hides one step; this hides K)."""
         model, cfg, tri_cfg = self.model, self.cfg, self.tri_cfg
         page = self.block_size
+        kv_quant = self.kv_quant
 
         @partial(jax.jit, donate_argnums=(1,),
                  static_argnames=("num_steps", "all_greedy"))
@@ -446,7 +465,8 @@ class ModelRunner:
                     num_kv_slices=jnp.asarray(R, jnp.int32),
                 )
                 hidden, kv = model.forward(params, cfg, tri_cfg, toks, kv,
-                                           md, tri_flags, lora=lora)
+                                           md, tri_flags, lora=lora,
+                                           kv_quant=kv_quant)
                 logits = model.compute_logits(params, cfg, hidden)
                 toks = sample_tokens(logits, smd_g,
                                      jax.random.fold_in(step_key, i))
@@ -515,6 +535,7 @@ class ModelRunner:
     def execute_model(self, scheduler_output: SchedulerOutput
                       ) -> ModelRunnerOutput:
         self.input_batch.update_from_scheduler_output(scheduler_output)
+        self._run_kv_connector_ops(scheduler_output)
         if scheduler_output.total_num_scheduled_tokens == 0:
             return ModelRunnerOutput()
         if scheduler_output.num_decode_steps and \
@@ -802,6 +823,24 @@ class ModelRunner:
                 self.model_config.model = old
         else:
             self.params = self._load_params()
+
+    def _run_kv_connector_ops(self, scheduler_output) -> None:
+        """Execute the step's external-KV transfers (reference
+        KVConnector worker role): pull externally-cached blocks into the
+        device cache before the forward pass; push blocks filled in
+        earlier steps to the store."""
+        if self.kv_connector is None:
+            return
+        for h, bid in scheduler_output.kv_load_ops:
+            arr = self.kv_connector.load_block(h)
+            if arr is None:
+                logger.error("kv connector miss for block %s", h)
+                continue
+            self.kv_caches = self.kv_caches.at[:, bid].set(
+                jnp.asarray(arr, self.kv_caches.dtype))
+        for h, bid in scheduler_output.kv_save_ops:
+            arr = np.asarray(jax.device_get(self.kv_caches[:, bid]))
+            self.kv_connector.save_block(h, arr)
 
     def _sample_rows_per_req(self) -> int:
         """Sampling rows per request: 1 normally; 1+k when speculative
