@@ -81,14 +81,19 @@ def select_head_block(num_q_heads: int, num_combined_kv_heads: int,
 
 
 def default_block_sizes(page_size: int, max_q_tokens: int,
-                        pages_per_seq: int) -> tuple[int, int]:
+                        pages_per_seq: int,
+                        q_heads_blk: int = 8) -> tuple[int, int]:
     """(num_kv_pages_per_blk, num_q_per_blk) heuristic.
 
-    Target ~256 KV tokens and up to 128 query rows per inner tile; shrink to
-    the actual problem so tiny shapes don't over-allocate VMEM.
+    Target ~256 KV tokens per inner tile and bound the fp32 accumulator
+    (q_blk x q_heads x head_dim) + l/m scratch to fit the ~16 MB VMEM
+    budget alongside the double-buffered KV pages; shrink for tiny
+    problems so they don't over-allocate.
     """
     kv_pages = max(1, min(pages_per_seq, -(-256 // page_size)))
-    num_q = max(8, min(128, max_q_tokens))
+    # acc scales with q_heads_blk: 128 rows works up to 16 heads/block.
+    q_cap = 128 if q_heads_blk <= 16 else 64
+    num_q = max(8, min(q_cap, max_q_tokens))
     return kv_pages, num_q
 
 
@@ -486,7 +491,8 @@ def ragged_paged_attention_pallas(
     q_heads_blk, combined_blk = select_head_block(
         num_q_heads, combined_heads, q.dtype, kv_cache.dtype)
     kv_pages_blk, q_blk_size = default_block_sizes(page_size, T,
-                                                   pages_per_seq)
+                                                   pages_per_seq,
+                                                   q_heads_blk)
     if num_kv_pages_per_block is not None:
         kv_pages_blk = num_kv_pages_per_block
     if num_queries_per_block is not None:
