@@ -68,6 +68,7 @@ def run_config(multi_step: int) -> float:
             model=d,
             dtype="bfloat16",
             max_model_len=1024,
+            block_size=128,
             max_num_seqs=32,
             max_num_batched_tokens=8192,
             skip_tokenizer_init=True,
@@ -87,7 +88,7 @@ def run_config(multi_step: int) -> float:
 
 def main() -> None:
     try:
-        value = run_config(multi_step=16)
+        value = run_config(multi_step=25)
     except Exception as e:  # noqa: BLE001 — never lose the bench number
         print(f"multi-step bench failed ({type(e).__name__}); "
               "falling back to single-step", file=sys.stderr)

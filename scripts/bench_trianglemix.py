@@ -25,22 +25,24 @@ from vllm_trianglemix_tpu.ops.ragged_paged_attention import (  # noqa: E402
 PAGE = 16
 
 
-def bench_one(seq_len: int, use_triangle: bool, iters: int = 20) -> float:
+def bench_one(seq_len: int, use_triangle: bool, iters: int = 10) -> float:
     q, cache, md = build_batch(
         [(seq_len, seq_len, seq_len)], num_kv_heads=8, num_q_heads=32,
         head_dim=128, max_blocks=seq_len // PAGE, dtype=jnp.bfloat16)
     kwargs = dict(scale=128 ** -0.5, sink=4, window=32, last=64,
                   dense_threshold=2048)
 
-    def run():
-        return ragged_paged_attention_pallas(q, cache, md, use_triangle,
-                                             **kwargs)
+    def run(i):
+        # vary the input so no layer of the stack can cache the result,
+        # and force a value fetch so async dispatch can't hide execution
+        out = ragged_paged_attention_pallas(q + i * 1e-6, cache, md,
+                                            use_triangle, **kwargs)
+        return float(out[0, 0, 0])
 
-    run().block_until_ready()  # compile
+    run(0)  # compile
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = run()
-    out.block_until_ready()
+    for i in range(1, iters + 1):
+        run(i)
     return (time.perf_counter() - t0) / iters
 
 
