@@ -23,6 +23,11 @@ def _add_engine_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--max-num-batched-tokens", type=int, default=2048)
     p.add_argument("--multi-step-decode", type=int, default=1,
                    help="device-side autoregressive steps per dispatch")
+    p.add_argument("--multiprocess-engine", action="store_true",
+                   help="run the engine core in a background process "
+                        "(ZMQ), isolating device work from the frontend")
+    p.add_argument("--kv-cache-dtype", default="auto",
+                   choices=["auto", "fp8", "int8"])
     p.add_argument("--tensor-parallel-size", "-tp", type=int, default=1)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--no-enable-prefix-caching", action="store_true")
@@ -52,10 +57,12 @@ def _engine_config(args):
                                 num_triangle_layers=args.trianglemix_layers
                                 or 8)
     return EngineConfig(
+        multiprocess_engine=args.multiprocess_engine,
         model=ModelConfig(model=args.model, dtype=args.dtype,
                           max_model_len=args.max_model_len, seed=args.seed,
                           quantization=args.quantization,
-                          load_format=args.load_format),
+                          load_format=args.load_format,
+                          kv_cache_dtype=args.kv_cache_dtype),
         cache=CacheConfig(
             block_size=args.block_size,
             enable_prefix_caching=not args.no_enable_prefix_caching),
@@ -91,6 +98,44 @@ def cmd_complete(args) -> int:
     prompt = args.prompt or sys.stdin.read()
     out = llm.generate([prompt], params)[0]
     print(out.outputs[0].text)
+    return 0
+
+
+def cmd_chat(args) -> int:
+    """Interactive chat (reference `vllm chat`)."""
+    from vllm_trianglemix_tpu.entrypoints.llm import LLM
+    from vllm_trianglemix_tpu.sampling_params import SamplingParams
+
+    llm = LLM(model=args.model, dtype=args.dtype,
+              max_model_len=args.max_model_len,
+              max_num_seqs=args.max_num_seqs,
+              max_num_batched_tokens=args.max_num_batched_tokens,
+              multi_step_decode=args.multi_step_decode,
+              load_format=args.load_format,
+              quantization=args.quantization)
+    tok = llm.llm_engine.tokenizer
+    if tok is None:
+        print("chat requires a tokenizer", file=sys.stderr)
+        return 1
+    params = SamplingParams(max_tokens=args.max_tokens,
+                            temperature=args.temperature)
+    messages = []
+    if args.system:
+        messages.append({"role": "system", "content": args.system})
+    print("(/quit to exit)")
+    while True:
+        try:
+            user = input("user> ")
+        except (EOFError, KeyboardInterrupt):
+            break
+        if user.strip() in ("/quit", "/exit"):
+            break
+        messages.append({"role": "user", "content": user})
+        ids = tok.apply_chat_template(messages, tokenize=True,
+                                      add_generation_prompt=True)
+        out = llm.generate([list(ids)], params)[0].outputs[0].text
+        print(f"assistant> {out}")
+        messages.append({"role": "assistant", "content": out})
     return 0
 
 
@@ -173,6 +218,13 @@ def main(argv=None) -> int:
     p.add_argument("--host", default="0.0.0.0")
     p.add_argument("--port", type=int, default=8000)
     p.set_defaults(fn=cmd_serve)
+
+    p = sub.add_parser("chat", help="interactive chat REPL")
+    _add_engine_args(p)
+    p.add_argument("--max-tokens", type=int, default=256)
+    p.add_argument("--temperature", type=float, default=0.7)
+    p.add_argument("--system", default=None, help="system prompt")
+    p.set_defaults(fn=cmd_chat)
 
     p = sub.add_parser("complete", help="one-shot text completion")
     _add_engine_args(p)
