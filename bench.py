@@ -88,7 +88,7 @@ def run_config(multi_step: int) -> float:
 
 def main() -> None:
     try:
-        value = run_config(multi_step=25)
+        value = run_config(multi_step=50)
     except Exception as e:  # noqa: BLE001 — never lose the bench number
         print(f"multi-step bench failed ({type(e).__name__}); "
               "falling back to single-step", file=sys.stderr)

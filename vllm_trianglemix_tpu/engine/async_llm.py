@@ -88,6 +88,8 @@ class AsyncLLM:
             self._queues.pop(request_id, None)
 
     async def abort(self, request_id: str) -> None:
+        # drop if still waiting for admission, else abort in the engine
+        self._pending = [p for p in self._pending if p[0] != request_id]
         self.engine.abort_request([request_id])
         self._queues.pop(request_id, None)
 

@@ -241,6 +241,7 @@ async def _stream_completion(request: web.Request, engine: AsyncLLM, prompt,
         }
         await resp.write(f"data: {json.dumps(first)}\n\n".encode())
 
+    finished = False
     try:
         async for out in engine.generate(prompt, params, request_id):
             comp = out.outputs[0]
@@ -258,9 +259,16 @@ async def _stream_completion(request: web.Request, engine: AsyncLLM, prompt,
             chunk = {"id": request_id, "object": obj, "created": created,
                      "model": model, "choices": [choice]}
             await resp.write(f"data: {json.dumps(chunk)}\n\n".encode())
+            finished = out.finished
     except (EngineDeadError, ValueError) as e:
         err = {"error": {"message": str(e)}}
         await resp.write(f"data: {json.dumps(err)}\n\n".encode())
+        finished = True
+    finally:
+        if not finished:
+            # client disconnected mid-stream: free engine resources
+            # (reference: abort on disconnect)
+            await engine.abort(request_id)
     await resp.write(b"data: [DONE]\n\n")
     await resp.write_eof()
     return resp
@@ -334,6 +342,16 @@ async def stop_profile(request: web.Request) -> web.Response:
     return web.Response(status=200)
 
 
+async def reset_prefix_cache(request: web.Request) -> web.Response:
+    """Drop the prefix-cache index (reference /reset_prefix_cache)."""
+    engine = request.app[ENGINE_KEY]
+    core = engine.engine.engine_core
+    if hasattr(core, "scheduler"):
+        ok = core.scheduler.kv_cache_manager.reset_prefix_cache()
+        return web.json_response({"reset": bool(ok)})
+    return _json_error("not supported on multiprocess engine yet", 501)
+
+
 async def tokenize(request: web.Request) -> web.Response:
     engine = request.app[ENGINE_KEY]
     if engine.tokenizer is None:
@@ -376,6 +394,7 @@ def build_app(engine: AsyncLLM, model_name: str) -> web.Application:
     app.router.add_post("/detokenize", detokenize)
     app.router.add_post("/start_profile", start_profile)
     app.router.add_post("/stop_profile", stop_profile)
+    app.router.add_post("/reset_prefix_cache", reset_prefix_cache)
     return app
 
 
