@@ -167,6 +167,12 @@ class ParallelConfig:
     expert_parallel_size: int = 1
     # decode context parallel (KV-shard decode, reference config/parallel.py:198)
     context_parallel_size: int = 1
+    # Shard MoE expert stacks on the E axis over the tp mesh axis
+    # (parallel/ep.py) instead of ffn-sharding them (reference
+    # enable_expert_parallel, config/parallel.py).
+    enable_expert_parallel: bool = False
+    # Per-shard EP token capacity factor; None = no token drops (exact).
+    ep_capacity_factor: float | None = None
 
     @property
     def world_size(self) -> int:

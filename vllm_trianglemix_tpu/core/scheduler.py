@@ -152,11 +152,13 @@ class Scheduler:
             request = self.running[req_index]
             num_new_tokens = request.num_tokens - request.num_computed_tokens
 
-            # Speculative drafts: decode-ready greedy requests get n-gram
-            # proposals verified alongside the real token this step.
+            # Speculative drafts: decode-ready requests get n-gram
+            # proposals verified alongside the real token this step —
+            # exact token-match acceptance for greedy requests, lossless
+            # rejection sampling (sample/sampler.py spec_sample) for
+            # temperature>0.
             drafts: list[int] = []
             if (self.proposer is not None and num_new_tokens == 1
-                    and request.sampling_params.temperature == 0.0
                     and not request.sampling_params.needs_host_sampling
                     and request.request_id not in self.no_lookahead_req_ids):
                 room = self.max_model_len - request.num_tokens - 1

@@ -321,31 +321,35 @@ def params_from_hf_state_dict(cfg: DecoderConfig, get_tensor,
 # --- forward ------------------------------------------------------------------
 
 def _moe_mlp(h: jnp.ndarray, lp: dict, cfg: DecoderConfig) -> jnp.ndarray:
-    """Sparse-MoE MLP, TPU-style (reference fused_moe/moe_pallas.py:
-    evaluate experts densely, weight by the top-k routing mask — a
-    lax.scan over experts keeps memory at one dense MLP; megablox-style
-    grouped GEMM is the later optimization). Routing matches HF
+    """Sparse-MoE MLP via routed grouped GEMM (reference
+    fused_moe/moe_pallas.py role, megablox-style): flatten
+    (token, expert-slot) pairs, stable-sort by expert id, run the expert
+    matmuls as ``lax.ragged_dot`` over contiguous expert groups — XLA
+    lowers this to the TPU grouped-matmul path, so only the k routed
+    rows per token cost FLOPs (vs E× dense for an expert scan) — then
+    unsort and combine with routing weights. Routing matches HF
     Qwen3MoeSparseMoeBlock: softmax over all experts, top-k, optional
     renorm."""
     T, D = h.shape
+    E, K = cfg.num_experts, cfg.num_experts_per_tok
     logits = (h @ lp["moe_gate"]).astype(jnp.float32)       # [T, E]
     probs = jax.nn.softmax(logits, axis=-1)
-    topv, topi = jax.lax.top_k(probs, cfg.num_experts_per_tok)
+    topv, topi = jax.lax.top_k(probs, K)                    # [T, K]
     if cfg.norm_topk_prob:
         topv = topv / jnp.maximum(topv.sum(-1, keepdims=True), 1e-20)
-    weights = jnp.zeros((T, cfg.num_experts), jnp.float32)
-    weights = weights.at[
-        jnp.arange(T)[:, None], topi].set(topv)             # [T, E]
 
-    def expert(acc, xs):
-        wg, wu, wd, w_t = xs                                # w_t [T]
-        y = silu_and_mul(h @ wg, h @ wu) @ wd               # [T, D]
-        return acc + w_t[:, None] * y.astype(jnp.float32), None
-
-    acc, _ = jax.lax.scan(
-        expert, jnp.zeros((T, D), jnp.float32),
-        (lp["gate_proj"], lp["up_proj"], lp["down_proj"],
-         weights.T))
+    flat_e = topi.reshape(-1)                               # [T*K]
+    order = jnp.argsort(flat_e, stable=True)                # group-major
+    token_of = order // K                                   # source token
+    xs = h[token_of]                                        # [T*K, D]
+    group_sizes = jnp.bincount(flat_e, length=E).astype(jnp.int32)
+    gated = jax.lax.ragged_dot(xs, lp["gate_proj"], group_sizes)
+    up = jax.lax.ragged_dot(xs, lp["up_proj"], group_sizes)
+    ys = jax.lax.ragged_dot(silu_and_mul(gated, up), lp["down_proj"],
+                            group_sizes)                    # [T*K, D]
+    w = topv.reshape(-1)[order]                             # [T*K]
+    acc = jax.ops.segment_sum(ys.astype(jnp.float32) * w[:, None],
+                              token_of, num_segments=T)
     return acc.astype(h.dtype)
 
 
@@ -361,6 +365,8 @@ def forward(
                                    #  "idx": int32[T]} or None
     kv_quant=None,                 # (k_scale, v_scale) static floats when
                                    # the cache dtype is fp8/int8
+    moe_fn=None,                   # override for the MoE MLP, e.g. the
+                                   # expert-parallel parallel/ep.py path
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """One step over a ragged token batch. Returns (hidden[T, D], new_kv)."""
     Dh = cfg.head_dim
@@ -422,7 +428,7 @@ def forward(
         x = x + proj(attn.reshape(T, HQ * Dh), "o_proj")
         h2 = rms_norm(x, lp["post_attention_layernorm"], eps)
         if cfg.num_experts > 0:
-            x = x + _moe_mlp(h2, lp, cfg)
+            x = x + (moe_fn or _moe_mlp)(h2, lp, cfg)
         else:
             mlp = silu_and_mul(proj(h2, "gate_proj"), proj(h2, "up_proj"))
             x = x + proj(mlp, "down_proj")

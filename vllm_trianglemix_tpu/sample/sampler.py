@@ -60,6 +60,22 @@ def apply_top_k_top_p_min_p(logits: jnp.ndarray,
     return jnp.where(mask, NEG_INF, logits)
 
 
+def _process_logits(logits: jnp.ndarray, md: SamplingMetadata,
+                    allowed_mask: jnp.ndarray | None,
+                    logit_bias: jnp.ndarray | None,
+                    penalty_mask: jnp.ndarray | None) -> jnp.ndarray:
+    """Host-assembled logits processors shared by all sampling paths."""
+    if penalty_mask is not None:
+        rp = md.repetition_penalty[:, None]
+        penalized = jnp.where(logits > 0, logits / rp, logits * rp)
+        logits = jnp.where(penalty_mask, penalized, logits)
+    if logit_bias is not None:
+        logits = logits + logit_bias
+    if allowed_mask is not None:
+        logits = jnp.where(allowed_mask, logits, NEG_INF)
+    return logits
+
+
 def sample(logits: jnp.ndarray, md: SamplingMetadata,
            step_key: jnp.ndarray,
            allowed_mask: jnp.ndarray | None = None,
@@ -76,14 +92,8 @@ def sample(logits: jnp.ndarray, md: SamplingMetadata,
     bans, host-assembled). ``penalty_mask`` bool[R, V]: tokens subject to
     the multiplicative repetition penalty (reference
     sample/ops/penalties.py semantics)."""
-    if penalty_mask is not None:
-        rp = md.repetition_penalty[:, None]
-        penalized = jnp.where(logits > 0, logits / rp, logits * rp)
-        logits = jnp.where(penalty_mask, penalized, logits)
-    if logit_bias is not None:
-        logits = logits + logit_bias
-    if allowed_mask is not None:
-        logits = jnp.where(allowed_mask, logits, NEG_INF)
+    logits = _process_logits(logits, md, allowed_mask, logit_bias,
+                             penalty_mask)
     greedy_tokens = jnp.argmax(logits, axis=-1).astype(jnp.int32)
     if md.all_greedy:
         return greedy_tokens
@@ -100,6 +110,62 @@ def sample(logits: jnp.ndarray, md: SamplingMetadata,
     random_tokens = jnp.argmax(scaled + gumbel, axis=-1).astype(jnp.int32)
 
     return jnp.where(md.temperature <= 0.0, greedy_tokens, random_tokens)
+
+
+def spec_sample(logits: jnp.ndarray, md: SamplingMetadata,
+                step_key: jnp.ndarray, draft_ids: jnp.ndarray,
+                allowed_mask: jnp.ndarray | None = None,
+                logit_bias: jnp.ndarray | None = None,
+                penalty_mask: jnp.ndarray | None = None
+                ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Speculative-decode sampling with lossless rejection acceptance.
+
+    The n-gram proposer is deterministic, so the draft distribution q is a
+    point mass at ``draft_ids[r]``: accept the draft with probability
+    p(draft) under the post-processed target distribution; on rejection,
+    resample from p with the draft token removed and renormalized. This is
+    the reference's RejectionSampler scheme (vllm/v1/sample/
+    rejection_sampler.py:26-118) specialized to delta proposals — the
+    emitted sequence is distributed exactly as ordinary sampling. Greedy
+    rows (temperature<=0) reduce to exact token-match acceptance.
+
+    Returns (tokens[R], accept_ok bool[R], recovery[R]): ``tokens`` are
+    the ordinary samples (bonus/fallback), ``accept_ok[r]`` whether row
+    r's draft survives, ``recovery[r]`` the resampled replacement.
+    Rows with draft_ids < 0 get accept_ok=False and are ignored host-side.
+    """
+    R, V = logits.shape
+    logits = _process_logits(logits, md, allowed_mask, logit_bias,
+                             penalty_mask)
+    greedy_tokens = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+    scaled = apply_temperature(logits, md.temperature)
+    scaled = apply_top_k_top_p_min_p(scaled, md)
+
+    d = jnp.clip(draft_ids, 0, V - 1)
+    probs = jax.nn.softmax(scaled, axis=-1)
+    p_draft = jnp.take_along_axis(probs, d[:, None], axis=-1)[:, 0]
+
+    keys = jax.vmap(jax.random.fold_in, in_axes=(None, 0))(
+        step_key, md.seeds.astype(jnp.uint32))
+    sub = jax.vmap(lambda k: jax.random.split(k, 3))(keys)  # [R, 3, 2]
+    gumbel = jax.vmap(
+        lambda k: jax.random.gumbel(k, (V,), dtype=jnp.float32))(sub[:, 0])
+    random_tokens = jnp.argmax(scaled + gumbel, axis=-1).astype(jnp.int32)
+    u = jax.vmap(lambda k: jax.random.uniform(k, ()))(sub[:, 1])
+    rec_gumbel = jax.vmap(
+        lambda k: jax.random.gumbel(k, (V,), dtype=jnp.float32))(sub[:, 2])
+    # Removing the point mass then renormalizing == argmax of gumbel-
+    # perturbed logits with the draft masked out.
+    masked = jnp.where(jax.nn.one_hot(d, V, dtype=bool), NEG_INF, scaled)
+    rec_random = jnp.argmax(masked + rec_gumbel, axis=-1).astype(jnp.int32)
+
+    is_greedy = md.temperature <= 0.0
+    tokens = jnp.where(is_greedy, greedy_tokens, random_tokens)
+    accept_ok = jnp.where(is_greedy, greedy_tokens == draft_ids,
+                          u < p_draft) & (draft_ids >= 0)
+    recovery = jnp.where(is_greedy, greedy_tokens, rec_random)
+    return tokens, accept_ok, recovery
 
 
 def gather_logprobs(logits: jnp.ndarray, token_ids: jnp.ndarray,

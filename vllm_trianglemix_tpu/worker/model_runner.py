@@ -39,6 +39,7 @@ from vllm_trianglemix_tpu.sample.metadata import (
 from vllm_trianglemix_tpu.sample.sampler import (
     gather_logprobs,
     sample as sample_tokens,
+    spec_sample,
 )
 from vllm_trianglemix_tpu.worker.input_batch import InputBatch
 
@@ -268,11 +269,34 @@ class ModelRunner:
         if self.mesh is not None:
             from vllm_trianglemix_tpu.models.weights import shard_params
 
-            params = shard_params(
-                params, self.mesh,
-                self.model.partition_specs(self.cfg,
-                                           quantized=self.quant_method))
+            specs = self.model.partition_specs(self.cfg,
+                                               quantized=self.quant_method)
+            if self._ep_enabled():
+                from vllm_trianglemix_tpu.parallel.ep import (
+                    ep_partition_specs,
+                )
+
+                specs["layers"].update(ep_partition_specs("tp"))
+            params = shard_params(params, self.mesh, specs)
         return params
+
+    def _ep_enabled(self) -> bool:
+        return (self.mesh is not None
+                and "tp" in getattr(self.mesh, "shape", {})
+                and self.engine_config.parallel.enable_expert_parallel
+                and getattr(self.cfg, "num_experts", 0) > 0)
+
+    def _moe_fn(self):
+        """MoE override for forward(): the expert-parallel path when
+        enabled (parallel/ep.py), else None (single-device grouped GEMM)."""
+        if not self._ep_enabled():
+            return None
+        from vllm_trianglemix_tpu.parallel.ep import ep_moe_mlp
+
+        mesh = self.mesh
+        cap = self.engine_config.parallel.ep_capacity_factor
+        return partial(ep_moe_mlp, mesh=mesh, ep_axis="tp",
+                       capacity_factor=cap)
 
     def _determine_num_kv_blocks(self) -> int:
         """Size the KV pool from free HBM (reference tpu_worker.py:174-231),
@@ -325,13 +349,14 @@ class ModelRunner:
         model, cfg, tri_cfg = self.model, self.cfg, self.tri_cfg
 
         kv_quant = self.kv_quant
+        moe_fn = self._moe_fn()
 
         @partial(jax.jit, donate_argnums=(1,))
         def step(params, kv_caches, token_ids, md: AttentionMetadata,
                  tri_flags, lora):
             hidden, kv_caches = model.forward(
                 params, cfg, tri_cfg, token_ids, kv_caches, md, tri_flags,
-                lora=lora, kv_quant=kv_quant)
+                lora=lora, kv_quant=kv_quant, moe_fn=moe_fn)
             sel = hidden[md.logits_indices]            # [R*S, D]
             logits = model.compute_logits(params, cfg, sel)
 
@@ -354,16 +379,24 @@ class ModelRunner:
 
     def _build_sample_fn(self):
         @partial(jax.jit,
-                 static_argnames=("all_greedy", "has_mask", "has_bias"))
+                 static_argnames=("all_greedy", "has_mask", "has_bias",
+                                  "spec"))
         def sample_fn(logits, smd: SamplingMetadata, step_key, mask, bias,
-                      pmask, all_greedy: bool, has_mask: bool,
-                      has_bias: bool):
+                      pmask, drafts, all_greedy: bool, has_mask: bool,
+                      has_bias: bool, spec: bool = False):
             smd = smd._replace(all_greedy=all_greedy)
-            return sample_tokens(
-                logits, smd, step_key,
-                allowed_mask=mask if has_mask else None,
-                logit_bias=bias if has_bias else None,
-                penalty_mask=pmask if has_bias else None)
+            kw = dict(allowed_mask=mask if has_mask else None,
+                      logit_bias=bias if has_bias else None,
+                      penalty_mask=pmask if has_bias else None)
+            if spec and not all_greedy:
+                # Lossless rejection acceptance for temperature>0 drafts.
+                return spec_sample(logits, smd, step_key, drafts, **kw)
+            tokens = sample_tokens(logits, smd, step_key, **kw)
+            if spec:
+                # All-greedy batch: acceptance is exact token match and
+                # the recovery token is the model's own argmax.
+                return tokens, (tokens == drafts) & (drafts >= 0), tokens
+            return tokens
 
         return sample_fn
 
@@ -425,6 +458,7 @@ class ModelRunner:
         model, cfg, tri_cfg = self.model, self.cfg, self.tri_cfg
         page = self.block_size
         kv_quant = self.kv_quant
+        moe_fn = self._moe_fn()
 
         @partial(jax.jit, donate_argnums=(1,),
                  static_argnames=("num_steps", "all_greedy"))
@@ -466,7 +500,8 @@ class ModelRunner:
                 )
                 hidden, kv = model.forward(params, cfg, tri_cfg, toks, kv,
                                            md, tri_flags, lora=lora,
-                                           kv_quant=kv_quant)
+                                           kv_quant=kv_quant,
+                                           moe_fn=moe_fn)
                 logits = model.compute_logits(params, cfg, hidden)
                 toks = sample_tokens(logits, smd_g,
                                      jax.random.fold_in(step_key, i))
@@ -628,9 +663,12 @@ class ModelRunner:
             num_kv_slices=jnp.asarray(num_slices, jnp.int32),
         )
         if S > 1:
-            # One sampling-metadata row per logits row.
+            # One sampling-metadata row per logits row; distinct counter
+            # per row so consecutive positions of one request don't share
+            # a gumbel fold (correlated noise would bias accepted chains
+            # toward repetition).
             params_list = [p for p in params_list for _ in range(S)]
-            counters = [c for c in counters for _ in range(S)]
+            counters = [c * S + s for c in counters for s in range(S)]
         smd = build_sampling_metadata(params_list, counters, R * S)
         grammar_mask = scheduler_output.grammar_mask
         if grammar_mask is not None:
@@ -656,9 +694,22 @@ class ModelRunner:
         self.kv_caches, logits, pooled = self._jit_step(
             self.params, self.kv_caches, jnp.asarray(token_ids), md,
             self.tri_flags, lora)
-        tokens = self._jit_sample(logits, smd, step_key, mask_dev, bias_dev,
-                                  pmask_dev, smd.all_greedy,
-                                  grammar_mask is not None, has_bias)
+        is_spec = S > 1
+        if is_spec:
+            draft_np = np.full((R, S), -1, np.int32)
+            for i, drafts in enumerate(drafts_per_req):
+                draft_np[i, :len(drafts)] = drafts
+            drafts_dev = jnp.asarray(draft_np.reshape(-1))
+        else:
+            drafts_dev = jnp.zeros(1, jnp.int32)  # unused placeholder
+        result = self._jit_sample(logits, smd, step_key, mask_dev, bias_dev,
+                                  pmask_dev, drafts_dev, smd.all_greedy,
+                                  grammar_mask is not None, has_bias,
+                                  is_spec)
+        if is_spec:
+            tokens, accept_dev, recovery_dev = result
+        else:
+            tokens, accept_dev, recovery_dev = result, None, None
         self._step_count += 1
 
         # Embedding requests: fetch pooled vectors for those finishing now.
@@ -695,7 +746,13 @@ class ModelRunner:
             lp_ids = np.asarray(jax.device_get(ids_dev)).reshape(R, S, -1)
             lp_vals = np.asarray(jax.device_get(lps_dev)).reshape(R, S, -1)
 
-        tokens_np = np.asarray(jax.device_get(tokens)).reshape(R, S)
+        if is_spec:
+            tokens_np, accept_np, recovery_np = (
+                np.asarray(a).reshape(R, S) for a in
+                jax.device_get((tokens, accept_dev, recovery_dev)))
+        else:
+            tokens_np = np.asarray(jax.device_get(tokens)).reshape(R, S)
+            accept_np = recovery_np = None
         self._check_recompilation()
         sampled: list[list[int]] = []
         for i, req_id in enumerate(req_ids):
@@ -705,15 +762,24 @@ class ModelRunner:
                 continue
             drafts = drafts_per_req[i]
             row = tokens_np[i]
-            # Greedy draft acceptance (exact for temperature=0): row[j] is
-            # the model's next-token choice after seeing the real token
-            # plus j drafts; draft j is accepted iff it matches row[j],
-            # and each accepted draft validates the following model token.
-            out = [int(row[0])]
-            for j, d in enumerate(drafts):
-                if d != out[-1]:
-                    break
-                out.append(int(row[j + 1]))
+            if not drafts:
+                out = [int(row[0])]
+            else:
+                # Rejection acceptance: row j's logits are the target
+                # distribution for the position draft j proposes. Accepted
+                # drafts are emitted as-is; the first rejection emits the
+                # device-resampled recovery token and stops; a fully
+                # accepted chain earns the bonus token from row[k]
+                # (reference rejection_sampler.py acceptance walk).
+                out = []
+                for j, d in enumerate(drafts):
+                    if accept_np[i, j]:
+                        out.append(int(d))
+                    else:
+                        out.append(int(recovery_np[i, j]))
+                        break
+                else:
+                    out.append(int(row[len(drafts)]))
             sampled.append(out)
             # Keep the worker's token list in sync for the next step.
             for tok in out:
@@ -887,12 +953,15 @@ class ModelRunner:
         placeholder = jnp.ones((1, 1), bool)
         bias = jnp.zeros((RS, self.cfg.vocab_size), jnp.float32)
         bias_ph = jnp.zeros((1, 1), jnp.float32)
+        is_spec = self._sample_rows_per_req() > 1
+        drafts = (jnp.full(RS, -1, jnp.int32) if is_spec
+                  else jnp.zeros(1, jnp.int32))
         for all_greedy in (True, False):
             for m, has_mask in ((placeholder, False), (mask, True)):
                 for has_bias in (False, True):
-                    tokens = self._jit_sample(
+                    out = self._jit_sample(
                         logits, smd, step_key, m,
                         bias if has_bias else bias_ph,
                         mask if has_bias else placeholder,
-                        all_greedy, has_mask, has_bias)
-                    tokens.block_until_ready()
+                        drafts, all_greedy, has_mask, has_bias, is_spec)
+                    jax.block_until_ready(out)
