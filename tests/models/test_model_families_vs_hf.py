@@ -89,6 +89,56 @@ def test_llama_prefill_matches_hf():
     np.testing.assert_allclose(ours, hf_logits, atol=2e-4, rtol=2e-3)
 
 
+def test_mistral_prefill_matches_hf():
+    from transformers import MistralConfig as HFMistralConfig
+    from transformers import MistralForCausalLM
+
+    from vllm_trianglemix_tpu.models import mistral
+
+    hf_kw = dict(COMMON, rope_theta=10_000.0, tie_word_embeddings=False,
+                 head_dim=16, sliding_window=None)
+    torch.manual_seed(2)
+    hf = MistralForCausalLM(HFMistralConfig(**hf_kw)).eval().float()
+
+    cfg = mistral.MistralConfig.from_hf_config(hf_kw)
+    assert not cfg.use_qkv_bias and not cfg.use_qk_norm
+    params = mistral.params_from_hf_state_dict(
+        cfg, torch_state_dict_reader(hf.state_dict()), dtype=jnp.float32)
+
+    rng = np.random.default_rng(2)
+    token_ids = rng.integers(0, hf_kw["vocab_size"], size=31).tolist()
+    with torch.no_grad():
+        hf_logits = hf(torch.tensor([token_ids])).logits[0].numpy()
+    ours = run_prefill(mistral, cfg, params, token_ids)
+    np.testing.assert_allclose(ours, hf_logits, atol=2e-4, rtol=2e-3)
+
+
+def test_mixtral_prefill_matches_hf():
+    from transformers import MixtralConfig as HFMixtralConfig
+    from transformers import MixtralForCausalLM
+
+    from vllm_trianglemix_tpu.models import mixtral
+
+    hf_kw = dict(COMMON, rope_theta=1_000_000.0, tie_word_embeddings=False,
+                 head_dim=16, num_local_experts=4, num_experts_per_tok=2,
+                 sliding_window=None)
+    torch.manual_seed(3)
+    hf = MixtralForCausalLM(HFMixtralConfig(**hf_kw)).eval().float()
+
+    cfg = mixtral.MixtralConfig.from_hf_config(hf_kw)
+    assert cfg.num_experts == 4 and cfg.num_experts_per_tok == 2
+    assert cfg.moe_intermediate_size == hf_kw["intermediate_size"]
+    params = mixtral.params_from_hf_state_dict(
+        cfg, torch_state_dict_reader(hf.state_dict()), dtype=jnp.float32)
+
+    rng = np.random.default_rng(3)
+    token_ids = rng.integers(0, hf_kw["vocab_size"], size=27).tolist()
+    with torch.no_grad():
+        hf_logits = hf(torch.tensor([token_ids])).logits[0].numpy()
+    ours = run_prefill(mixtral, cfg, params, token_ids)
+    np.testing.assert_allclose(ours, hf_logits, atol=5e-4, rtol=5e-3)
+
+
 def test_registry_resolves_all_families():
     from vllm_trianglemix_tpu.models.registry import (
         resolve_architecture,

@@ -239,13 +239,18 @@ _TRANSPOSED = {"q_proj", "k_proj", "v_proj", "o_proj", "gate_proj",
 
 
 def params_from_hf_state_dict(cfg: DecoderConfig, get_tensor,
-                              dtype=jnp.bfloat16, quant=None) -> dict:
+                              dtype=jnp.bfloat16, quant=None,
+                              layer_map: dict | None = None,
+                              expert_map: dict | None = None) -> dict:
     """Build the stacked param tree from a HF checkpoint.
 
     ``get_tensor(name) -> np.ndarray`` abstracts safetensors shards vs torch
     state_dicts (see models/weights.py). ``quant`` (from
     quantization.detect_checkpoint_quantization) switches the projection
-    matrices to AWQ/GPTQ ingest.
+    matrices to AWQ/GPTQ ingest. ``layer_map`` overrides entries of
+    ``_HF_LAYER_MAP`` and ``expert_map`` maps expert keys to name formats
+    with ``{i}``/``{e}`` holes, for families with non-Qwen naming
+    (e.g. Mixtral's ``block_sparse_moe.experts.{e}.w1``).
     """
     from vllm_trianglemix_tpu.quantization.ingest import (
         load_awq_linear,
@@ -257,11 +262,14 @@ def params_from_hf_state_dict(cfg: DecoderConfig, get_tensor,
     )
 
     L = cfg.num_hidden_layers
+    name_map = dict(_HF_LAYER_MAP)
+    if layer_map:
+        name_map.update(layer_map)
 
     def stack(key: str) -> jnp.ndarray:
         mats = []
         for i in range(L):
-            w = np.asarray(get_tensor(_HF_LAYER_MAP[key].format(i=i)))
+            w = np.asarray(get_tensor(name_map[key].format(i=i)))
             if key in _TRANSPOSED:
                 w = w.T
             mats.append(w)
@@ -269,20 +277,21 @@ def params_from_hf_state_dict(cfg: DecoderConfig, get_tensor,
 
     def stack_experts(key: str) -> jnp.ndarray:
         # [L, E, Din, Dout] from per-expert HF linears
+        fmt = (expert_map or {}).get(
+            key, f"model.layers.{{i}}.mlp.experts.{{e}}.{key}.weight")
         mats = []
         for i in range(L):
             per_e = []
             for e in range(cfg.num_experts):
-                name = (f"model.layers.{i}.mlp.experts.{e}."
-                        f"{key}.weight")
-                per_e.append(np.asarray(get_tensor(name)).T)
+                per_e.append(np.asarray(get_tensor(
+                    fmt.format(i=i, e=e))).T)
             mats.append(np.stack(per_e))
         return jnp.asarray(np.stack(mats), dtype=dtype)
 
     def stack_quant(key: str) -> QuantLinear:
         loader = (load_awq_linear if quant["method"] == "awq"
                   else load_gptq_linear)
-        prefix = _HF_LAYER_MAP[key].rsplit(".", 1)[0]  # drop ".weight"
+        prefix = name_map[key].rsplit(".", 1)[0]  # drop ".weight"
         qs, ss, zs = [], [], []
         for i in range(L):
             q, s, z = loader(get_tensor, prefix.format(i=i))

@@ -25,6 +25,10 @@ _REGISTRY: dict[str, tuple[str, str]] = {
                             "Qwen3MoeConfig"),
     "Qwen2ForCausalLM": ("vllm_trianglemix_tpu.models.qwen2", "Qwen2Config"),
     "LlamaForCausalLM": ("vllm_trianglemix_tpu.models.llama", "LlamaConfig"),
+    "MistralForCausalLM": ("vllm_trianglemix_tpu.models.mistral",
+                           "MistralConfig"),
+    "MixtralForCausalLM": ("vllm_trianglemix_tpu.models.mixtral",
+                           "MixtralConfig"),
 }
 
 
