@@ -187,6 +187,111 @@ def ragged_paged_attention(q, kv_cache, md, use_triangle=False, **kwargs):
     return ragged_paged_attention_xla(q, kv_cache, md, use_triangle, **kwargs)
 
 
+def fused_decode_attention(q, k_new, v_new, kv_cache, md,
+                           use_triangle=False, *, scale, soft_cap=0.0,
+                           interpret=False, **kwargs):
+    """Decode attention with the current token's K/V merged in registers.
+
+    Contract: one query token per sequence; ``md.seq_lens`` EXCLUDES the
+    current token (kv_len = pos >= 1) and the cache has NOT been written
+    for this step — the caller batches all layers' writes into one
+    kernel launch afterwards (write_kv_all_layers). The Pallas kernel
+    attends over the cached context and emits running-softmax stats
+    (emit_stats); the current token's single column is LSE-merged here,
+    which XLA fuses into the surrounding elementwise work. This removes
+    the per-layer KV-write kernel launch that dominated decode overhead
+    (~1.6 ms/step of 10.7 on v5e, scripts/profile_decode_ablate.py).
+    """
+    from vllm_trianglemix_tpu import envs
+
+    T, HQ, D = q.shape
+    KH = k_new.shape[1]
+    group = HQ // KH
+
+    if envs.VTT_DISABLE_PALLAS or not _pallas_supported(q):
+        # Semantics reference: write this layer's K/V, then plain
+        # attention over kv_len = pos + 1 (the pre-fusion decode path).
+        cache = write_to_kv_cache(kv_cache, k_new, v_new, md.slot_mapping)
+        md_inc = md._replace(seq_lens=md.seq_lens + 1)
+        return ragged_paged_attention_xla(
+            q, cache, md_inc, use_triangle, scale=scale,
+            soft_cap=soft_cap, **kwargs)
+
+    from vllm_trianglemix_tpu.ops.ragged_paged_attention import (
+        ragged_paged_attention_pallas,
+    )
+
+    o, m, l = ragged_paged_attention_pallas(
+        q, kv_cache, md, use_triangle, scale=scale, soft_cap=soft_cap,
+        row_offset=1, emit_stats=True, interpret=interpret, **kwargs)
+    return merge_new_kv_column(o, m, l, q, k_new, v_new, scale=scale,
+                               soft_cap=soft_cap)
+
+
+def merge_new_kv_column(o, m, l, q, k_new, v_new, *, scale,
+                        soft_cap=0.0):
+    """LSE-merge the current token's single K/V column into normalized
+    attention output ``o`` with running stats (m, l) [T, HQ, 128]."""
+    T, HQ, D = q.shape
+    group = HQ // k_new.shape[1]
+    m0, l0 = m[..., 0], l[..., 0]                       # [T, HQ]
+    k_rep = jnp.repeat(k_new, group, axis=1).astype(jnp.float32)
+    v_rep = jnp.repeat(v_new, group, axis=1).astype(jnp.float32)
+    s = jnp.einsum("thd,thd->th", q.astype(jnp.float32), k_rep) * scale
+    if soft_cap > 0.0:
+        s = soft_cap * jnp.tanh(s / soft_cap)
+    m_f = jnp.maximum(m0, s)
+    alpha = jnp.exp(m0 - m_f)                           # cached-side weight
+    beta = jnp.exp(s - m_f)                             # new-column weight
+    l_f = alpha * l0 + beta
+    out = ((alpha * l0)[..., None] * o.astype(jnp.float32)
+           + beta[..., None] * v_rep)
+    return (out / l_f[..., None]).astype(q.dtype)
+
+
+def write_kv_all_layers(kv_caches, ks, vs, slot_mapping, lengths,
+                        kv_quant=None, interpret=False):
+    """One batched KV-cache write for ALL layers of a decode step.
+
+    kv_caches [L, pages, page, 2KH, D]; ks/vs [L, T, KH, D];
+    slot_mapping i32[T]; lengths i32[T] (1 = write, 0 = skip). Layers
+    share the slot mapping, so the layer axis folds into the page axis
+    of a flat cache view and a single slice-DMA kernel launch scatters
+    L*T rows — vs L separate launches on the per-layer path.
+    """
+    from vllm_trianglemix_tpu import envs
+
+    L, pages, page, twoKH, D = kv_caches.shape
+    T = ks.shape[1]
+    if kv_quant is not None and kv_caches.dtype != ks.dtype:
+        ks, vs = quantize_kv(ks, vs, kv_caches.dtype, *kv_quant)
+    new = jnp.stack([ks, vs], axis=3).reshape(L, T, twoKH, D)
+
+    if envs.VTT_DISABLE_PALLAS or not _pallas_supported(ks):
+        block_idx = jnp.where(lengths > 0, slot_mapping // page, pages)
+        block_off = slot_mapping % page
+        return jax.vmap(
+            lambda cache, kv_l: cache.at[block_idx, block_off].set(
+                kv_l.astype(cache.dtype), mode="drop"))(kv_caches, new)
+
+    from vllm_trianglemix_tpu.ops.kv_cache_update import (
+        kv_cache_update_pallas,
+    )
+
+    PP = pages * page
+    cache_start = (jnp.arange(L, dtype=jnp.int32)[:, None] * PP
+                   + slot_mapping[None, :]).reshape(-1)
+    lens = jnp.tile(lengths.astype(jnp.int32), L)
+    slices = jnp.stack([jnp.where(lens > 0, cache_start, 0),
+                        jnp.arange(L * T, dtype=jnp.int32),
+                        lens])
+    flat_cache = kv_caches.reshape(L * pages, page, twoKH, D)
+    out = kv_cache_update_pallas(
+        new.reshape(L * T, twoKH, D), flat_cache, slices,
+        jnp.asarray(L * T, jnp.int32), interpret=interpret)
+    return out.reshape(kv_caches.shape)
+
+
 def _pallas_supported(q) -> bool:
     import jax
 

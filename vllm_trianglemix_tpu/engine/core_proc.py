@@ -169,8 +169,29 @@ class EngineCoreClient:
                 self._unfinished.discard(out.request_id)
         return payload
 
+    def try_step(self, timeout_ms: int = 50):
+        """Non-blocking variant for replica pools (engine/dp_coordinator):
+        returns [] when nothing is ready within ``timeout_ms``."""
+        if not self._unfinished:
+            return []
+        if self.proc is not None and not self.proc.is_alive():
+            self._dead = True
+            raise RuntimeError("engine core process died")
+        if not self.output_sock.poll(timeout_ms):
+            return []
+        kind, payload = pickle.loads(self.output_sock.recv())
+        if kind != "outputs":
+            return []
+        for out in payload:
+            if out.finished:
+                self._unfinished.discard(out.request_id)
+        return payload
+
     def has_unfinished_requests(self) -> bool:
         return bool(self._unfinished)
+
+    def num_unfinished(self) -> int:
+        return len(self._unfinished)
 
     def make_stats(self):
         from vllm_trianglemix_tpu.core.sched_output import SchedulerStats

@@ -29,7 +29,14 @@ class LLMEngine:
                 tokenizer = load_tokenizer(tok_path)
         self.tokenizer = tokenizer
 
-        if engine_config.multiprocess_engine:
+        dp_size = engine_config.parallel.data_parallel_size
+        if engine_config.multiprocess_engine and dp_size > 1:
+            from vllm_trianglemix_tpu.engine.dp_coordinator import (
+                DPEngineClient,
+            )
+
+            self.engine_core = DPEngineClient(engine_config, dp_size)
+        elif engine_config.multiprocess_engine:
             from vllm_trianglemix_tpu.engine.core_proc import (
                 EngineCoreClient,
             )

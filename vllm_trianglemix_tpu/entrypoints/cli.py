@@ -29,6 +29,10 @@ def _add_engine_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--kv-cache-dtype", default="auto",
                    choices=["auto", "fp8", "int8"])
     p.add_argument("--tensor-parallel-size", "-tp", type=int, default=1)
+    p.add_argument("--data-parallel-size", "-dp", type=int, default=1,
+                   help="engine replicas behind a least-loaded router "
+                        "(implies --multiprocess-engine)")
+    p.add_argument("--enable-expert-parallel", action="store_true")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--no-enable-prefix-caching", action="store_true")
     p.add_argument("--load-format", default="auto",
@@ -57,7 +61,8 @@ def _engine_config(args):
                                 num_triangle_layers=args.trianglemix_layers
                                 or 8)
     return EngineConfig(
-        multiprocess_engine=args.multiprocess_engine,
+        multiprocess_engine=(args.multiprocess_engine
+                             or args.data_parallel_size > 1),
         model=ModelConfig(model=args.model, dtype=args.dtype,
                           max_model_len=args.max_model_len, seed=args.seed,
                           quantization=args.quantization,
@@ -71,7 +76,9 @@ def _engine_config(args):
             max_num_batched_tokens=args.max_num_batched_tokens,
             multi_step_decode=args.multi_step_decode),
         parallel=ParallelConfig(
-            tensor_parallel_size=args.tensor_parallel_size),
+            tensor_parallel_size=args.tensor_parallel_size,
+            data_parallel_size=args.data_parallel_size,
+            enable_expert_parallel=args.enable_expert_parallel),
         trianglemix=tri,
     )
 

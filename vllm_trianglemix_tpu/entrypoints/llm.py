@@ -41,6 +41,9 @@ class LLM:
         num_kv_blocks: Optional[int] = None,
         enable_prefix_caching: bool = True,
         tensor_parallel_size: int = 1,
+        data_parallel_size: int = 1,
+        enable_expert_parallel: bool = False,
+        multiprocess_engine: Optional[bool] = None,
         trianglemix: Optional[TriangleMixConfig] = None,
         speculative_config: Optional[dict] = None,
         lora_modules: Optional[dict] = None,
@@ -69,7 +72,15 @@ class LLM:
                 max_num_seqs=max_num_seqs,
                 max_num_batched_tokens=max_num_batched_tokens,
                 multi_step_decode=multi_step_decode),
-            parallel=ParallelConfig(tensor_parallel_size=tensor_parallel_size),
+            parallel=ParallelConfig(
+                tensor_parallel_size=tensor_parallel_size,
+                data_parallel_size=data_parallel_size,
+                enable_expert_parallel=enable_expert_parallel),
+            # DP replicas require process isolation (one engine per
+            # replica); otherwise respect the explicit flag.
+            multiprocess_engine=(data_parallel_size > 1
+                                 if multiprocess_engine is None
+                                 else multiprocess_engine),
             trianglemix=trianglemix or TriangleMixConfig(),
             speculative=(SpeculativeConfig(**speculative_config)
                          if speculative_config else SpeculativeConfig()),

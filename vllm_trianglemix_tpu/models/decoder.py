@@ -31,6 +31,7 @@ import numpy as np
 from jax.sharding import PartitionSpec as P
 
 from vllm_trianglemix_tpu.attention.backend import (
+    fused_decode_attention,
     ragged_paged_attention,
     write_kv,
 )
@@ -376,8 +377,18 @@ def forward(
                                    # the cache dtype is fp8/int8
     moe_fn=None,                   # override for the MoE MLP, e.g. the
                                    # expert-parallel parallel/ep.py path
+    fused_decode: bool = False,    # decode-only fast path: attention
+                                   # merges the current token's K/V from
+                                   # registers, cache writes are deferred
+                                   # to ONE batched all-layer launch by
+                                   # the caller (attention/backend.py:
+                                   # fused_decode_attention /
+                                   # write_kv_all_layers). md.seq_lens
+                                   # must exclude the current token.
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """One step over a ragged token batch. Returns (hidden[T, D], new_kv)."""
+    """One step over a ragged token batch. Returns (hidden[T, D], new_kv) —
+    with ``fused_decode``, new_kv is instead the stacked per-layer
+    (k, v) rows [L, T, KH, D] for the deferred cache write."""
     Dh = cfg.head_dim
     HQ, KH = cfg.num_attention_heads, cfg.num_key_value_heads
     scale = Dh ** -0.5
@@ -432,8 +443,14 @@ def forward(
             q = rms_norm(q, lp["q_norm"], eps)
             k = rms_norm(k, lp["k_norm"], eps)
         q, k = apply_rope(q, k, cos, sin)
-        kv = write_kv(kv, k, v, md, kv_quant=kv_quant)
-        attn = ragged_paged_attention(q, kv, md, tri, **attn_kwargs)
+        if fused_decode:
+            attn = fused_decode_attention(q, k, v, kv, md, tri,
+                                          **attn_kwargs)
+            ys = (k, v)
+        else:
+            kv = write_kv(kv, k, v, md, kv_quant=kv_quant)
+            attn = ragged_paged_attention(q, kv, md, tri, **attn_kwargs)
+            ys = kv
         x = x + proj(attn.reshape(T, HQ * Dh), "o_proj")
         h2 = rms_norm(x, lp["post_attention_layernorm"], eps)
         if cfg.num_experts > 0:
@@ -441,7 +458,7 @@ def forward(
         else:
             mlp = silu_and_mul(proj(h2, "gate_proj"), proj(h2, "up_proj"))
             x = x + proj(mlp, "down_proj")
-        return x, kv
+        return x, ys
 
     x, new_kv = jax.lax.scan(
         layer_fn, x,

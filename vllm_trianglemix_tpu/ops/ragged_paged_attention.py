@@ -180,18 +180,10 @@ def _kernel(
     # inputs
     q_ref,              # [q_blk, q_heads_blk, head_dim]
     pages_hbm_ref,      # [num_pages, page, combined_heads, head_dim] (HBM)
-    # outputs
+    # outputs + scratch (see unpack below; with emit_stats two extra
+    # stats outputs [q_blk, q_heads_blk, 128] precede the scratch refs)
     o_ref,              # like q_ref
-    # scratch
-    seq_buf_ref,        # i32[2] SMEM — (resume seq idx, dma buf idx); must
-                        #   be scratch, not an input: only scratch state
-                        #   persists across grid programs
-    kv_bufs,            # [2, kv_pages_blk, page, combined_heads_blk, head_dim]
-    sems,               # DMA semaphores [2]
-    l_ref,              # f32[kv_heads_blk, q_blk * group, 128]
-    m_ref,              # f32[kv_heads_blk, q_blk * group, 128]
-    acc_ref,            # f32[q_blk, q_heads_blk, head_dim]
-    *,
+    *rest,
     scale: float,
     sink: int,
     window: int,
@@ -200,7 +192,19 @@ def _kernel(
     soft_cap: float,
     k_scale: float | None,
     v_scale: float | None,
+    row_offset: int = 0,
+    emit_stats: bool = False,
 ):
+    if emit_stats:
+        (m_out_ref, l_out_ref, seq_buf_ref, kv_bufs, sems, l_ref, m_ref,
+         acc_ref) = rest
+    else:
+        # seq_buf_ref: i32[2] SMEM (resume seq idx, dma buf idx) — must be
+        # scratch, not an input: only scratch persists across programs.
+        # kv_bufs: [2, kv_pages_blk, page, combined_blk, head_dim] VMEM;
+        # sems: DMA semaphores [2]; l/m: f32[kv_heads_blk, q*group, 128];
+        # acc: f32[q_blk, q_heads_blk, head_dim].
+        seq_buf_ref, kv_bufs, sems, l_ref, m_ref, acc_ref = rest
     q_blk_size, q_heads_blk, head_dim = q_ref.shape
     pages_per_seq = page_tables_ref.shape[1]
     num_seqs = num_seqs_ref[0]
@@ -231,8 +235,11 @@ def _kernel(
         q_len = q_end - q_start
         row_lo = jnp.maximum(q_start, q_len_start)
         row_hi = jnp.minimum(q_end, q_len_end) - 1
-        pos_lo = kv_len - q_len + (row_lo - q_start)
-        pos_hi = kv_len - q_len + (row_hi - q_start)
+        # row_offset shifts query positions past the stored KV length
+        # (fused decode: the current token's K/V ride in VMEM, the cache
+        # holds only positions < kv_len).
+        pos_lo = kv_len - q_len + row_offset + (row_lo - q_start)
+        pos_hi = kv_len - q_len + row_offset + (row_hi - q_start)
         return q_start, q_end, q_len, kv_len, pos_lo, pos_hi
 
     def triangle_block_plan(seq_idx):
@@ -309,10 +316,12 @@ def _kernel(
 
         shape = qk.shape
         # Absolute position of each query row / key column.
-        row_pos = ((kv_len - q_len) + q_len_start - q_start
+        row_pos = ((kv_len - q_len) + row_offset + q_len_start - q_start
                    + lax.broadcasted_iota(jnp.int32, shape, 0) // group)
         col_pos = kv_pos_start + lax.broadcasted_iota(jnp.int32, shape, 1)
-        invisible = row_pos < col_pos  # causal
+        # causal + out-of-range columns (with row_offset > 0 the causal
+        # test alone no longer covers cols in [kv_len, block end))
+        invisible = (row_pos < col_pos) | (col_pos >= kv_len)
         # Exact TriangleMix visibility (trianglemix_attention.py:53-198):
         # prefill rows of long prompts outside the "last" band see only
         # sink + sliding window. Decode rows (pos >= prompt) stay dense.
@@ -461,6 +470,15 @@ def _kernel(
     seq_buf_ref[0] = lax.select(seq_idx < num_seqs, seq_idx, 0)
     seq_buf_ref[1] = buf_idx
     o_ref[...] = acc_ref[...].astype(q_ref.dtype)
+    if emit_stats:
+        # Running-softmax stats for an external LSE merge (fused decode
+        # adds the current token's column outside the kernel). Scratch
+        # layout is [kv_head, q_row*group+g, lane] -> output
+        # [q_row, kv_head*group+g, lane].
+        for src, dst in ((m_ref, m_out_ref), (l_ref, l_out_ref)):
+            val = src[...].reshape(kv_heads_blk, q_blk_size, group, 128)
+            dst[...] = val.transpose(1, 0, 2, 3).reshape(
+                q_blk_size, q_heads_blk, 128)
 
 
 @functools.partial(
@@ -468,7 +486,8 @@ def _kernel(
     static_argnames=("scale", "sink", "window", "last", "dense_threshold",
                      "soft_cap", "k_scale", "v_scale",
                      "num_kv_pages_per_block", "num_queries_per_block",
-                     "vmem_limit_bytes", "interpret"))
+                     "vmem_limit_bytes", "interpret", "row_offset",
+                     "emit_stats"))
 def ragged_paged_attention_pallas(
     q: jax.Array,            # [T, num_q_heads, head_dim]
     kv_cache: jax.Array,     # [num_pages, page, 2*KH interleaved, head_dim]
@@ -487,7 +506,9 @@ def ragged_paged_attention_pallas(
     num_queries_per_block: int | None = None,
     vmem_limit_bytes: int | None = None,
     interpret: bool = False,
-) -> jax.Array:
+    row_offset: int = 0,
+    emit_stats: bool = False,
+):
     T, num_q_heads, head_dim = q.shape
     _, page_size, combined_heads, _ = kv_cache.shape
     num_kv_heads = combined_heads // 2
@@ -513,16 +534,26 @@ def ragged_paged_attention_pallas(
         return (q_blk, heads_blk, 0)
 
     q_spec = pl.BlockSpec((q_blk_size, q_heads_blk, head_dim), q_index_map)
+    out_specs = q_spec
+    out_shape = jax.ShapeDtypeStruct(q.shape, q.dtype)
+    if emit_stats:
+        stats_spec = pl.BlockSpec((q_blk_size, q_heads_blk, 128),
+                                  q_index_map)
+        stats_shape = jax.ShapeDtypeStruct((T, num_q_heads, 128),
+                                           jnp.float32)
+        out_specs = (q_spec, stats_spec, stats_spec)
+        out_shape = (out_shape, stats_shape, stats_shape)
     kernel = pl.pallas_call(
         functools.partial(
             _kernel,
             scale=scale, sink=sink, window=window, last=last,
             dense_threshold=dense_threshold, soft_cap=soft_cap,
-            k_scale=k_scale, v_scale=v_scale),
+            k_scale=k_scale, v_scale=v_scale,
+            row_offset=row_offset, emit_stats=emit_stats),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=6,
             in_specs=[q_spec, pl.BlockSpec(memory_space=pl.ANY)],
-            out_specs=q_spec,
+            out_specs=out_specs,
             grid=grid,
             scratch_shapes=[
                 pltpu.SMEM((2,), jnp.int32),
@@ -541,7 +572,7 @@ def ragged_paged_attention_pallas(
             dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=vmem_limit_bytes,
         ),
-        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        out_shape=out_shape,
         name="vtt_ragged_paged_attention",
         interpret=interpret,
     )

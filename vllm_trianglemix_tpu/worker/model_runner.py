@@ -23,7 +23,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from vllm_trianglemix_tpu.attention.backend import kv_cache_shape
+from vllm_trianglemix_tpu.attention.backend import (
+    kv_cache_shape,
+    write_kv_all_layers,
+)
 from vllm_trianglemix_tpu.attention.metadata import AttentionMetadata
 from vllm_trianglemix_tpu.config import EngineConfig
 from vllm_trianglemix_tpu.core.sched_output import (
@@ -475,10 +478,11 @@ class ModelRunner:
                 kv, toks = carry
                 active = i < steps                       # bool[R]
                 pos = base_positions + i                 # [R]
-                # Inactive rows keep a nonzero context (their output is
-                # discarded): the attention kernel's DMA pipeline requires
-                # every scheduled sequence to iterate >= 1 KV block.
-                seq_lens = pos + 1
+                # Fused decode: attention sees kv_len = pos (the current
+                # token's K/V merges from registers, backend.py:
+                # fused_decode_attention) — callers guarantee pos >= 1
+                # (decode follows a non-empty prompt), which keeps the
+                # attention kernel's >=1-KV-block DMA-pipeline contract.
                 slot = (block_tables[req_idx, pos // page] * page
                         + pos % page)
                 md = AttentionMetadata(
@@ -486,22 +490,21 @@ class ModelRunner:
                     req_idx=req_idx,
                     slot_mapping=jnp.where(active, slot, -1),
                     block_tables=block_tables,
-                    seq_lens=seq_lens,
+                    seq_lens=pos,
                     prompt_lens=prompt_lens,
                     query_start_loc=qsl,
                     logits_indices=req_idx,
                     num_reqs=num_reqs,
-                    kv_slices=jnp.stack([
-                        jnp.where(active, slot, 0),
-                        req_idx,
-                        active.astype(jnp.int32),
-                    ]),
-                    num_kv_slices=jnp.asarray(R, jnp.int32),
                 )
-                hidden, kv = model.forward(params, cfg, tri_cfg, toks, kv,
-                                           md, tri_flags, lora=lora,
-                                           kv_quant=kv_quant,
-                                           moe_fn=moe_fn)
+                hidden, (ks, vs) = model.forward(
+                    params, cfg, tri_cfg, toks, kv, md, tri_flags,
+                    lora=lora, kv_quant=kv_quant, moe_fn=moe_fn,
+                    fused_decode=True)
+                # ONE cache-write launch for all layers (vs one per layer:
+                # ~1.6 ms/step of launch overhead, profile_decode_ablate).
+                kv = write_kv_all_layers(kv, ks, vs, slot,
+                                         active.astype(jnp.int32),
+                                         kv_quant=kv_quant)
                 logits = model.compute_logits(params, cfg, hidden)
                 toks = sample_tokens(logits, smd_g,
                                      jax.random.fold_in(step_key, i))
@@ -851,9 +854,11 @@ class ModelRunner:
         smd = build_sampling_metadata([], [], R)
         self._rng_key, step_key = jax.random.split(self._rng_key)
         for all_greedy in (True, False):
+            # base_positions = 1 (not 0): fused decode requires pos >= 1
+            # so each row's attention still iterates one KV block.
             self.kv_caches, sampled = self._jit_multi_decode(
                 self.params, self.kv_caches, jnp.zeros(R, jnp.int32),
-                jnp.zeros(R, jnp.int32), jnp.zeros(R, jnp.int32),
+                jnp.ones(R, jnp.int32), jnp.zeros(R, jnp.int32),
                 jnp.zeros((R, self.max_blocks_per_req), jnp.int32),
                 jnp.ones(R, jnp.int32), smd, self.tri_flags, step_key,
                 jnp.asarray(0, jnp.int32), self._dummy_lora(R), K,
