@@ -94,10 +94,75 @@ class SharedStorageConnector(KVConnectorBase):
         self.stats_saved += 1
 
 
+class CPUOffloadConnector(KVConnectorBase):
+    """Host-RAM KV tier with an LRU byte budget.
+
+    Role of the reference's CPU KV offloading (kv_offload /
+    OffloadingConnector): evicted device blocks spill to host memory and
+    flow back on prefix re-hit instead of being recomputed. TPU framing:
+    the device->host hop rides the same per-block save/load ops the
+    scheduler already emits for connectors; an LRU bound keeps the tier
+    inside ``max_bytes`` of host RAM.
+    """
+
+    def __init__(self, max_bytes: int = 4 << 30) -> None:
+        from collections import OrderedDict
+
+        self.max_bytes = max_bytes
+        self._store: "OrderedDict[str, np.ndarray]" = OrderedDict()
+        self._bytes = 0
+        self.stats_loaded = 0
+        self.stats_saved = 0
+        self.stats_evicted = 0
+
+    def exists(self, h: str) -> bool:
+        return h in self._store
+
+    def get_num_new_matched_tokens(self, block_hashes, num_computed_tokens,
+                                   block_size) -> int:
+        start_block = num_computed_tokens // block_size
+        n = 0
+        for bh in block_hashes[start_block:]:
+            if bh.hash_value.hex() not in self._store:
+                break
+            n += 1
+        return n * block_size
+
+    def load_block(self, h: str) -> Optional[np.ndarray]:
+        kv = self._store.get(h)
+        if kv is not None:
+            self._store.move_to_end(h)  # LRU touch
+            self.stats_loaded += 1
+        return kv
+
+    def save_block(self, h: str, kv: np.ndarray) -> None:
+        if h in self._store:
+            self._store.move_to_end(h)
+            return
+        self._store[h] = kv
+        self._bytes += kv.nbytes
+        self.stats_saved += 1
+        while self._bytes > self.max_bytes and len(self._store) > 1:
+            _, old = self._store.popitem(last=False)
+            self._bytes -= old.nbytes
+            self.stats_evicted += 1
+
+
+_CPU_OFFLOAD_INSTANCES: dict = {}
+
+
 def create_connector(config: Optional[dict]) -> Optional[KVConnectorBase]:
     if not config:
         return None
     kind = config.get("type")
     if kind == "shared_storage":
         return SharedStorageConnector(config["path"])
+    if kind == "cpu_offload":
+        # The store is host memory: the scheduler-side and worker-side
+        # connector instances of one process must share it (the
+        # filesystem plays that role for shared_storage).
+        key = int(config.get("max_bytes", 4 << 30))
+        if key not in _CPU_OFFLOAD_INSTANCES:
+            _CPU_OFFLOAD_INSTANCES[key] = CPUOffloadConnector(key)
+        return _CPU_OFFLOAD_INSTANCES[key]
     raise ValueError(f"unknown kv connector type {kind!r}")
