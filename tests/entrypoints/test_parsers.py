@@ -65,3 +65,34 @@ def test_tool_only_message_has_null_content():
         '<tool_call>{"name": "w", "arguments": {}}</tool_call>')
     assert msg["content"] is None
     assert msg["tool_calls"]
+
+
+def test_llama3_json_tool_call():
+    from vllm_trianglemix_tpu.entrypoints.openai.parsers import (
+        parse_tool_calls,
+    )
+
+    calls, rest = parse_tool_calls(
+        '{"name": "get_weather", "parameters": {"city": "Paris"}}',
+        fmt="llama3")
+    assert rest == ""
+    assert calls[0]["function"]["name"] == "get_weather"
+    assert '"city": "Paris"' in calls[0]["function"]["arguments"]
+    # Plain prose is NOT a tool call in llama3 format.
+    calls, rest = parse_tool_calls("The weather is nice.", fmt="llama3")
+    assert calls == [] and rest == "The weather is nice."
+
+
+def test_mistral_tool_calls():
+    from vllm_trianglemix_tpu.entrypoints.openai.parsers import (
+        parse_tool_calls,
+    )
+
+    text = ('[TOOL_CALLS] [{"name": "a", "arguments": {"x": 1}}, '
+            '{"name": "b", "arguments": {}}]')
+    calls, rest = parse_tool_calls(text, fmt="mistral")
+    assert rest == ""
+    assert [c["function"]["name"] for c in calls] == ["a", "b"]
+    # Malformed payload stays in the text.
+    calls, rest = parse_tool_calls("[TOOL_CALLS] [not json]", fmt="mistral")
+    assert calls == [] and "[TOOL_CALLS]" in rest
