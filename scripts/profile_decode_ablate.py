@@ -26,6 +26,7 @@ from bench import MODEL_CONFIG  # noqa: E402
 
 def main() -> None:
     K = int(sys.argv[1]) if len(sys.argv) > 1 else 50
+    BS = int(sys.argv[2]) if len(sys.argv) > 2 else 128
 
     import jax
     import jax.numpy as jnp
@@ -40,7 +41,7 @@ def main() -> None:
             json.dump(MODEL_CONFIG, f)
         llm = LLM(model=d, skip_tokenizer_init=True, dtype="bfloat16",
                   max_model_len=1024, max_num_seqs=32,
-                  max_num_batched_tokens=8192, block_size=128,
+                  max_num_batched_tokens=8192, block_size=BS,
                   multi_step_decode=K, load_format="dummy")
         runner = llm.llm_engine.engine_core.executor.worker.model_runner
 
@@ -56,19 +57,40 @@ def main() -> None:
         bt_dev = jnp.asarray(bt)
         key = jax.random.PRNGKey(0)
 
-        real_attn = dec.ragged_paged_attention
-        real_write = dec.write_kv
+        import vllm_trianglemix_tpu.worker.model_runner as mr
 
-        def fake_attn(q, kv, md, tri, **kw):
+        real_attn = dec.fused_decode_attention
+        real_write = mr.write_kv_all_layers
+        real_logits = dec.compute_logits
+
+        def fake_attn(q, k_new, v_new, kv, md, tri, **kw):
             return q * 0.9999
 
-        def fake_write(kv, k, v, md, kv_quant=None):
+        def trivial_pallas_attn(q, k_new, v_new, kv, md, tri, **kw):
+            from jax.experimental import pallas as pl
+
+            def copy_kernel(q_ref, o_ref):
+                o_ref[...] = q_ref[...] * 0.9999
+
+            return pl.pallas_call(
+                copy_kernel,
+                out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+            )(q)
+
+        def fake_write(kv, ks, vs, slot, lens, kv_quant=None,
+                       interpret=False):
             return kv
 
-        def run(label, attn, write, iters=5):
+        def fake_logits(params, cfg, hidden):
+            import jax.numpy as _jnp
+            pad = cfg.vocab_size - hidden.shape[-1]
+            return _jnp.pad(hidden.astype(_jnp.float32), ((0, 0), (0, pad)))
+
+        def run(label, attn, write, logits_fn=real_logits, iters=5):
             nonlocal key
-            dec.ragged_paged_attention = attn
-            dec.write_kv = write
+            dec.fused_decode_attention = attn
+            mr.write_kv_all_layers = write
+            dec.compute_logits = logits_fn
             fn = runner._build_multi_decode_fn()
             times = []
             for it in range(iters):
@@ -94,13 +116,21 @@ def main() -> None:
         t_noattn = run("no attention", fake_attn, real_write)
         t_nowrite = run("no kv write", real_attn, fake_write)
         t_neither = run("neither", fake_attn, fake_write)
-        dec.ragged_paged_attention = real_attn
-        dec.write_kv = real_write
+        t_nologit = run("neither+no logits", fake_attn, fake_write,
+                        fake_logits)
+        t_trivial = run("trivial-pallas attn", trivial_pallas_attn,
+                        fake_write)
+        dec.fused_decode_attention = real_attn
+        mr.write_kv_all_layers = real_write
+        dec.compute_logits = real_logits
 
         print(f"attention cost   ~ {(t_full-t_noattn)/K*1e3:6.2f} ms/step")
+        print(f"pallas launch    ~ {(t_trivial-t_neither)/K*1e3:6.2f} ms/step"
+              f" (28 trivial kernels vs pure XLA)")
         print(f"kv-write cost    ~ {(t_full-t_nowrite)/K*1e3:6.2f} ms/step")
-        print(f"backbone residual~ {t_neither/K*1e3:6.2f} ms/step "
-              f"(weights+lm_head+sampling+glue)")
+        print(f"logits+sample    ~ {(t_neither-t_nologit)/K*1e3:6.2f} ms/step")
+        print(f"backbone residual~ {t_nologit/K*1e3:6.2f} ms/step "
+              f"(weights+glue; weight-stream floor ~4.4)")
 
 
 if __name__ == "__main__":

@@ -1,12 +1,11 @@
-"""Fused decode attention: register-merged current token + deferred write.
+"""Fused decode attention: in-kernel merged current token + deferred write.
 
 The fused path (backend.py:fused_decode_attention) attends over the
-cached context (kv_len = pos) with the Pallas kernel emitting running-
-softmax stats, merges the current token's K/V column outside the
-kernel, and defers ALL layers' cache writes to one batched launch
-(write_kv_all_layers). It must be numerically identical to the
-pre-fusion decode path: write this token's K/V, then attend with
-kv_len = pos + 1.
+cached context (kv_len = pos) with the Pallas kernel merging the current
+token's K/V column in-kernel (the `new_kv` diagonal tile), and defers
+ALL layers' cache writes to one batched launch (write_kv_all_layers).
+It must be numerically identical to the pre-fusion decode path: write
+this token's K/V, then attend with kv_len = pos + 1.
 """
 
 import jax
@@ -15,7 +14,6 @@ import numpy as np
 
 from tests.attention.test_pallas_kernel import PAGE, build_batch
 from vllm_trianglemix_tpu.attention.backend import (
-    merge_new_kv_column,
     ragged_paged_attention_xla,
     write_kv_all_layers,
     write_to_kv_cache,
@@ -57,12 +55,14 @@ def run_fused_vs_reference(seq_descrs, *, num_q_heads=8, num_kv_heads=4,
     ref = ragged_paged_attention_xla(q, cache_ref, md_ref, use_triangle,
                                      **common)
 
-    # Fused: stats-emitting kernel over the un-written cache + merge.
+    # Fused: kernel over the un-written cache with the new K/V merged
+    # in-kernel as the diagonal tile.
     md_fused = md._replace(positions=pos_new, slot_mapping=slot_new)
-    o, m, l = ragged_paged_attention_pallas(
-        q, cache, md_fused, use_triangle, row_offset=1, emit_stats=True,
+    new_kv = jnp.stack([k_new, v_new], axis=2).reshape(
+        R, 2 * num_kv_heads, head_dim)
+    got = ragged_paged_attention_pallas(
+        q, cache, md_fused, use_triangle, new_kv, row_offset=1,
         interpret=True, **common)
-    got = merge_new_kv_column(o, m, l, q, k_new, v_new, scale=scale)
 
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=2e-5, rtol=2e-5)

@@ -190,23 +190,23 @@ def ragged_paged_attention(q, kv_cache, md, use_triangle=False, **kwargs):
 def fused_decode_attention(q, k_new, v_new, kv_cache, md,
                            use_triangle=False, *, scale, soft_cap=0.0,
                            interpret=False, **kwargs):
-    """Decode attention with the current token's K/V merged in registers.
+    """Decode attention with the current token's K/V merged in-kernel.
 
     Contract: one query token per sequence; ``md.seq_lens`` EXCLUDES the
     current token (kv_len = pos >= 1) and the cache has NOT been written
     for this step — the caller batches all layers' writes into one
     kernel launch afterwards (write_kv_all_layers). The Pallas kernel
-    attends over the cached context and emits running-softmax stats
-    (emit_stats); the current token's single column is LSE-merged here,
-    which XLA fuses into the surrounding elementwise work. This removes
-    the per-layer KV-write kernel launch that dominated decode overhead
-    (~1.6 ms/step of 10.7 on v5e, scripts/profile_decode_ablate.py).
+    attends over the cached context and merges the current token's K/V
+    column inside the kernel as one extra diagonal online-softmax tile
+    (`new_kv` input) — no stats outputs, no external LSE merge. This
+    removes the per-layer KV-write kernel launch AND the stats
+    transpose + merge epilogue that dominated decode attention cost
+    (scripts/profile_decode_ablate.py).
     """
     from vllm_trianglemix_tpu import envs
 
     T, HQ, D = q.shape
     KH = k_new.shape[1]
-    group = HQ // KH
 
     if envs.VTT_DISABLE_PALLAS or not _pallas_supported(q):
         # Semantics reference: write this layer's K/V, then plain
@@ -221,32 +221,10 @@ def fused_decode_attention(q, k_new, v_new, kv_cache, md,
         ragged_paged_attention_pallas,
     )
 
-    o, m, l = ragged_paged_attention_pallas(
-        q, kv_cache, md, use_triangle, scale=scale, soft_cap=soft_cap,
-        row_offset=1, emit_stats=True, interpret=interpret, **kwargs)
-    return merge_new_kv_column(o, m, l, q, k_new, v_new, scale=scale,
-                               soft_cap=soft_cap)
-
-
-def merge_new_kv_column(o, m, l, q, k_new, v_new, *, scale,
-                        soft_cap=0.0):
-    """LSE-merge the current token's single K/V column into normalized
-    attention output ``o`` with running stats (m, l) [T, HQ, 128]."""
-    T, HQ, D = q.shape
-    group = HQ // k_new.shape[1]
-    m0, l0 = m[..., 0], l[..., 0]                       # [T, HQ]
-    k_rep = jnp.repeat(k_new, group, axis=1).astype(jnp.float32)
-    v_rep = jnp.repeat(v_new, group, axis=1).astype(jnp.float32)
-    s = jnp.einsum("thd,thd->th", q.astype(jnp.float32), k_rep) * scale
-    if soft_cap > 0.0:
-        s = soft_cap * jnp.tanh(s / soft_cap)
-    m_f = jnp.maximum(m0, s)
-    alpha = jnp.exp(m0 - m_f)                           # cached-side weight
-    beta = jnp.exp(s - m_f)                             # new-column weight
-    l_f = alpha * l0 + beta
-    out = ((alpha * l0)[..., None] * o.astype(jnp.float32)
-           + beta[..., None] * v_rep)
-    return (out / l_f[..., None]).astype(q.dtype)
+    new_kv = jnp.stack([k_new, v_new], axis=2).reshape(T, 2 * KH, D)
+    return ragged_paged_attention_pallas(
+        q, kv_cache, md, use_triangle, new_kv, scale=scale,
+        soft_cap=soft_cap, row_offset=1, interpret=interpret, **kwargs)
 
 
 def write_kv_all_layers(kv_caches, ks, vs, slot_mapping, lengths,

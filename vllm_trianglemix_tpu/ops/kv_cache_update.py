@@ -32,40 +32,26 @@ def _kernel(
     # outputs (aliased with cache_in_ref)
     cache_out_ref,
     # scratch
-    scratch,         # [slices_per_block, page_size, combined_heads, head_dim]
     sem,
 ):
+    """Direct HBM->HBM slice copies: every slice in the block is issued
+    as one dynamic-length DMA straight from the new-KV rows to the paged
+    cache, all in flight together, then one wait barrier. (A previous
+    two-stage VMEM-staged variant paid two full DMA latency barriers per
+    block — ~0.4 ms/layer at 8k-token prefill.)"""
     del cache_in_ref  # aliased; all writes go through cache_out_ref
     blk = pl.program_id(0)
-    slices_per_block = scratch.shape[0]
+    slices_per_block = SLICES_PER_BLOCK
 
-    def slice_params(i):
+    copies = []
+    for i in range(slices_per_block):
         s = i + blk * slices_per_block
         valid = s < num_slices_ref[0]
         cache_start = lax.select(valid, slices_ref[0, s], 0)
         new_start = lax.select(valid, slices_ref[1, s], 0)
         length = lax.select(valid, slices_ref[2, s], 0)
-        return cache_start, new_start, length
-
-    # Stage 1: gather slices into VMEM.
-    copies = []
-    for i in range(slices_per_block):
-        _, new_start, length = slice_params(i)
         c = pltpu.make_async_copy(
             new_kv_ref.at[pl.ds(new_start, length)],
-            scratch.at[i, pl.ds(0, length)],
-            sem)
-        c.start()
-        copies.append(c)
-    for c in copies:
-        c.wait()
-
-    # Stage 2: scatter to the paged cache.
-    copies = []
-    for i in range(slices_per_block):
-        cache_start, _, length = slice_params(i)
-        c = pltpu.make_async_copy(
-            scratch.at[i, pl.ds(0, length)],
             cache_out_ref.at[pl.ds(cache_start, length)],
             sem)
         c.start()
@@ -76,13 +62,12 @@ def _kernel(
 
 def _kernel_rowwise(
     slices_ref, num_slices_ref, new_kv_ref, cache_in_ref, cache_out_ref,
-    scratch, sem,
+    scratch, sem, *, page_size: int, slices_per_block: int,
 ):
     """Static-shape variant (one row per copy) for interpret mode, which
     cannot express dynamic-length DMA. Same slice semantics as _kernel."""
     del cache_in_ref
     blk = pl.program_id(0)
-    slices_per_block, page_size = scratch.shape[0], scratch.shape[1]
     for i in range(slices_per_block):
         s = i + blk * slices_per_block
         valid = s < num_slices_ref[0]
@@ -92,16 +77,19 @@ def _kernel_rowwise(
             def _():
                 c = pltpu.make_async_copy(
                     new_kv_ref.at[slices_ref[1, s] + r],
-                    scratch.at[i, r],
+                    scratch.at[0],
                     sem)
                 c.start()
                 c.wait()
                 c2 = pltpu.make_async_copy(
-                    scratch.at[i, r],
+                    scratch.at[0],
                     cache_out_ref.at[slices_ref[0, s] + r],
                     sem)
                 c2.start()
                 c2.wait()
+
+
+SLICES_PER_BLOCK = 16
 
 
 @functools.partial(jax.jit,
@@ -112,27 +100,34 @@ def kv_cache_update_pallas(
     slices: jax.Array,      # i32[3, padded_slices]
     num_slices: jax.Array,  # i32[] or i32[1]
     *,
-    num_slices_per_block: int = 8,
+    num_slices_per_block: int | None = None,
     interpret: bool = False,
 ) -> jax.Array:
     num_pages, page_size, combined, head_dim = kv_cache.shape
     padded_slices = slices.shape[1]
+    spb = num_slices_per_block or SLICES_PER_BLOCK
     flat_cache = kv_cache.reshape(num_pages * page_size, combined, head_dim)
-    grid = (pl.cdiv(padded_slices, num_slices_per_block),)
+    grid = (pl.cdiv(padded_slices, spb),)
 
+    if interpret:
+        kernel = functools.partial(_kernel_rowwise, page_size=page_size,
+                                   slices_per_block=spb)
+        scratch = [
+            pltpu.VMEM((1, combined, head_dim), new_kv.dtype),
+            pltpu.SemaphoreType.DMA,
+        ]
+    else:
+        kernel = _kernel
+        scratch = [pltpu.SemaphoreType.DMA]
     out = pl.pallas_call(
-        _kernel_rowwise if interpret else _kernel,
+        kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             in_specs=[pl.BlockSpec(memory_space=pl.ANY),
                       pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=pl.BlockSpec(memory_space=pl.ANY),
             grid=grid,
-            scratch_shapes=[
-                pltpu.VMEM((num_slices_per_block, page_size, combined,
-                            head_dim), new_kv.dtype),
-                pltpu.SemaphoreType.DMA,
-            ],
+            scratch_shapes=scratch,
         ),
         out_shape=jax.ShapeDtypeStruct(flat_cache.shape, flat_cache.dtype),
         input_output_aliases={3: 0},  # cache input (after 2 prefetch + new_kv)

@@ -22,7 +22,17 @@ Design (TPU-first):
 - online-softmax (flash) accumulation in fp32 VMEM scratch;
 - K/V interleaved on the head axis of each page (K_h at 2h, V_h at 2h+1)
   so sub-32-bit dtypes can be split with bitcast tricks, not strided
-  gathers.
+  gathers;
+- ALL visibility predicates (causal, kv-range, TriangleMix row/column
+  rules) are evaluated as scaled-iota integer compares — `i//g >= c` is
+  rewritten `i >= g*c` so the GQA row->token division never touches the
+  VPU, and one select applies the combined mask (measured ~0.4 ms/layer
+  of masking VPU time at 8k-token prefill with the naive formulation);
+- fused decode: the current token's K/V ride in VMEM as an extra
+  "diagonal" tile merged into the online softmax in-kernel
+  (`new_kv` input), so a decode step needs NO stats outputs, NO
+  external LSE merge, and exactly one cache-write launch for all
+  layers afterwards.
 
 The XLA-native reference implementation with identical numerics lives in
 attention/backend.py (ragged_paged_attention_xla); tests compare the two in
@@ -42,6 +52,8 @@ from jax.experimental.pallas import tpu as pltpu
 from vllm_trianglemix_tpu.attention.metadata import AttentionMetadata
 
 MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
+_I32_MIN = jnp.iinfo(jnp.int32).min
+_I32_MAX = jnp.iinfo(jnp.int32).max
 
 
 def _dtype_packing(dtype) -> int:
@@ -100,6 +112,12 @@ def default_block_sizes(page_size: int, max_q_tokens: int,
     # acc scales with q_heads_blk: 128 rows works up to 16 heads/block.
     q_cap = 128 if q_heads_blk <= 16 else 64
     num_q = max(8, min(q_cap, max_q_tokens))
+    if max_q_tokens <= 64:
+        # Decode-shaped batch (one token per seq): small q blocks bound
+        # the redundant rows each per-seq KV tile multiplies against
+        # (every row of a q block is matmul'd with every overlapping
+        # seq's KV and masked after).
+        num_q = min(num_q, 8)
     return kv_pages, num_q
 
 
@@ -180,9 +198,6 @@ def _kernel(
     # inputs
     q_ref,              # [q_blk, q_heads_blk, head_dim]
     pages_hbm_ref,      # [num_pages, page, combined_heads, head_dim] (HBM)
-    # outputs + scratch (see unpack below; with emit_stats two extra
-    # stats outputs [q_blk, q_heads_blk, 128] precede the scratch refs)
-    o_ref,              # like q_ref
     *rest,
     scale: float,
     sink: int,
@@ -193,10 +208,12 @@ def _kernel(
     k_scale: float | None,
     v_scale: float | None,
     row_offset: int = 0,
-    emit_stats: bool = False,
+    merge_new_kv: bool = False,
 ):
-    if emit_stats:
-        (m_out_ref, l_out_ref, seq_buf_ref, kv_bufs, sems, l_ref, m_ref,
+    if merge_new_kv:
+        # new_ref: [q_blk, combined_heads_blk, head_dim] — the current
+        # tokens' K/V, blocked like q (fused decode).
+        (new_ref, o_ref, seq_buf_ref, kv_bufs, sems, l_ref, m_ref,
          acc_ref) = rest
     else:
         # seq_buf_ref: i32[2] SMEM (resume seq idx, dma buf idx) — must be
@@ -204,7 +221,8 @@ def _kernel(
         # kv_bufs: [2, kv_pages_blk, page, combined_blk, head_dim] VMEM;
         # sems: DMA semaphores [2]; l/m: f32[kv_heads_blk, q*group, 128];
         # acc: f32[q_blk, q_heads_blk, head_dim].
-        seq_buf_ref, kv_bufs, sems, l_ref, m_ref, acc_ref = rest
+        new_ref = None
+        o_ref, seq_buf_ref, kv_bufs, sems, l_ref, m_ref, acc_ref = rest
     q_blk_size, q_heads_blk, head_dim = q_ref.shape
     pages_per_seq = page_tables_ref.shape[1]
     num_seqs = num_seqs_ref[0]
@@ -214,6 +232,7 @@ def _kernel(
     group = q_heads_blk // kv_heads_blk
     heads_blk_idx, q_blk_idx = pl.program_id(0), pl.program_id(1)
     num_heads_blks = pl.num_programs(0)
+    assert last >= 1, "TriangleMix num_last_tokens must be >= 1"
 
     @pl.when(heads_blk_idx + q_blk_idx == 0)
     def _init_carry():
@@ -295,56 +314,38 @@ def _kernel(
     def _prefetch_first():
         start_copy(heads_blk_idx, init_seq_idx, 0, init_buf_idx).start()
 
-    def flash_tile(q, k, v, head_l, head_m, head_acc, *, kv_blk, q_start,
-                   q_end, q_len, kv_len, prompt_len, eff_kv_len):
-        """One (q block x kv block) online-softmax update for one kv head.
+    def store_row_masks(store_lo, store_hi):
+        """Shared row-validity masks for the l/m ([q_rows, 128]) and acc
+        ([q_blk, group, head_dim]) scratch stores. Row i of l/m belongs
+        to token i//group, rewritten i >= group*bound (no int div)."""
+        i_lm = lax.broadcasted_iota(jnp.int32, (q_blk_size * group, 128), 0)
+        lm_mask = (i_lm >= store_lo * group) & (i_lm < store_hi * group)
+        i_acc = lax.broadcasted_iota(
+            jnp.int32, (q_blk_size, group, head_dim), 0)
+        acc_mask = (i_acc >= store_lo) & (i_acc < store_hi)
+        return lm_mask, acc_mask
 
-        q: [q_blk*group, head_dim]; k, v: [kv_blk_size, head_dim].
+    def flash_tile(q_scaled, k, v, head_l, head_m, head_acc, *, masks,
+                   visibility, init):
+        """One online-softmax update for one kv head.
+
+        q_scaled: [q_rows, head_dim] (pre-multiplied by scale);
+        k, v: [cols, head_dim]; visibility(shape) -> bool[q_rows, cols]
+        (True = visible); `init` traced bool: initialize the running
+        stats instead of merging; `masks`: (lm_mask, acc_mask) from
+        store_row_masks.
         """
-        kv_pos_start = kv_blk * kv_blk_size
-
-        # Zero out rows past the valid kv length (contraction NaN guard).
-        kv_valid = (lax.broadcasted_iota(jnp.int32, k.shape, 0)
-                    < kv_len - kv_pos_start)
-        k = jnp.where(kv_valid, k.astype(jnp.float32), 0).astype(k.dtype)
-        v = jnp.where(kv_valid, v.astype(jnp.float32), 0).astype(v.dtype)
-
-        qk = jnp.einsum("nd,md->nm", q, k,
-                        preferred_element_type=jnp.float32) * scale
+        lm_mask, acc_mask = masks
+        qk = jnp.einsum("nd,md->nm", q_scaled, k,
+                        preferred_element_type=jnp.float32)
         if soft_cap > 0.0:
             qk = soft_cap * jnp.tanh(qk / soft_cap)
+        # Select (not add): garbage K rows (clamped pages, past-kv cols)
+        # may produce NaN/inf scores; select replaces them outright.
+        qk = jnp.where(visibility(qk.shape), qk, MASK_VALUE)
 
-        shape = qk.shape
-        # Absolute position of each query row / key column.
-        row_pos = ((kv_len - q_len) + row_offset + q_len_start - q_start
-                   + lax.broadcasted_iota(jnp.int32, shape, 0) // group)
-        col_pos = kv_pos_start + lax.broadcasted_iota(jnp.int32, shape, 1)
-        # causal + out-of-range columns (with row_offset > 0 the causal
-        # test alone no longer covers cols in [kv_len, block end))
-        invisible = (row_pos < col_pos) | (col_pos >= kv_len)
-        # Exact TriangleMix visibility (trianglemix_attention.py:53-198):
-        # prefill rows of long prompts outside the "last" band see only
-        # sink + sliding window. Decode rows (pos >= prompt) stay dense.
-        tri_row = (tri_on & (prompt_len > dense_threshold)
-                   & (row_pos < prompt_len)
-                   & (prompt_len - row_pos >= last))
-        tri_visible = (col_pos <= sink) | (row_pos - col_pos <= window)
-        invisible |= tri_row & ~tri_visible
-        qk += jnp.where(invisible, MASK_VALUE, 0.0)
-
-        store_lo = jnp.maximum(q_start - q_len_start, 0)
-        store_hi = jnp.minimum(q_end - q_len_start, q_blk_size)
-
-        def masked_store(ref, val, rows_per_group=1):
-            iota = lax.broadcasted_iota(jnp.int32, ref.shape, 0) \
-                // rows_per_group
-            pltpu.store(ref, val,
-                        mask=(iota >= store_lo) & (iota < store_hi))
-
-        first_blk = kv_blk == 0
-
-        def with_init(ref, init):
-            return jnp.where(first_blk, jnp.full_like(ref, init), ref[...])
+        def with_init(ref, val):
+            return jnp.where(init, jnp.full_like(ref, val), ref[...])
 
         m_curr = jnp.max(qk, axis=1, keepdims=True)
         s_curr = jnp.exp(qk - m_curr)
@@ -362,8 +363,8 @@ def _kernel(
         l_alpha = alpha * l_prev
         l_next = l_alpha + beta * l_curr_b
         l_safe = jnp.where(l_next == 0.0, 1.0, l_next)
-        masked_store(head_m, m_next, group)
-        masked_store(head_l, l_safe, group)
+        pltpu.store(head_m, m_next, mask=lm_mask)
+        pltpu.store(head_l, l_safe, mask=lm_mask)
 
         def tile_cols(arr, shape):
             # arr columns are all identical (keepdims reductions broadcast
@@ -382,7 +383,23 @@ def _kernel(
             + tile_cols(beta, sv.shape) * sv,
             tile_cols(l_safe, sv.shape),
         )
-        masked_store(head_acc, out.reshape(head_acc.shape))
+        pltpu.store(head_acc, out.reshape(head_acc.shape),
+                    mask=acc_mask)
+
+    def q_head_slice(kv_head):
+        """[q_rows, head_dim] pre-scaled q rows for one kv head.
+
+        Scale is premultiplied here ([rows, 128] pass) instead of on qk
+        ([rows, kv_cols] pass — 4x the elements at 512-token tiles); a
+        misaligned head-group slice upcasts to fp32 for the relayout and
+        returns to the input dtype for the MXU matmul.
+        """
+        q_head0 = kv_head * group
+        q = q_ref[:, q_head0:q_head0 + group, :]
+        if q.shape[1] % _dtype_packing(q.dtype) != 0:
+            q = q.astype(jnp.float32)
+        q = q.reshape(-1, head_dim)
+        return (q.astype(jnp.float32) * scale).astype(q_ref.dtype)
 
     def q_blk_pending(state):
         done, seq_idx, _ = state
@@ -393,8 +410,21 @@ def _kernel(
     def process_seq(state):
         done, seq_idx, buf_idx = state
         q_start, q_end, q_len, kv_len, _, _ = seq_q_span(seq_idx)
-        _, _, _, eff_kv_len = triangle_block_plan(seq_idx)
+        tri_active, _, _, eff_kv_len = triangle_block_plan(seq_idx)
         prompt_len = prompt_lens_ref[seq_idx]
+        store_lo = jnp.maximum(q_start - q_len_start, 0)
+        store_hi = jnp.minimum(q_end - q_len_start, q_blk_size)
+        masks = store_row_masks(store_lo, store_hi)
+        # Scaled-iota visibility constants. Token of row i (global
+        # within the q block) = i // group; absolute position
+        # row_pos = base + i // group.
+        base = kv_len - q_len + row_offset + q_len_start - q_start
+        # TriangleMix row rule: row is a "middle" prefill row iff
+        # prompt_len - row_pos >= last (implies row_pos < prompt_len for
+        # last >= 1); i//g <= prompt_len - last - base <=> i < g*(..+1).
+        tri_scalar = tri_on & (prompt_len > dense_threshold)
+        trirow_bound = lax.select(
+            tri_scalar, (prompt_len - last - base + 1) * group, _I32_MIN)
 
         def prefetch_ids(kv_blk, buf_idx):
             """Pipeline lookahead: the (heads_blk, seq, kv_blk) the NEXT
@@ -428,6 +458,33 @@ def _kernel(
 
             kv_buf = start_copy(heads_blk_idx, seq_idx, kv_blk,
                                 buf_idx).wait()
+            kv_pos_start = kv_blk * kv_blk_size
+
+            def visibility(shape):
+                """bool[q_rows, cols]: causal AND in-kv-range AND
+                TriangleMix-visible, via scaled-iota compares only."""
+                j = lax.broadcasted_iota(jnp.int32, shape, 1)
+                if merge_new_kv:
+                    # Fused decode: one query per seq at position
+                    # kv_len (row_offset past the cache), so every
+                    # cached column is causal-visible and decode rows
+                    # are always TriangleMix-dense — in-range is the
+                    # only live predicate.
+                    return j < (kv_len - kv_pos_start)
+                i = lax.broadcasted_iota(jnp.int32, shape, 0)
+                # causal: row_pos >= col_pos <=> i >= g*(j + c)
+                causal_rhs = (j + (kv_pos_start - base)) * group
+                visible = i >= causal_rhs
+                # in-range: col_pos < kv_len
+                visible &= j < (kv_len - kv_pos_start)
+                # TriangleMix invisible: middle row & col past sink &
+                # outside window. window: row_pos - col_pos > window
+                # <=> i >= causal_rhs + g*(window+1).
+                tri_inv = ((i < trirow_bound)
+                           & (j > (sink - kv_pos_start))
+                           & (i >= causal_rhs + group * (window + 1)))
+                return visible & ~tri_inv
+
             kv_flat = kv_buf.reshape(
                 kv_pages_blk * page_size * combined_blk, head_dim)
             packing = _dtype_packing(kv_flat.dtype)
@@ -445,18 +502,14 @@ def _kernel(
                             q_ref.dtype)
                     kv_head = h0 + s
                     q_head0 = kv_head * group
-                    q = q_ref[:, q_head0:q_head0 + group, :]
-                    if q.shape[1] % _dtype_packing(q.dtype) != 0:
-                        q = q.astype(jnp.float32)
-                    q = q.reshape(-1, head_dim)
                     flash_tile(
-                        q, k, v,
+                        q_head_slice(kv_head), k, v,
                         l_ref.at[kv_head],
                         m_ref.at[kv_head],
                         acc_ref.at[:, q_head0:q_head0 + group, :],
-                        kv_blk=kv_blk, q_start=q_start, q_end=q_end,
-                        q_len=q_len, kv_len=kv_len, prompt_len=prompt_len,
-                        eff_kv_len=eff_kv_len)
+                        masks=masks,
+                        visibility=visibility,
+                        init=kv_blk == 0)
             return next_kv_blk(kv_blk, seq_idx), nxt_buf
 
         _, buf_idx = lax.while_loop(kv_pending, process_kv_blk,
@@ -469,16 +522,48 @@ def _kernel(
         q_blk_pending, process_seq, (0, init_seq_idx, init_buf_idx))
     seq_buf_ref[0] = lax.select(seq_idx < num_seqs, seq_idx, 0)
     seq_buf_ref[1] = buf_idx
+
+    if merge_new_kv:
+        # Fused decode: one extra online-softmax tile whose columns are
+        # THIS q block's own tokens' fresh K/V (still unwritten to the
+        # cache). Row i sees exactly column i//group (its own token):
+        # g*j <= i < g*j + g. All rows merge in one shot after the seq
+        # loop; rows of never-iterated pad seqs produce garbage that is
+        # never read.
+        full_masks = store_row_masks(0, q_blk_size)
+        num_valid_cols = cu_q_lens_ref[num_seqs] - q_len_start
+
+        def diag_visibility(shape):
+            i = lax.broadcasted_iota(jnp.int32, shape, 0)
+            j = lax.broadcasted_iota(jnp.int32, shape, 1)
+            return (i >= j * group) & (i < j * group + group)
+
+        for kv_head in range(kv_heads_blk):
+            k_col = new_ref[:, 2 * kv_head, :]
+            v_col = new_ref[:, 2 * kv_head + 1, :]
+            # Zero V rows past the real tokens: block padding may read
+            # NaN/garbage, and 0-probability * NaN still poisons sv.
+            col_valid = (lax.broadcasted_iota(jnp.int32, v_col.shape, 0)
+                         < num_valid_cols)
+            v_col = jnp.where(col_valid, v_col.astype(jnp.float32),
+                              0.0).astype(v_col.dtype)
+            if k_scale is not None:
+                k_col = (k_col.astype(jnp.float32) * k_scale).astype(
+                    q_ref.dtype)
+            if v_scale is not None:
+                v_col = (v_col.astype(jnp.float32) * v_scale).astype(
+                    q_ref.dtype)
+            q_head0 = kv_head * group
+            flash_tile(
+                q_head_slice(kv_head), k_col, v_col,
+                l_ref.at[kv_head],
+                m_ref.at[kv_head],
+                acc_ref.at[:, q_head0:q_head0 + group, :],
+                masks=full_masks,
+                visibility=diag_visibility,
+                init=False)
+
     o_ref[...] = acc_ref[...].astype(q_ref.dtype)
-    if emit_stats:
-        # Running-softmax stats for an external LSE merge (fused decode
-        # adds the current token's column outside the kernel). Scratch
-        # layout is [kv_head, q_row*group+g, lane] -> output
-        # [q_row, kv_head*group+g, lane].
-        for src, dst in ((m_ref, m_out_ref), (l_ref, l_out_ref)):
-            val = src[...].reshape(kv_heads_blk, q_blk_size, group, 128)
-            dst[...] = val.transpose(1, 0, 2, 3).reshape(
-                q_blk_size, q_heads_blk, 128)
 
 
 @functools.partial(
@@ -486,13 +571,14 @@ def _kernel(
     static_argnames=("scale", "sink", "window", "last", "dense_threshold",
                      "soft_cap", "k_scale", "v_scale",
                      "num_kv_pages_per_block", "num_queries_per_block",
-                     "vmem_limit_bytes", "interpret", "row_offset",
-                     "emit_stats"))
+                     "vmem_limit_bytes", "interpret", "row_offset"))
 def ragged_paged_attention_pallas(
     q: jax.Array,            # [T, num_q_heads, head_dim]
     kv_cache: jax.Array,     # [num_pages, page, 2*KH interleaved, head_dim]
     md: AttentionMetadata,
     use_triangle=False,      # python bool or traced bool (scanned layer flag)
+    new_kv: jax.Array | None = None,  # [T, 2*KH, head_dim] fused-decode
+                                      # current-token K/V (interleaved)
     *,
     scale: float,
     sink: int = 4,
@@ -507,13 +593,13 @@ def ragged_paged_attention_pallas(
     vmem_limit_bytes: int | None = None,
     interpret: bool = False,
     row_offset: int = 0,
-    emit_stats: bool = False,
 ):
     T, num_q_heads, head_dim = q.shape
     _, page_size, combined_heads, _ = kv_cache.shape
     num_kv_heads = combined_heads // 2
     R, pages_per_seq = md.block_tables.shape
     group = num_q_heads // num_kv_heads
+    merge_new_kv = new_kv is not None
 
     q_heads_blk, combined_blk = select_head_block(
         num_q_heads, combined_heads, q.dtype, kv_cache.dtype)
@@ -534,26 +620,23 @@ def ragged_paged_attention_pallas(
         return (q_blk, heads_blk, 0)
 
     q_spec = pl.BlockSpec((q_blk_size, q_heads_blk, head_dim), q_index_map)
-    out_specs = q_spec
-    out_shape = jax.ShapeDtypeStruct(q.shape, q.dtype)
-    if emit_stats:
-        stats_spec = pl.BlockSpec((q_blk_size, q_heads_blk, 128),
-                                  q_index_map)
-        stats_shape = jax.ShapeDtypeStruct((T, num_q_heads, 128),
-                                           jnp.float32)
-        out_specs = (q_spec, stats_spec, stats_spec)
-        out_shape = (out_shape, stats_shape, stats_shape)
+    in_specs = [q_spec, pl.BlockSpec(memory_space=pl.ANY)]
+    inputs = [q, kv_cache]
+    if merge_new_kv:
+        in_specs.append(pl.BlockSpec(
+            (q_blk_size, combined_blk, head_dim), q_index_map))
+        inputs.append(new_kv)
     kernel = pl.pallas_call(
         functools.partial(
             _kernel,
             scale=scale, sink=sink, window=window, last=last,
             dense_threshold=dense_threshold, soft_cap=soft_cap,
             k_scale=k_scale, v_scale=v_scale,
-            row_offset=row_offset, emit_stats=emit_stats),
+            row_offset=row_offset, merge_new_kv=merge_new_kv),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=6,
-            in_specs=[q_spec, pl.BlockSpec(memory_space=pl.ANY)],
-            out_specs=out_specs,
+            in_specs=in_specs,
+            out_specs=q_spec,
             grid=grid,
             scratch_shapes=[
                 pltpu.SMEM((2,), jnp.int32),
@@ -570,9 +653,13 @@ def ragged_paged_attention_pallas(
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
-            vmem_limit_bytes=vmem_limit_bytes,
+            # Physical VMEM is 128 MiB on v5e/v6e; the compiler's default
+            # scoped-vmem budget is only 16 MiB and large KV tiles + the
+            # mask/softmax stack temporaries overflow it. 100 MiB matches
+            # what production TPU ragged-attention kernels request.
+            vmem_limit_bytes=vmem_limit_bytes or 100 * 1024 * 1024,
         ),
-        out_shape=out_shape,
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
         name="vtt_ragged_paged_attention",
         interpret=interpret,
     )
@@ -585,6 +672,5 @@ def ragged_paged_attention_pallas(
         md.prompt_lens.astype(jnp.int32),
         tri_flag,
         num_seqs,
-        q,
-        kv_cache,
+        *inputs,
     )
