@@ -45,15 +45,99 @@ def gelu_and_mul(gate: jnp.ndarray, up: jnp.ndarray) -> jnp.ndarray:
 
 # --- rotary position embeddings ---------------------------------------------
 
-def rope_cos_sin(positions: jnp.ndarray, head_dim: int, theta: float,
-                 dtype=jnp.float32) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """cos/sin tables for the given positions, HF "rotate_half" layout:
-    freqs duplicated as cat(freqs, freqs) over the head dim."""
+def scaled_inv_freq(head_dim: int, theta: float, scaling=None,
+                    max_position_embeddings: int = 0):
+    """(inv_freq[np head_dim//2], attention_factor) for a rope-scaling
+    config (reference vllm/model_executor/layers/rotary_embedding/:
+    llama3, yarn, dynamic-ntk, linear variants; numerics follow HF
+    transformers modeling_rope_utils.py so scaled checkpoints match).
+
+    ``scaling`` is any object with rope_type/factor/... attributes (see
+    models.decoder.RopeScalingConfig) or None for plain RoPE. Computed
+    host-side in numpy from static config — constant-folded under jit.
+    """
+    import math
+
+    import numpy as np
+
     inv_freq = 1.0 / (theta ** (
-        jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim))
+        np.arange(0, head_dim, 2, dtype=np.float64) / head_dim))
+    attn_factor = 1.0
+    if scaling is None or scaling.rope_type in ("default", "mrope"):
+        return inv_freq.astype(np.float32), attn_factor
+
+    rt = scaling.rope_type
+    factor = float(scaling.factor)
+    orig = int(scaling.original_max_position_embeddings
+               or max_position_embeddings)
+    if rt == "linear":
+        inv_freq = inv_freq / factor
+    elif rt == "dynamic":
+        # Dynamic NTK. HF semantics (modeling_rope_utils.
+        # _compute_dynamic_ntk_parameters): the reference length is
+        # config.max_position_embeddings (NOT original_max_...), and
+        # frequencies stay UNSCALED until the evaluated length exceeds
+        # it. HF grows the table on demand; serving evaluates ONE
+        # static table at the engine's max length (scaling.eval_len,
+        # set by the model runner from max_model_len) — the reference's
+        # DynamicNTKScalingRotaryEmbedding does the same.
+        ref_len = int(max_position_embeddings)
+        seq_len = max(int(getattr(scaling, "eval_len", 0) or 0), ref_len)
+        base = theta * ((factor * seq_len / ref_len) - (factor - 1)) ** (
+            head_dim / (head_dim - 2))
+        inv_freq = 1.0 / (base ** (
+            np.arange(0, head_dim, 2, dtype=np.float64) / head_dim))
+    elif rt == "yarn":
+        beta_fast = float(getattr(scaling, "beta_fast", 32.0) or 32.0)
+        beta_slow = float(getattr(scaling, "beta_slow", 1.0) or 1.0)
+
+        def find_dim(num_rot):
+            return (head_dim * math.log(orig / (num_rot * 2 * math.pi))
+                    ) / (2 * math.log(theta))
+
+        low = max(math.floor(find_dim(beta_fast)), 0)
+        high = min(math.ceil(find_dim(beta_slow)), head_dim - 1)
+        ramp = np.clip(
+            (np.arange(head_dim // 2, dtype=np.float64) - low)
+            / max(high - low, 1e-3), 0, 1)
+        extrapolation_mask = 1.0 - ramp
+        inv_freq = (inv_freq / factor * ramp
+                    + inv_freq * extrapolation_mask)
+        af = getattr(scaling, "attention_factor", None)
+        if af is None:
+            af = 0.1 * math.log(factor) + 1.0
+        attn_factor = float(af)
+    elif rt == "llama3":
+        low_f = float(scaling.low_freq_factor)
+        high_f = float(scaling.high_freq_factor)
+        low_wavelen = orig / low_f
+        high_wavelen = orig / high_f
+        wavelen = 2 * math.pi / inv_freq
+        scaled = np.where(wavelen > low_wavelen, inv_freq / factor,
+                          inv_freq)
+        smooth = (orig / wavelen - low_f) / (high_f - low_f)
+        smoothed = ((1 - smooth) * inv_freq / factor + smooth * inv_freq)
+        is_medium = (wavelen <= low_wavelen) & (wavelen >= high_wavelen)
+        inv_freq = np.where(is_medium, smoothed, scaled)
+    else:
+        raise ValueError(f"unsupported rope_scaling type: {rt}")
+    return inv_freq.astype(np.float32), attn_factor
+
+
+def rope_cos_sin(positions: jnp.ndarray, head_dim: int, theta: float,
+                 dtype=jnp.float32, scaling=None,
+                 max_position_embeddings: int = 0
+                 ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """cos/sin tables for the given positions, HF "rotate_half" layout:
+    freqs duplicated as cat(freqs, freqs) over the head dim. ``scaling``
+    selects a rope-scaling variant (see scaled_inv_freq)."""
+    inv, attn_factor = scaled_inv_freq(head_dim, theta, scaling,
+                                       max_position_embeddings)
+    inv_freq = jnp.asarray(inv)
     freqs = positions.astype(jnp.float32)[:, None] * inv_freq[None, :]
     emb = jnp.concatenate([freqs, freqs], axis=-1)
-    return jnp.cos(emb).astype(dtype), jnp.sin(emb).astype(dtype)
+    return (jnp.cos(emb).astype(dtype) * attn_factor,
+            jnp.sin(emb).astype(dtype) * attn_factor)
 
 
 def _rotate_half(x: jnp.ndarray) -> jnp.ndarray:

@@ -50,6 +50,46 @@ from vllm_trianglemix_tpu.quantization.linear import (
 
 
 @dataclass(frozen=True)
+class RopeScalingConfig:
+    """Static rope-scaling parameters (HF config.json `rope_scaling`).
+
+    Hashable so DecoderConfig stays a valid static jit argument. Covers
+    the reference's rotary_embedding/ variants that apply on TPU: llama3,
+    yarn, dynamic NTK, linear (vllm/model_executor/layers/rotary_embedding/).
+    """
+    rope_type: str = "default"
+    factor: float = 1.0
+    original_max_position_embeddings: int = 0
+    low_freq_factor: float = 1.0
+    high_freq_factor: float = 4.0
+    beta_fast: float = 32.0
+    beta_slow: float = 1.0
+    attention_factor: float | None = None
+    # dynamic-NTK only: the length the static table is evaluated at
+    # (the engine's max_model_len; 0 = config max_position_embeddings).
+    eval_len: int = 0
+
+    @classmethod
+    def from_hf(cls, rs: dict[str, Any] | None) -> "RopeScalingConfig | None":
+        if not rs:
+            return None
+        rt = rs.get("rope_type", rs.get("type", "default"))
+        if rt in ("default", "mrope"):
+            return None
+        return cls(
+            rope_type=rt,
+            factor=float(rs.get("factor", 1.0)),
+            original_max_position_embeddings=int(
+                rs.get("original_max_position_embeddings", 0)),
+            low_freq_factor=float(rs.get("low_freq_factor", 1.0)),
+            high_freq_factor=float(rs.get("high_freq_factor", 4.0)),
+            beta_fast=float(rs.get("beta_fast", 32.0)),
+            beta_slow=float(rs.get("beta_slow", 1.0)),
+            attention_factor=rs.get("attention_factor"),
+        )
+
+
+@dataclass(frozen=True)
 class DecoderConfig:
     vocab_size: int = 151936
     hidden_size: int = 1024
@@ -60,6 +100,7 @@ class DecoderConfig:
     head_dim: int = 128
     rms_norm_eps: float = 1e-6
     rope_theta: float = 1_000_000.0
+    rope_scaling: RopeScalingConfig | None = None
     tie_word_embeddings: bool = True
     max_position_embeddings: int = 40960
     eos_token_id: int = 151645
@@ -91,6 +132,7 @@ class DecoderConfig:
             head_dim=head_dim,
             rms_norm_eps=cfg.get("rms_norm_eps", 1e-6),
             rope_theta=cfg.get("rope_theta", 1e6),
+            rope_scaling=RopeScalingConfig.from_hf(cfg.get("rope_scaling")),
             tie_word_embeddings=cfg.get("tie_word_embeddings", False),
             max_position_embeddings=cfg.get("max_position_embeddings", 40960),
             eos_token_id=eos,
@@ -395,7 +437,10 @@ def forward(
     eps = cfg.rms_norm_eps
 
     x = params["embed_tokens"][token_ids]
-    cos, sin = rope_cos_sin(md.positions, Dh, cfg.rope_theta, dtype=x.dtype)
+    cos, sin = rope_cos_sin(
+        md.positions, Dh, cfg.rope_theta, dtype=x.dtype,
+        scaling=cfg.rope_scaling,
+        max_position_embeddings=cfg.max_position_embeddings)
 
     attn_kwargs = dict(
         scale=scale,

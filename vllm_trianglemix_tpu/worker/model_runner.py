@@ -121,6 +121,14 @@ class ModelRunner:
         self.model, self.cfg = resolve_model(self.model_config.model)
         self.block_size = self.cache_config.block_size
         self.max_model_len = self.model_config.max_model_len
+        rs = getattr(self.cfg, "rope_scaling", None)
+        if rs is not None and rs.rope_type == "dynamic":
+            # Dynamic NTK: evaluate the static frequency table at the
+            # engine's max length (HF grows it on demand; see
+            # layers/common.py:scaled_inv_freq).
+            from dataclasses import replace
+            self.cfg = replace(self.cfg, rope_scaling=replace(
+                rs, eval_len=self.max_model_len))
         self.max_blocks_per_req = cdiv(self.max_model_len, self.block_size)
 
         self.input_batch = InputBatch()
