@@ -99,7 +99,7 @@ def main() -> None:
                                           MODEL_CONFIG["vocab_size"],
                                           dtype=jnp.int32)
                 t0 = time.perf_counter()
-                runner.kv_caches, sampled = fn(
+                runner.kv_caches, sampled, _last = fn(
                     runner.params, runner.kv_caches, toks,
                     jnp.full(R, 500, jnp.int32), jnp.full(R, K, jnp.int32),
                     bt_dev, jnp.full(R, 500, jnp.int32), smd,

@@ -38,6 +38,7 @@ def create_scheduler(
     enable_prefix_caching: bool = True,
     policy: str = "fcfs",
     long_prefill_token_threshold: int = 0,
+    async_scheduling: bool = False,
 ) -> Scheduler:
     return Scheduler(
         scheduler_config=SchedulerConfig(
@@ -45,6 +46,7 @@ def create_scheduler(
             max_num_batched_tokens=max_num_batched_tokens,
             policy=policy,
             long_prefill_token_threshold=long_prefill_token_threshold,
+            async_scheduling=async_scheduling,
         ),
         cache_config=CacheConfig(
             block_size=block_size,

@@ -142,8 +142,12 @@ class SchedulerConfig:
     # Chunk any single prefill above this many tokens (0 = no extra chunking).
     long_prefill_token_threshold: int = 0
     policy: str = "fcfs"  # "fcfs" | "priority"
-    # Async scheduling (overlap schedule with execute) — round 2+.
-    async_scheduling: bool = False
+    # Async scheduling: dispatch step N+1's host work while step N runs on
+    # device (reference async_scheduler.py). Sampled-but-in-flight tokens
+    # are placeholders gathered device-side by the runner. Auto-disabled
+    # when spec decode is on; grammar/logit-row requests force per-step
+    # sync fallback.
+    async_scheduling: bool = True
     # Multi-step decode: when the whole batch is decoding and nothing is
     # waiting, run up to this many autoregressive steps per device dispatch
     # (device-side lax.scan), cutting host<->device round trips per token.

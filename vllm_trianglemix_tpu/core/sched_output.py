@@ -85,6 +85,10 @@ class SchedulerOutput:
     # (block_hash_hex, block_id) pairs.
     kv_load_ops: list = field(default_factory=list)
     kv_save_ops: list = field(default_factory=list)
+    # Async scheduling: req_ids that sample this step (their output tokens
+    # are placeholders until the step's results land). None = sync mode
+    # (the worker infers sampling from its own token counts).
+    sampling_req_ids: Optional[set[str]] = None
 
     @property
     def max_decode_steps(self) -> int:

@@ -55,6 +55,14 @@ class Scheduler:
         self.max_num_seqs = scheduler_config.max_num_seqs
         self.max_num_batched_tokens = scheduler_config.max_num_batched_tokens
         self.max_model_len = max_model_len
+        # Async scheduling (reference async_scheduler.py:14): schedule step
+        # N+1 while step N runs on device. Sampled-but-unreturned tokens are
+        # per-request placeholders (num_output_placeholders); their values
+        # are gathered device-side by the runner. num_computed_tokens is
+        # advanced eagerly at schedule time, not in update_from_output.
+        # Incompatible with spec decode (engine disables one of the two).
+        self.async_scheduling = (scheduler_config.async_scheduling
+                                 and self.proposer is None)
 
         self.kv_cache_manager = KVCacheManager(
             kv_cache_config,
@@ -113,7 +121,8 @@ class Scheduler:
         multi_step = (
             k_cfg > 1 and self.proposer is None and waiting_blocked
             and self.running
-            and all(r.num_tokens - r.num_computed_tokens == 1
+            and all(r.num_tokens + r.num_output_placeholders
+                    - r.num_computed_tokens == 1
                     for r in self.running)
             and not any(r.request_id in self.no_lookahead_req_ids
                         or r.sampling_params.needs_host_sampling
@@ -150,7 +159,33 @@ class Scheduler:
         req_index = 0
         while req_index < len(self.running) and token_budget > 0:
             request = self.running[req_index]
-            num_new_tokens = request.num_tokens - request.num_computed_tokens
+            num_new_tokens = (request.num_tokens
+                              + request.num_output_placeholders
+                              - request.num_computed_tokens)
+
+            # Async: a pooling request whose prefill is in flight has no
+            # further tokens (it finishes at update time; placeholders are
+            # never minted for it).
+            if (self.async_scheduling and num_new_tokens == 0
+                    and request.pooling_params is not None):
+                req_index += 1
+                continue
+
+            # Async: a decode step whose in-flight tokens will already hit a
+            # stop bound must not be scheduled past the end (the position
+            # would overflow the block table / max_tokens).
+            if self.async_scheduling and request.num_output_placeholders > 0:
+                p = request.sampling_params
+                past_len = (request.num_tokens
+                            + request.num_output_placeholders
+                            > self.max_model_len)
+                past_max = (p.max_tokens is not None
+                            and request.num_output_tokens
+                            + request.num_output_placeholders
+                            >= p.max_tokens)
+                if past_len or past_max:
+                    req_index += 1
+                    continue
 
             # Speculative drafts: decode-ready requests get n-gram
             # proposals verified alongside the real token this step —
@@ -191,10 +226,12 @@ class Scheduler:
             num_alloc_tokens = num_new_tokens
             if multi_step:
                 params = request.sampling_params
-                steps = min(k_cfg, self.max_model_len - request.num_tokens)
+                steps = min(k_cfg, self.max_model_len - request.num_tokens
+                            - request.num_output_placeholders)
                 if params.max_tokens is not None:
                     steps = min(steps, params.max_tokens
-                                - request.num_output_tokens)
+                                - request.num_output_tokens
+                                - request.num_output_placeholders)
                 steps = max(1, steps)
                 num_decode_steps[request.request_id] = steps
                 num_alloc_tokens = steps
@@ -321,12 +358,41 @@ class Scheduler:
         if preempted_reqs or scheduled_new_reqs or scheduled_resumed_reqs:
             # Batch composition changed; the lookahead premise may not hold.
             num_decode_steps = {}
+
+        # Capture new-request snapshots BEFORE the async eager advance below
+        # (the worker needs pre-step num_computed_tokens).
+        new_reqs_data = [
+            NewRequestData.from_request(r, new_blocks_per_req[r.request_id])
+            for r in scheduled_new_reqs
+        ]
+
+        sampling_req_ids = None
+        if self.async_scheduling:
+            # Eager bookkeeping (reference async_scheduler.py
+            # _update_after_schedule): the scheduled tokens count as
+            # computed now; every computed token at/past the end of the
+            # known sequence is a sampled-but-in-flight placeholder.
+            sampling_req_ids = set()
+            for req_id, n in num_scheduled_tokens.items():
+                request = self.requests[req_id]
+                adv = num_decode_steps.get(req_id, n)
+                before_ph = request.num_output_placeholders
+                request.num_computed_tokens += adv
+                if request.pooling_params is not None:
+                    # Pooling requests never mint placeholders, but the
+                    # worker must still fetch their pooled vector on the
+                    # step their prefill completes.
+                    if request.num_computed_tokens >= request.num_tokens:
+                        sampling_req_ids.add(req_id)
+                    continue
+                new_samples = (request.num_computed_tokens
+                               - (request.num_tokens + before_ph) + 1)
+                if new_samples > 0:
+                    request.num_output_placeholders += new_samples
+                    sampling_req_ids.add(req_id)
+
         output = SchedulerOutput(
-            scheduled_new_reqs=[
-                NewRequestData.from_request(
-                    r, new_blocks_per_req[r.request_id])
-                for r in scheduled_new_reqs
-            ],
+            scheduled_new_reqs=new_reqs_data,
             scheduled_cached_reqs=cached_data,
             num_scheduled_tokens=num_scheduled_tokens,
             total_num_scheduled_tokens=total,
@@ -335,6 +401,7 @@ class Scheduler:
             scheduled_spec_tokens=scheduled_spec_tokens,
             kv_load_ops=kv_load_ops,
             kv_save_ops=kv_save_ops,
+            sampling_req_ids=sampling_req_ids,
         )
         self.finished_req_ids = set()
         return output
@@ -376,6 +443,7 @@ class Scheduler:
             request = self.requests.get(req_id)
             if request is None:
                 continue  # aborted mid-step
+            was_running = request.status == RequestStatus.RUNNING
 
             if request.pooling_params is not None:
                 # Embedding request: finishes when prefill completes; no
@@ -405,22 +473,30 @@ class Scheduler:
                     if stopped:
                         break
             new_token_ids = new_token_ids[:accepted]
-            drafts = scheduler_output.scheduled_spec_tokens.get(req_id)
-            if drafts is not None:
-                # Spec decode: scheduled = 1 real + len(drafts); the runner
-                # returned 1..len(drafts)+1 accepted tokens. Rejected
-                # drafts' KV rows are rolled back (reference
-                # update_from_output spec path).
-                num_rejected = len(drafts) + 1 - len(new_token_ids)
-                request.num_computed_tokens += num_tokens - num_rejected
+            if self.async_scheduling:
+                # num_computed_tokens was advanced at schedule time; the
+                # arriving tokens retire their placeholders. (Early-stopped
+                # requests are freed below, so over-advanced KV is moot.)
+                request.num_output_placeholders = max(
+                    0, request.num_output_placeholders - accepted)
             else:
-                # Multi-step decode computed KV for `accepted` input
-                # tokens (the scheduled one + accepted-1 sampled lookahead
-                # tokens); normal steps computed exactly the scheduled
-                # tokens.
-                request.num_computed_tokens += max(num_tokens, accepted)
+                drafts = scheduler_output.scheduled_spec_tokens.get(req_id)
+                if drafts is not None:
+                    # Spec decode: scheduled = 1 real + len(drafts); the
+                    # runner returned 1..len(drafts)+1 accepted tokens.
+                    # Rejected drafts' KV rows are rolled back (reference
+                    # update_from_output spec path).
+                    num_rejected = len(drafts) + 1 - len(new_token_ids)
+                    request.num_computed_tokens += num_tokens - num_rejected
+                else:
+                    # Multi-step decode computed KV for `accepted` input
+                    # tokens (the scheduled one + accepted-1 sampled
+                    # lookahead tokens); normal steps computed exactly the
+                    # scheduled tokens.
+                    request.num_computed_tokens += max(num_tokens, accepted)
             if stopped:
                 stopped_reqs.append(request)
+                request._was_running_at_stop = was_running
 
             if new_token_ids or stopped:
                 lp = (model_output.logprobs or {}).get(req_id)
@@ -435,7 +511,12 @@ class Scheduler:
                     ))
 
         for request in stopped_reqs:
-            self.running.remove(request)
+            if getattr(request, "_was_running_at_stop", True):
+                self.running.remove(request)
+            else:
+                # Async: the request was preempted while its stop token was
+                # in flight — it sits in the waiting queue, not running.
+                self.waiting.remove_requests({request})
             self._free_request(request)
         return outputs
 

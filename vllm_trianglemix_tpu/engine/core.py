@@ -71,6 +71,15 @@ class EngineCore:
         # grammar-constrained requests (masks are host-side per step).
         self.scheduler.no_lookahead_req_ids = set()
 
+        # Async scheduling (reference async_scheduler.py + AsyncLLM overlap):
+        # at most one step in flight; step N+1's host work (schedule +
+        # input assembly + dispatch) runs while step N executes on device.
+        self.async_scheduling = self.scheduler.async_scheduling
+        from collections import deque
+
+        self._in_flight: deque = deque()
+        self._drained_outputs: list[EngineCoreOutput] = []
+
     def add_request(self, request: Request) -> None:
         self.structured_output_manager.maybe_add_request(request)
         if self.structured_output_manager.has_request(request.request_id):
@@ -78,15 +87,26 @@ class EngineCore:
         self.scheduler.add_request(request)
 
     def abort_requests(self, request_ids: list[str]) -> None:
+        if self._in_flight:
+            # Settle in-flight steps before mutating scheduler state; their
+            # outputs are delivered with the next step's.
+            self._drained_outputs += self._drain_in_flight()
         self.scheduler.abort_requests(request_ids)
         for rid in request_ids:
             self.structured_output_manager.remove_request(rid)
             self.scheduler.no_lookahead_req_ids.discard(rid)
 
     def step(self) -> list[EngineCoreOutput]:
-        """One engine iteration (reference core.py:272-291)."""
+        """One engine iteration (reference core.py:272-291). In async mode
+        the new step is dispatched before the previous step's results are
+        fetched, overlapping host scheduling with device compute."""
+        if self.async_scheduling:
+            return self._step_async()
         if not self.scheduler.has_unfinished_requests():
             return []
+        return self._step_sync()
+
+    def _step_sync(self) -> list[EngineCoreOutput]:
         scheduler_output = self.scheduler.schedule()
         som = self.structured_output_manager
         if som.requests and scheduler_output.num_scheduled_tokens:
@@ -96,15 +116,63 @@ class EngineCore:
         model_output = self.executor.execute_model(scheduler_output)
         outputs = self.scheduler.update_from_output(scheduler_output,
                                                     model_output)
+        self._postprocess_outputs(outputs)
+        return outputs
+
+    def _step_async(self) -> list[EngineCoreOutput]:
+        outputs = self._drained_outputs
+        self._drained_outputs = []
+        # Grammar-constrained or host-logit-row requests need host token
+        # state current at schedule time: drain the pipeline and run the
+        # step synchronously.
+        if self.structured_output_manager.requests or any(
+                r.sampling_params is not None
+                and r.sampling_params.needs_logit_rows
+                for r in self.scheduler.requests.values()):
+            outputs += self._drain_in_flight()
+            if self.scheduler.has_unfinished_requests():
+                outputs += self._step_sync()
+            return outputs
+        dispatched = False
+        if self.scheduler.has_unfinished_requests():
+            so = self.scheduler.schedule()
+            # Dispatch even when empty: the worker must still see
+            # finished_req_ids to evict them from its persistent batch.
+            pending = self.executor.execute_model_async(so)
+            self._in_flight.append((so, pending))
+            dispatched = True
+        # Keep the just-dispatched step in flight: its results are fetched
+        # on the NEXT call, after that call has dispatched its successor —
+        # that is the scheduling/compute overlap.
+        if self._in_flight and (len(self._in_flight) > 1 or not dispatched):
+            so, pending = self._in_flight.popleft()
+            step_outputs = self.scheduler.update_from_output(
+                so, pending.get())
+            self._postprocess_outputs(step_outputs)
+            outputs += step_outputs
+        return outputs
+
+    def _drain_in_flight(self) -> list[EngineCoreOutput]:
+        outputs = []
+        while self._in_flight:
+            so, pending = self._in_flight.popleft()
+            step_outputs = self.scheduler.update_from_output(
+                so, pending.get())
+            self._postprocess_outputs(step_outputs)
+            outputs += step_outputs
+        return outputs
+
+    def _postprocess_outputs(self, outputs: list[EngineCoreOutput]) -> None:
+        som = self.structured_output_manager
         for out in outputs:
             som.accept_tokens(out.request_id, out.new_token_ids)
             if out.finished:
                 som.remove_request(out.request_id)
                 self.scheduler.no_lookahead_req_ids.discard(out.request_id)
-        return outputs
 
     def has_unfinished_requests(self) -> bool:
-        return self.scheduler.has_unfinished_requests()
+        return (self.scheduler.has_unfinished_requests()
+                or bool(self._in_flight) or bool(self._drained_outputs))
 
     def make_stats(self) -> SchedulerStats:
         return self.scheduler.make_stats()

@@ -38,6 +38,7 @@ class LLM:
         max_num_seqs: int = 64,
         max_num_batched_tokens: int = 2048,
         multi_step_decode: int = 1,
+        async_scheduling: bool = True,
         num_kv_blocks: Optional[int] = None,
         enable_prefix_caching: bool = True,
         tensor_parallel_size: int = 1,
@@ -71,7 +72,8 @@ class LLM:
             scheduler=SchedulerConfig(
                 max_num_seqs=max_num_seqs,
                 max_num_batched_tokens=max_num_batched_tokens,
-                multi_step_decode=multi_step_decode),
+                multi_step_decode=multi_step_decode,
+                async_scheduling=async_scheduling),
             parallel=ParallelConfig(
                 tensor_parallel_size=tensor_parallel_size,
                 data_parallel_size=data_parallel_size,

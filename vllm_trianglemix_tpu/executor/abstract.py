@@ -16,6 +16,16 @@ from vllm_trianglemix_tpu.core.sched_output import (
 )
 
 
+class _Resolved:
+    """Already-materialized result behind the async-dispatch interface."""
+
+    def __init__(self, out: ModelRunnerOutput) -> None:
+        self._out = out
+
+    def get(self) -> ModelRunnerOutput:
+        return self._out
+
+
 class Executor(ABC):
 
     @staticmethod
@@ -32,6 +42,13 @@ class Executor(ABC):
     @abstractmethod
     def execute_model(self, scheduler_output: SchedulerOutput
                       ) -> ModelRunnerOutput: ...
+
+    def execute_model_async(self, scheduler_output: SchedulerOutput):
+        """Dispatch the step without waiting for device results. Returns a
+        pending handle whose ``get()`` yields the ModelRunnerOutput. The
+        default wraps the blocking path (no overlap)."""
+        out = self.execute_model(scheduler_output)
+        return _Resolved(out)
 
     @property
     @abstractmethod

@@ -25,6 +25,9 @@ class UniProcExecutor(Executor):
                       ) -> ModelRunnerOutput:
         return self.worker.execute_model(scheduler_output)
 
+    def execute_model_async(self, scheduler_output: SchedulerOutput):
+        return self.worker.execute_model_async(scheduler_output)
+
     @property
     def num_kv_blocks(self) -> int:
         return self.worker.num_kv_blocks

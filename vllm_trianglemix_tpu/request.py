@@ -83,6 +83,10 @@ class Request:
         self.num_preemptions = 0
         # Spec-decode placeholder ids for future rounds.
         self.spec_token_ids: list[int] = []
+        # Async scheduling (reference async_scheduler.py:14): number of
+        # output tokens sampled by in-flight steps whose values have not
+        # reached the host yet. Scheduling length = num_tokens + this.
+        self.num_output_placeholders = 0
 
         params = sampling_params
         if params.max_tokens is None:

@@ -107,6 +107,21 @@ def pick_padding(paddings: list[int], n: int) -> int:
     raise ValueError(f"{n} exceeds the largest padding {paddings[-1]}")
 
 
+class _PendingStep:
+    """Handle for a dispatched-but-unfetched step (async scheduling).
+    ``fn`` runs the deferred device_get + host postprocessing."""
+
+    def __init__(self, fn) -> None:
+        self._fn = fn
+        self._out = None
+
+    def get(self) -> ModelRunnerOutput:
+        if self._fn is not None:
+            self._out = self._fn()
+            self._fn = None
+        return self._out
+
+
 class ModelRunner:
 
     def __init__(self, engine_config: EngineConfig, mesh=None,
@@ -207,6 +222,14 @@ class ModelRunner:
         # step key for sampling randomness
         self._rng_key = jax.random.PRNGKey(self.model_config.seed)
         self._step_count = 0
+
+        # Async scheduling: the previous dispatch's sampled tokens stay on
+        # device ([R_MAX], row per request of that dispatch); decode inputs
+        # whose value is still in flight are gathered from it inside the
+        # jitted step instead of waiting on the host.
+        self._req_pad_max = self._req_paddings[-1]
+        self._prev_sampled = jnp.zeros(self._req_pad_max, jnp.int32)
+        self._prev_rows: dict[str, int] = {}
 
         self._jit_step = self._build_step_fn()
         self._jit_sample = self._build_sample_fn()
@@ -364,7 +387,15 @@ class ModelRunner:
 
         @partial(jax.jit, donate_argnums=(1,))
         def step(params, kv_caches, token_ids, md: AttentionMetadata,
-                 tri_flags, lora):
+                 tri_flags, lora, gather_idx=None, prev_sampled=None):
+            if gather_idx is not None:
+                # Async scheduling: rows whose input token was sampled by
+                # the still-in-flight previous step read it device-side.
+                token_ids = jnp.where(
+                    gather_idx >= 0,
+                    prev_sampled[jnp.clip(gather_idx, 0,
+                                          prev_sampled.shape[0] - 1)],
+                    token_ids)
             hidden, kv_caches = model.forward(
                 params, cfg, tri_cfg, token_ids, kv_caches, md, tri_flags,
                 lora=lora, kv_quant=kv_quant, moe_fn=moe_fn)
@@ -389,25 +420,42 @@ class ModelRunner:
         return step
 
     def _build_sample_fn(self):
+        R_MAX = self._req_pad_max
+
         @partial(jax.jit,
                  static_argnames=("all_greedy", "has_mask", "has_bias",
-                                  "spec"))
+                                  "spec", "s_rows"))
         def sample_fn(logits, smd: SamplingMetadata, step_key, mask, bias,
                       pmask, drafts, all_greedy: bool, has_mask: bool,
-                      has_bias: bool, spec: bool = False):
+                      has_bias: bool, spec: bool = False, s_rows: int = 1):
             smd = smd._replace(all_greedy=all_greedy)
             kw = dict(allowed_mask=mask if has_mask else None,
                       logit_bias=bias if has_bias else None,
                       penalty_mask=pmask if has_bias else None)
+
+            def with_last(tokens, rest):
+                # Device-resident copy of each request's newest token for
+                # the next dispatch's async gather ([R_MAX]; spec rows use
+                # the s=0 column — async mode never runs spec).
+                R = tokens.shape[0] // s_rows
+                row0 = tokens.reshape(R, s_rows)[:, 0]
+                last = jnp.zeros(R_MAX, jnp.int32).at[:R].set(
+                    row0.astype(jnp.int32))
+                return (*rest, last)
+
             if spec and not all_greedy:
                 # Lossless rejection acceptance for temperature>0 drafts.
-                return spec_sample(logits, smd, step_key, drafts, **kw)
+                toks, acc, rec = spec_sample(logits, smd, step_key, drafts,
+                                             **kw)
+                return with_last(toks, (toks, acc, rec))
             tokens = sample_tokens(logits, smd, step_key, **kw)
             if spec:
                 # All-greedy batch: acceptance is exact token match and
                 # the recovery token is the model's own argmax.
-                return tokens, (tokens == drafts) & (drafts >= 0), tokens
-            return tokens
+                return with_last(
+                    tokens,
+                    (tokens, (tokens == drafts) & (drafts >= 0), tokens))
+            return with_last(tokens, (tokens,))
 
         return sample_fn
 
@@ -471,13 +519,21 @@ class ModelRunner:
         kv_quant = self.kv_quant
         moe_fn = self._moe_fn()
 
+        R_MAX = self._req_pad_max
+
         @partial(jax.jit, donate_argnums=(1,),
                  static_argnames=("num_steps", "all_greedy"))
         def multi_decode(params, kv_caches, tokens0, base_positions, steps,
                          block_tables, prompt_lens, smd: SamplingMetadata,
                          tri_flags, step_key, num_reqs, lora,
-                         num_steps: int, all_greedy: bool):
+                         num_steps: int, all_greedy: bool,
+                         t0_gather=None, prev_sampled=None):
             R = tokens0.shape[0]
+            if t0_gather is not None:
+                tokens0 = jnp.where(
+                    t0_gather >= 0,
+                    prev_sampled[jnp.clip(t0_gather, 0, R_MAX - 1)],
+                    tokens0)
             req_idx = jnp.arange(R, dtype=jnp.int32)
             qsl = jnp.arange(R + 1, dtype=jnp.int32)
             smd_g = smd._replace(all_greedy=all_greedy)
@@ -521,12 +577,30 @@ class ModelRunner:
             (kv_caches, _), sampled = jax.lax.scan(
                 one_step, (kv_caches, tokens0),
                 jnp.arange(num_steps, dtype=jnp.int32))
-            return kv_caches, sampled  # [K, R]
+            # Each request's final sampled token (row i finishes at step
+            # steps[i]-1), kept on device for the next async dispatch.
+            last = sampled[jnp.maximum(steps - 1, 0),
+                           jnp.arange(R, dtype=jnp.int32)]
+            last_full = jnp.zeros(R_MAX, jnp.int32).at[:R].set(
+                last.astype(jnp.int32))
+            return kv_caches, sampled, last_full  # [K, R], [R_MAX]
 
         return multi_decode
 
-    def _execute_multi_step(self, scheduler_output: SchedulerOutput
-                            ) -> ModelRunnerOutput:
+    def _token_or_gather(self, state, idx: int, gather_idx, pos: int):
+        """Input token at sequence index ``idx``: the host value when known,
+        else a device gather from the previous dispatch's sampled row
+        (async scheduling placeholder)."""
+        if idx < len(state.token_ids):
+            return state.token_ids[idx]
+        row = self._prev_rows.get(state.req_id)
+        assert row is not None, (
+            f"async gather miss: {state.req_id} needs token {idx} but was "
+            f"not in the previous dispatch")
+        gather_idx[pos] = row
+        return 0
+
+    def _execute_multi_step(self, scheduler_output: SchedulerOutput):
         nds = scheduler_output.num_decode_steps
         req_ids = list(scheduler_output.num_scheduled_tokens.keys())
         num_reqs = len(req_ids)
@@ -535,6 +609,7 @@ class ModelRunner:
         MB = self.max_blocks_per_req
 
         tokens0 = np.zeros(R, np.int32)
+        t0_gather = np.full(R, -1, np.int32)
         base_positions = np.zeros(R, np.int32)
         steps = np.zeros(R, np.int32)
         block_tables = np.zeros((R, MB), np.int32)
@@ -544,7 +619,7 @@ class ModelRunner:
         for i, req_id in enumerate(req_ids):
             state = self.input_batch.get(req_id)
             nc = state.num_computed_tokens
-            tokens0[i] = state.token_ids[nc]
+            tokens0[i] = self._token_or_gather(state, nc, t0_gather, i)
             base_positions[i] = nc
             steps[i] = nds[req_id]
             bt = np.asarray(state.block_ids, np.int32)
@@ -559,31 +634,43 @@ class ModelRunner:
                 {"stacks": self.lora_stacks, "idx": jnp.asarray(lora_idx)})
         smd = build_sampling_metadata(params_list, counters, R)
         self._rng_key, step_key = jax.random.split(self._rng_key)
-        self.kv_caches, sampled = self._jit_multi_decode(
+        self.kv_caches, sampled, last_full = self._jit_multi_decode(
             self.params, self.kv_caches, jnp.asarray(tokens0),
             jnp.asarray(base_positions), jnp.asarray(steps),
             jnp.asarray(block_tables), jnp.asarray(prompt_lens), smd,
             self.tri_flags, step_key, jnp.asarray(num_reqs, jnp.int32),
-            lora, K, bool(smd.all_greedy))
+            lora, K, bool(smd.all_greedy), jnp.asarray(t0_gather),
+            self._prev_sampled)
         self._step_count += 1
+        self._prev_sampled = last_full
+        self._prev_rows = {rid: i for i, rid in enumerate(req_ids)}
 
-        sampled_np = np.asarray(jax.device_get(sampled))  # [K, R]
-        out: list[list[int]] = []
-        for i, req_id in enumerate(req_ids):
-            toks = [int(t) for t in sampled_np[:steps[i], i]]
-            out.append(toks)
-            for tok in toks:
-                self.input_batch.append_token(req_id, tok)
-        self._check_recompilation()
-        return ModelRunnerOutput(req_ids=req_ids, sampled_token_ids=out)
+        def finalize() -> ModelRunnerOutput:
+            sampled_np = np.asarray(jax.device_get(sampled))  # [K, R]
+            out: list[list[int]] = []
+            for i, req_id in enumerate(req_ids):
+                toks = [int(t) for t in sampled_np[:steps[i], i]]
+                out.append(toks)
+                for tok in toks:
+                    self.input_batch.append_token(req_id, tok)
+            self._check_recompilation()
+            return ModelRunnerOutput(req_ids=req_ids, sampled_token_ids=out)
+
+        return _PendingStep(finalize)
 
     # --- per-step host work -----------------------------------------------------
     def execute_model(self, scheduler_output: SchedulerOutput
                       ) -> ModelRunnerOutput:
+        return self.execute_model_async(scheduler_output).get()
+
+    def execute_model_async(self, scheduler_output: SchedulerOutput):
+        """Dispatch the step; device results are fetched by the returned
+        handle's ``get()`` (async scheduling dispatches step N+1 before
+        calling get() on step N)."""
         self.input_batch.update_from_scheduler_output(scheduler_output)
         self._run_kv_connector_ops(scheduler_output)
         if scheduler_output.total_num_scheduled_tokens == 0:
-            return ModelRunnerOutput()
+            return _PendingStep(ModelRunnerOutput)
         if scheduler_output.num_decode_steps and \
                 scheduler_output.max_decode_steps >= 1 and \
                 self.engine_config.scheduler.multi_step_decode > 1:
@@ -601,6 +688,7 @@ class ModelRunner:
         S = self._sample_rows_per_req()
 
         token_ids = np.zeros(T, np.int32)
+        tok_gather = np.full(T, -1, np.int32)
         positions = np.zeros(T, np.int32)
         req_idx = np.full(T, R - 1, np.int32)  # pad rows point at pad req
         slot_mapping = np.full(T, -1, np.int32)
@@ -625,6 +713,15 @@ class ModelRunner:
             n_real = n_sched - len(drafts)
             step_tokens = (state.token_ids[start:start + n_real]
                            + list(drafts))
+            n_missing = n_sched - len(step_tokens)
+            if n_missing:
+                # Async scheduling: at most the final input token can still
+                # be in flight; it is gathered device-side.
+                assert n_missing == 1 and not drafts, (
+                    f"{req_id}: {n_missing} unknown input tokens")
+                step_tokens.append(self._token_or_gather(
+                    state, start + n_real - 1, tok_gather,
+                    offset + n_sched - 1))
             token_ids[offset:offset + n_sched] = step_tokens
             positions[offset:offset + n_sched] = np.arange(start, end)
             req_idx[offset:offset + n_sched] = i
@@ -648,7 +745,11 @@ class ModelRunner:
             params_list.append(state.sampling_params)
             counters.append(state.step_counter)
             state.step_counter += 1
-            sampled_valid.append(start + n_real >= state.num_tokens)
+            if scheduler_output.sampling_req_ids is not None:
+                sampled_valid.append(
+                    req_id in scheduler_output.sampling_req_ids)
+            else:
+                sampled_valid.append(start + n_real >= state.num_tokens)
             offset += n_sched
         query_start_loc[num_reqs + 1:] = offset
 
@@ -704,7 +805,8 @@ class ModelRunner:
         self._rng_key, step_key = jax.random.split(self._rng_key)
         self.kv_caches, logits, pooled = self._jit_step(
             self.params, self.kv_caches, jnp.asarray(token_ids), md,
-            self.tri_flags, lora)
+            self.tri_flags, lora, jnp.asarray(tok_gather),
+            self._prev_sampled)
         is_spec = S > 1
         if is_spec:
             draft_np = np.full((R, S), -1, np.int32)
@@ -716,97 +818,114 @@ class ModelRunner:
         result = self._jit_sample(logits, smd, step_key, mask_dev, bias_dev,
                                   pmask_dev, drafts_dev, smd.all_greedy,
                                   grammar_mask is not None, has_bias,
-                                  is_spec)
+                                  is_spec, S)
         if is_spec:
-            tokens, accept_dev, recovery_dev = result
+            tokens, accept_dev, recovery_dev, last_full = result
         else:
-            tokens, accept_dev, recovery_dev = result, None, None
+            (tokens, last_full), accept_dev, recovery_dev = result, None, None
         self._step_count += 1
-
-        # Embedding requests: fetch pooled vectors for those finishing now.
-        pooled_out = None
-        pooling_reqs = [
-            (i, rid) for i, rid in enumerate(req_ids)
-            if self.input_batch.get(rid).pooling_params is not None
-            and sampled_valid[i]
-        ]
-        if pooling_reqs:
-            pooled_np = np.asarray(jax.device_get(pooled))  # [3, R, D]
-            kinds = {"last": 0, "mean": 1, "cls": 2}
-            pooled_out = {}
-            for i, rid in pooling_reqs:
-                pp = self.input_batch.get(rid).pooling_params
-                vec = pooled_np[kinds[pp.pooling_type], i]
-                if pp.dimensions:
-                    vec = vec[:pp.dimensions]
-                if pp.normalize:
-                    vec = vec / max(float(np.linalg.norm(vec)), 1e-12)
-                pooled_out[rid] = vec
+        self._prev_sampled = last_full
+        self._prev_rows = {rid: i for i, rid in enumerate(req_ids)}
 
         lp_reqs = [
             (i, rid) for i, rid in enumerate(req_ids)
             if self.input_batch.get(rid).sampling_params.logprobs is not None
         ]
-        lp_ids = lp_vals = None
+        lp_devs = None
         if lp_reqs:
             k = max(1, min(20, max(
                 self.input_batch.get(rid).sampling_params.logprobs or 1
                 for _, rid in lp_reqs)))
-            ids_dev, lps_dev = self._jit_logprobs(logits, tokens,
-                                                  num_logprobs=k)
-            lp_ids = np.asarray(jax.device_get(ids_dev)).reshape(R, S, -1)
-            lp_vals = np.asarray(jax.device_get(lps_dev)).reshape(R, S, -1)
+            lp_devs = self._jit_logprobs(logits, tokens, num_logprobs=k)
 
-        if is_spec:
-            tokens_np, accept_np, recovery_np = (
-                np.asarray(a).reshape(R, S) for a in
-                jax.device_get((tokens, accept_dev, recovery_dev)))
-        else:
-            tokens_np = np.asarray(jax.device_get(tokens)).reshape(R, S)
-            accept_np = recovery_np = None
-        self._check_recompilation()
-        sampled: list[list[int]] = []
-        for i, req_id in enumerate(req_ids):
-            if not sampled_valid[i] or \
-                    self.input_batch.get(req_id).pooling_params is not None:
-                sampled.append([])
-                continue
-            drafts = drafts_per_req[i]
-            row = tokens_np[i]
-            if not drafts:
-                out = [int(row[0])]
+        pooling_reqs = [
+            (i, rid) for i, rid in enumerate(req_ids)
+            if self.input_batch.get(rid).pooling_params is not None
+            and sampled_valid[i]
+        ]
+        pooling_params_of = {
+            rid: self.input_batch.get(rid).pooling_params
+            for _, rid in pooling_reqs
+        }
+
+        def finalize() -> ModelRunnerOutput:
+            # Embedding requests: fetch pooled vectors for those finishing.
+            pooled_out = None
+            if pooling_reqs:
+                pooled_np = np.asarray(jax.device_get(pooled))  # [3, R, D]
+                kinds = {"last": 0, "mean": 1, "cls": 2}
+                pooled_out = {}
+                for i, rid in pooling_reqs:
+                    pp = pooling_params_of[rid]
+                    vec = pooled_np[kinds[pp.pooling_type], i]
+                    if pp.dimensions:
+                        vec = vec[:pp.dimensions]
+                    if pp.normalize:
+                        vec = vec / max(float(np.linalg.norm(vec)), 1e-12)
+                    pooled_out[rid] = vec
+
+            lp_ids = lp_vals = None
+            if lp_reqs:
+                ids_dev, lps_dev = lp_devs
+                lp_ids = np.asarray(jax.device_get(ids_dev)).reshape(
+                    R, S, -1)
+                lp_vals = np.asarray(jax.device_get(lps_dev)).reshape(
+                    R, S, -1)
+
+            if is_spec:
+                tokens_np, accept_np, recovery_np = (
+                    np.asarray(a).reshape(R, S) for a in
+                    jax.device_get((tokens, accept_dev, recovery_dev)))
             else:
-                # Rejection acceptance: row j's logits are the target
-                # distribution for the position draft j proposes. Accepted
-                # drafts are emitted as-is; the first rejection emits the
-                # device-resampled recovery token and stops; a fully
-                # accepted chain earns the bonus token from row[k]
-                # (reference rejection_sampler.py acceptance walk).
-                out = []
-                for j, d in enumerate(drafts):
-                    if accept_np[i, j]:
-                        out.append(int(d))
-                    else:
-                        out.append(int(recovery_np[i, j]))
-                        break
+                tokens_np = np.asarray(jax.device_get(tokens)).reshape(R, S)
+                accept_np = recovery_np = None
+            self._check_recompilation()
+            sampled: list[list[int]] = []
+            for i, req_id in enumerate(req_ids):
+                if not sampled_valid[i] or req_id in pooling_params_of:
+                    sampled.append([])
+                    continue
+                drafts = drafts_per_req[i]
+                row = tokens_np[i]
+                if not drafts:
+                    out = [int(row[0])]
                 else:
-                    out.append(int(row[len(drafts)]))
-            sampled.append(out)
-            # Keep the worker's token list in sync for the next step.
-            for tok in out:
-                self.input_batch.append_token(req_id, tok)
+                    # Rejection acceptance: row j's logits are the target
+                    # distribution for the position draft j proposes.
+                    # Accepted drafts are emitted as-is; the first
+                    # rejection emits the device-resampled recovery token
+                    # and stops; a fully accepted chain earns the bonus
+                    # token from row[k] (reference rejection_sampler.py
+                    # acceptance walk).
+                    out = []
+                    for j, d in enumerate(drafts):
+                        if accept_np[i, j]:
+                            out.append(int(d))
+                        else:
+                            out.append(int(recovery_np[i, j]))
+                            break
+                    else:
+                        out.append(int(row[len(drafts)]))
+                sampled.append(out)
+                # Keep the worker's token list in sync for the next step.
+                for tok in out:
+                    self.input_batch.append_token(req_id, tok)
 
-        logprobs_out = None
-        if lp_reqs:
-            logprobs_out = {}
-            for i, rid in lp_reqs:
-                n_acc = len(sampled[i])
-                logprobs_out[rid] = [
-                    (lp_ids[i, j].tolist(), lp_vals[i, j].tolist())
-                    for j in range(n_acc)
-                ]
-        return ModelRunnerOutput(req_ids=req_ids, sampled_token_ids=sampled,
-                                 pooled=pooled_out, logprobs=logprobs_out)
+            logprobs_out = None
+            if lp_reqs:
+                logprobs_out = {}
+                for i, rid in lp_reqs:
+                    n_acc = len(sampled[i])
+                    logprobs_out[rid] = [
+                        (lp_ids[i, j].tolist(), lp_vals[i, j].tolist())
+                        for j in range(n_acc)
+                    ]
+            return ModelRunnerOutput(req_ids=req_ids,
+                                     sampled_token_ids=sampled,
+                                     pooled=pooled_out,
+                                     logprobs=logprobs_out)
+
+        return _PendingStep(finalize)
 
     # --- warmup -----------------------------------------------------------------
     def capture_graphs(self) -> None:
@@ -864,13 +983,15 @@ class ModelRunner:
         for all_greedy in (True, False):
             # base_positions = 1 (not 0): fused decode requires pos >= 1
             # so each row's attention still iterates one KV block.
-            self.kv_caches, sampled = self._jit_multi_decode(
-                self.params, self.kv_caches, jnp.zeros(R, jnp.int32),
-                jnp.ones(R, jnp.int32), jnp.zeros(R, jnp.int32),
-                jnp.zeros((R, self.max_blocks_per_req), jnp.int32),
-                jnp.ones(R, jnp.int32), smd, self.tri_flags, step_key,
-                jnp.asarray(0, jnp.int32), self._dummy_lora(R), K,
-                all_greedy)
+            self.kv_caches, sampled, self._prev_sampled = \
+                self._jit_multi_decode(
+                    self.params, self.kv_caches, jnp.zeros(R, jnp.int32),
+                    jnp.ones(R, jnp.int32), jnp.zeros(R, jnp.int32),
+                    jnp.zeros((R, self.max_blocks_per_req), jnp.int32),
+                    jnp.ones(R, jnp.int32), smd, self.tri_flags, step_key,
+                    jnp.asarray(0, jnp.int32), self._dummy_lora(R), K,
+                    all_greedy, jnp.full(R, -1, jnp.int32),
+                    self._prev_sampled)
             sampled.block_until_ready()
 
     def save_state(self, path: str) -> None:
@@ -928,6 +1049,10 @@ class ModelRunner:
         spec = self.engine_config.speculative
         return 1 + (spec.num_speculative_tokens if spec.enabled else 0)
 
+    def drain(self) -> None:
+        """Block until all dispatched device work is done (async mode)."""
+        jax.block_until_ready(self.kv_caches)
+
     def _padded_num_slices(self, T: int, R: int) -> int:
         """Worst-case KV-update slice count for a (token, request) bucket:
         each request adds at most one partial leading run, plus one run per
@@ -961,7 +1086,8 @@ class ModelRunner:
         self._rng_key, step_key = jax.random.split(self._rng_key)
         self.kv_caches, logits, _pooled = self._jit_step(
             self.params, self.kv_caches, jnp.zeros(T, jnp.int32), md,
-            self.tri_flags, self._dummy_lora(T))
+            self.tri_flags, self._dummy_lora(T),
+            jnp.full(T, -1, jnp.int32), self._prev_sampled)
         mask = jnp.ones((RS, self.cfg.vocab_size), bool)
         placeholder = jnp.ones((1, 1), bool)
         bias = jnp.zeros((RS, self.cfg.vocab_size), jnp.float32)
@@ -976,5 +1102,6 @@ class ModelRunner:
                         logits, smd, step_key, m,
                         bias if has_bias else bias_ph,
                         mask if has_bias else placeholder,
-                        drafts, all_greedy, has_mask, has_bias, is_spec)
+                        drafts, all_greedy, has_mask, has_bias, is_spec,
+                        self._sample_rows_per_req())
                     jax.block_until_ready(out)

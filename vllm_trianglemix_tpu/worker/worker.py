@@ -50,6 +50,9 @@ class Worker:
                       ) -> ModelRunnerOutput:
         return self.model_runner.execute_model(scheduler_output)
 
+    def execute_model_async(self, scheduler_output: SchedulerOutput):
+        return self.model_runner.execute_model_async(scheduler_output)
+
     def save_state(self, path: str) -> None:
         self.model_runner.save_state(path)
 
