@@ -25,7 +25,7 @@ from vllm_trianglemix_tpu.ops.ragged_paged_attention import (
 
 def run_fused_vs_reference(seq_descrs, *, num_q_heads=8, num_kv_heads=4,
                            head_dim=128, use_triangle=False,
-                           dense_threshold=2048):
+                           dense_threshold=2048, attn_window=0):
     """seq_descrs: (1, kv_len, prompt_len) rows — pure decode. The batch
     builder fills kv rows [0, kv_len); we treat position kv_len as the
     NEW token whose K/V stays in registers for the fused path."""
@@ -41,7 +41,7 @@ def run_fused_vs_reference(seq_descrs, *, num_q_heads=8, num_kv_heads=4,
                         jnp.float32)
     scale = head_dim ** -0.5
     common = dict(scale=scale, sink=4, window=32, last=64,
-                  dense_threshold=dense_threshold)
+                  dense_threshold=dense_threshold, attn_window=attn_window)
 
     # The new token sits at position kv_len (one past the built history).
     pos_new = md.seq_lens  # [R]
@@ -107,3 +107,10 @@ def test_write_kv_all_layers_matches_per_layer():
         expect.append(write_to_kv_cache(caches[layer], ks[layer],
                                         vs[layer], slot_masked))
     np.testing.assert_allclose(np.asarray(got), np.asarray(jnp.stack(expect)))
+
+
+def test_fused_decode_sliding_window():
+    # Decode with context past the window: cached columns outside the
+    # window are invisible; the merged current token is always visible.
+    run_fused_vs_reference([(1, 70, 69), (1, 33, 32), (1, 10, 9)],
+                           attn_window=24)

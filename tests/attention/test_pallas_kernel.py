@@ -88,14 +88,15 @@ def build_batch(seq_descrs, *, num_kv_heads, num_q_heads, head_dim,
 
 def run_both(seq_descrs, *, use_triangle=False, dense_threshold=2048,
              num_q_heads=8, num_kv_heads=4, head_dim=128, dtype=jnp.float32,
-             soft_cap=0.0, **kernel_kwargs):
+             soft_cap=0.0, attn_window=0, **kernel_kwargs):
     max_blocks = max(-(-kv // PAGE) for _, kv, _ in seq_descrs)
     q, cache, md = build_batch(seq_descrs, num_kv_heads=num_kv_heads,
                                num_q_heads=num_q_heads, head_dim=head_dim,
                                max_blocks=max_blocks, dtype=dtype)
     scale = head_dim ** -0.5
     common = dict(scale=scale, sink=4, window=32, last=64,
-                  dense_threshold=dense_threshold, soft_cap=soft_cap)
+                  dense_threshold=dense_threshold, soft_cap=soft_cap,
+                  attn_window=attn_window)
     ref = ragged_paged_attention_xla(q, cache, md, use_triangle, **common)
     got = ragged_paged_attention_pallas(q, cache, md, use_triangle,
                                         interpret=True, **common,
@@ -174,3 +175,65 @@ def test_traced_triangle_flag():
     run_both([(100, 100, 100)], use_triangle=jnp.asarray(True),
              dense_threshold=64, num_queries_per_block=32,
              num_kv_pages_per_block=2)
+
+
+# --- sliding-window attention (Mistral semantics) ---------------------------
+
+def dense_swa_reference(q, cache, md, *, scale, attn_window):
+    """Brute-force windowed-causal attention for validation of BOTH paths."""
+    import numpy as np
+
+    T = int(md.query_start_loc[-1])
+    num_blocks, page, twoKH, D = cache.shape
+    KH = twoKH // 2
+    HQ = q.shape[1]
+    G = HQ // KH
+    out = np.zeros((T, HQ, D), np.float32)
+    cache_np = np.asarray(cache, np.float32)
+    for t in range(T):
+        r = int(md.req_idx[t])
+        pos = int(md.positions[t])
+        ctx = int(md.seq_lens[r])
+        bt = np.asarray(md.block_tables[r])
+        cols = [c for c in range(ctx)
+                if c <= pos and (pos - c) < attn_window]
+        k = np.stack([cache_np[bt[c // page], c % page, 0::2] for c in cols])
+        v = np.stack([cache_np[bt[c // page], c % page, 1::2] for c in cols])
+        for h in range(HQ):
+            kh = h // G
+            s = np.asarray(q[t, h], np.float32) @ k[:, kh].T * scale
+            p = np.exp(s - s.max())
+            p /= p.sum()
+            out[t, h] = p @ v[:, kh]
+    return out
+
+
+def test_sliding_window_matches_dense_reference():
+    seqs = [(24, 96, 96), (1, 80, 79)]
+    max_blocks = max(-(-kv // PAGE) for _, kv, _ in seqs)
+    q, cache, md = build_batch(seqs, num_kv_heads=4, num_q_heads=8,
+                               head_dim=128, max_blocks=max_blocks,
+                               dtype=jnp.float32)
+    scale = 128 ** -0.5
+    W = 40
+    ref = dense_swa_reference(q, cache, md, scale=scale, attn_window=W)
+    xla = ragged_paged_attention_xla(q, cache, md, False, scale=scale,
+                                     attn_window=W)
+    T = ref.shape[0]
+    np.testing.assert_allclose(np.asarray(xla[:T], np.float32), ref,
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_sliding_window_pallas_vs_xla():
+    run_both([(24, 96, 96), (1, 80, 79), (16, 48, 48)], attn_window=40)
+
+
+def test_sliding_window_block_skip_long_context():
+    # Context much longer than the window: lead-in kv blocks are skipped.
+    run_both([(8, 200, 200), (1, 180, 179)], attn_window=33,
+             num_queries_per_block=8, num_kv_pages_per_block=2)
+
+
+def test_sliding_window_with_gqa_bf16():
+    run_both([(20, 100, 100), (1, 90, 89)], attn_window=25,
+             num_q_heads=16, num_kv_heads=4, dtype=jnp.bfloat16)

@@ -100,7 +100,7 @@ def write_kv(kv_cache: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
 @partial(jax.jit, static_argnames=("sink", "window", "last",
                                    "dense_threshold", "soft_cap", "scale",
-                                   "k_scale", "v_scale"))
+                                   "k_scale", "v_scale", "attn_window"))
 def ragged_paged_attention_xla(
     q: jnp.ndarray,               # [T, HQ, D]
     kv_cache: jnp.ndarray,        # [num_blocks, page, 2*KH, D]
@@ -116,6 +116,7 @@ def ragged_paged_attention_xla(
     soft_cap: float = 0.0,
     k_scale=None,
     v_scale=None,
+    attn_window: int = 0,
 ) -> jnp.ndarray:
     """Reference ragged paged attention, O(T × max_ctx) but pure XLA.
 
@@ -153,6 +154,10 @@ def ragged_paged_attention_xla(
     q_pos = md.positions[:, None]                               # [T, 1]
     ctx_len = md.seq_lens[md.req_idx][:, None]                  # [T, 1]
     visible = (key_pos <= q_pos) & (key_pos < ctx_len)
+    if attn_window > 0:
+        # Sliding-window attention (Mistral): every token sees at most the
+        # previous attn_window positions (itself included).
+        visible &= (q_pos - key_pos) < attn_window
 
     n = md.prompt_lens[md.req_idx][:, None]                     # [T, 1]
     tri = ((key_pos <= sink)

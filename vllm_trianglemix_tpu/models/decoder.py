@@ -108,6 +108,13 @@ class DecoderConfig:
     # family switches
     use_qk_norm: bool = False
     use_qkv_bias: bool = False
+    # Sliding-window attention (Mistral): every token attends to at most
+    # the last `sliding_window` positions. 0 = full attention. Unlike the
+    # reference (which ignores the fork's mask AND bounds context by
+    # max_model_len for Mistral), this is enforced inside the attention
+    # kernels, and the scheduler reclaims out-of-window KV blocks
+    # (core/single_type_kv_cache_manager.py:SlidingWindowManager).
+    sliding_window: int = 0
     # Mixture-of-experts (Qwen3-MoE): 0 experts = dense MLP
     num_experts: int = 0
     num_experts_per_tok: int = 0
@@ -141,6 +148,10 @@ class DecoderConfig:
             num_experts_per_tok=cfg.get("num_experts_per_tok", 0),
             moe_intermediate_size=cfg.get("moe_intermediate_size", 0),
             norm_topk_prob=cfg.get("norm_topk_prob", True),
+            # Qwen2-style configs carry sliding_window but gate it off with
+            # use_sliding_window=False; Mistral may set it to null.
+            sliding_window=(cfg.get("sliding_window") or 0
+                            if cfg.get("use_sliding_window", True) else 0),
         )
 
     @classmethod
@@ -448,6 +459,7 @@ def forward(
         window=tri_cfg.sliding_window_size,
         last=tri_cfg.num_last_tokens,
         dense_threshold=tri_cfg.dense_threshold,
+        attn_window=cfg.sliding_window,
     )
     if kv_quant is not None:
         attn_kwargs["k_scale"] = kv_quant[0]
@@ -523,7 +535,20 @@ def compute_logits(params: dict, cfg: DecoderConfig,
 
 
 def kv_cache_spec(cfg: DecoderConfig, block_size: int, dtype_bytes: int = 2):
-    from vllm_trianglemix_tpu.core.kv_cache_interface import FullAttentionSpec
+    from vllm_trianglemix_tpu.core.kv_cache_interface import (
+        FullAttentionSpec,
+        SlidingWindowSpec,
+    )
+    if cfg.sliding_window > 0:
+        # Scheduler side: SlidingWindowManager reclaims out-of-window
+        # blocks (reference single_type_kv_cache_manager.py:304).
+        return SlidingWindowSpec(
+            block_size=block_size,
+            num_kv_heads=cfg.num_key_value_heads,
+            head_size=cfg.head_dim,
+            dtype_bytes=dtype_bytes,
+            sliding_window=cfg.sliding_window,
+        )
     return FullAttentionSpec(
         block_size=block_size,
         num_kv_heads=cfg.num_key_value_heads,

@@ -2,11 +2,13 @@
 
 Reference: vllm/model_executor/models/llama.py (MistralForCausalLM is
 registered onto the Llama implementation there too) — no qkv bias, no
-q/k norm, untied lm_head. Mistral checkpoints may declare a
-``sliding_window``; the engine bounds the context with
-``max_model_len`` instead (per-layer sliding-window KV groups are the
-hybrid-allocator extension). See models/decoder.py for the shared
-TPU-first implementation.
+q/k norm, untied lm_head. A checkpoint ``sliding_window`` is enforced
+for real: windowed visibility inside the attention kernels
+(decoder.py attn_kwargs["attn_window"], ops/ragged_paged_attention.py)
+and out-of-window KV block reclamation in the scheduler
+(core/single_type_kv_cache_manager.py:SlidingWindowManager — reference
+vllm/v1/core/single_type_kv_cache_manager.py:304). See models/decoder.py
+for the shared TPU-first implementation.
 """
 
 from __future__ import annotations

@@ -104,9 +104,12 @@ def default_block_sizes(page_size: int, max_q_tokens: int,
     fit the ~16 MB VMEM budget, so both dimensions scale down with the
     head-block width.
     """
-    # Out-of-range pages in a tile still cost DMA issues (clamped to page
-    # 0), so oversizing tiles past typical contexts backfires; 512 tokens
-    # measured best on v5e for <=16 combined heads.
+    import os
+
+    # Out-of-range pages no longer cost DMA (conditional per-page copies),
+    # so large tiles amortize the per-tile fixed cost (DMA issue + inner
+    # loop + flash update) without streaming garbage; 512 tokens measured
+    # best on v5e for <=16 combined heads at the old unconditional copies.
     kv_target = 512 if combined_kv_blk <= 16 else 256
     kv_pages = max(1, min(pages_per_seq, -(-kv_target // page_size)))
     # acc scales with q_heads_blk: 128 rows works up to 16 heads/block.
@@ -118,32 +121,49 @@ def default_block_sizes(page_size: int, max_q_tokens: int,
         # (every row of a q block is matmul'd with every overlapping
         # seq's KV and masked after).
         num_q = min(num_q, 8)
+    if os.environ.get("VTT_ATTN_KV_PAGES"):
+        kv_pages = min(pages_per_seq, int(os.environ["VTT_ATTN_KV_PAGES"]))
+    if os.environ.get("VTT_ATTN_QBLK"):
+        num_q = int(os.environ["VTT_ATTN_QBLK"])
     return kv_pages, num_q
 
 
 class _PageBlockCopy:
-    """Async-copy descriptor for one block of KV pages (HBM -> VMEM)."""
+    """Async-copy descriptor for one block of KV pages (HBM -> VMEM).
+
+    Pages past the sequence's last page are SKIPPED outright (no DMA
+    issue, no bandwidth): a decode tile covering a 520-token context at
+    512-token tiles would otherwise stream 3 garbage pages for its second
+    tile. The start/wait predicates are identical, so semaphore signals
+    stay paired."""
 
     def __init__(self, pages_hbm_ref, vmem_buf, sem, page_tables_ref,
                  seq_idx, start_page, end_page):
         self._buf = vmem_buf
-        self._copies = []
+        self._items = []
         for i in range(vmem_buf.shape[0]):
             page = start_page + i
-            page = lax.select(page < end_page, page, 0)
-            self._copies.append(pltpu.make_async_copy(
-                pages_hbm_ref.at[page_tables_ref[seq_idx, page]],
+            valid = page < end_page
+            clamped = lax.select(valid, page, 0)
+            self._items.append((valid, pltpu.make_async_copy(
+                pages_hbm_ref.at[page_tables_ref[seq_idx, clamped]],
                 vmem_buf.at[i],
                 sem,
-            ))
+            )))
+
+    @staticmethod
+    def _guarded(valid, fn):
+        @pl.when(valid)
+        def _():
+            fn()
 
     def start(self):
-        for c in self._copies:
-            c.start()
+        for valid, c in self._items:
+            self._guarded(valid, c.start)
 
     def wait(self):
-        for c in self._copies:
-            c.wait()
+        for valid, c in self._items:
+            self._guarded(valid, c.wait)
         return self._buf
 
 
@@ -209,6 +229,7 @@ def _kernel(
     v_scale: float | None,
     row_offset: int = 0,
     merge_new_kv: bool = False,
+    attn_window: int = 0,
 ):
     if merge_new_kv:
         # new_ref: [q_blk, combined_heads_blk, head_dim] — the current
@@ -285,11 +306,21 @@ def _kernel(
         return tri_active, skip_from_blk, resume_blk, eff_kv_len
 
     def next_kv_blk(kv_blk, seq_idx):
-        """KV block iteration order with the TriangleMix middle-jump."""
+        """KV block iteration order with the TriangleMix middle-jump and
+        the sliding-window lead-in skip."""
         tri_active, skip_from, resume, _ = triangle_block_plan(seq_idx)
         nxt = kv_blk + 1
         jump = tri_active & (nxt >= skip_from) & (nxt < resume)
-        return lax.select(jump, resume, nxt)
+        nxt = lax.select(jump, resume, nxt)
+        if attn_window > 0:
+            # Sliding-window attention: blocks entirely before every
+            # overlapping row's window are dead. Block 0 is still
+            # processed (fully masked) to keep the DMA pipeline's
+            # cross-program prefetch order simple; the jump starts there.
+            _, _, _, _, pos_lo, _ = seq_q_span(seq_idx)
+            win_lo = jnp.maximum(pos_lo - (attn_window - 1), 0)
+            nxt = jnp.maximum(nxt, win_lo // kv_blk_size)
+        return nxt
 
     def start_copy(heads_blk, seq_idx, kv_blk, buf_idx):
         heads_start = heads_blk * combined_blk
@@ -468,15 +499,23 @@ def _kernel(
                     # Fused decode: one query per seq at position
                     # kv_len (row_offset past the cache), so every
                     # cached column is causal-visible and decode rows
-                    # are always TriangleMix-dense — in-range is the
-                    # only live predicate.
-                    return j < (kv_len - kv_pos_start)
+                    # are always TriangleMix-dense — in-range (and the
+                    # sliding window, when on) are the live predicates.
+                    vis = j < (kv_len - kv_pos_start)
+                    if attn_window > 0:
+                        vis &= j >= (kv_len - kv_pos_start
+                                     - (attn_window - 1))
+                    return vis
                 i = lax.broadcasted_iota(jnp.int32, shape, 0)
                 # causal: row_pos >= col_pos <=> i >= g*(j + c)
                 causal_rhs = (j + (kv_pos_start - base)) * group
                 visible = i >= causal_rhs
                 # in-range: col_pos < kv_len
                 visible &= j < (kv_len - kv_pos_start)
+                if attn_window > 0:
+                    # sliding window: row_pos - col_pos < attn_window
+                    # <=> i < g*(j + c + attn_window)
+                    visible &= i < causal_rhs + group * attn_window
                 # TriangleMix invisible: middle row & col past sink &
                 # outside window. window: row_pos - col_pos > window
                 # <=> i >= causal_rhs + g*(window+1).
@@ -500,6 +539,14 @@ def _kernel(
                     if v_scale is not None:
                         v = (v.astype(jnp.float32) * v_scale).astype(
                             q_ref.dtype)
+                    # Rows from skipped (never-DMA'd) pages hold stale VMEM
+                    # bits; 0-probability * NaN would still poison sv, so
+                    # zero V past the context (K garbage is handled by the
+                    # visibility select on qk).
+                    col_valid = (lax.broadcasted_iota(
+                        jnp.int32, v.shape, 0)
+                        < (kv_len - kv_pos_start))
+                    v = jnp.where(col_valid, v, jnp.zeros_like(v))
                     kv_head = h0 + s
                     q_head0 = kv_head * group
                     flash_tile(
@@ -569,7 +616,7 @@ def _kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("scale", "sink", "window", "last", "dense_threshold",
-                     "soft_cap", "k_scale", "v_scale",
+                     "soft_cap", "k_scale", "v_scale", "attn_window",
                      "num_kv_pages_per_block", "num_queries_per_block",
                      "vmem_limit_bytes", "interpret", "row_offset"))
 def ragged_paged_attention_pallas(
@@ -588,6 +635,7 @@ def ragged_paged_attention_pallas(
     soft_cap: float = 0.0,
     k_scale: float | None = None,
     v_scale: float | None = None,
+    attn_window: int = 0,
     num_kv_pages_per_block: int | None = None,
     num_queries_per_block: int | None = None,
     vmem_limit_bytes: int | None = None,
@@ -632,7 +680,8 @@ def ragged_paged_attention_pallas(
             scale=scale, sink=sink, window=window, last=last,
             dense_threshold=dense_threshold, soft_cap=soft_cap,
             k_scale=k_scale, v_scale=v_scale,
-            row_offset=row_offset, merge_new_kv=merge_new_kv),
+            row_offset=row_offset, merge_new_kv=merge_new_kv,
+            attn_window=attn_window),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=6,
             in_specs=in_specs,
