@@ -236,15 +236,33 @@ def partition_specs(cfg: DecoderConfig, quantized: str | None = None) -> dict:
         # mats. For row-parallel mats the contracted (input) axis is
         # sharded, which for grouped methods means the group axis G; the
         # per-channel methods (G == 1) replicate their tiny scales.
+        # W8A8 methods use the ActQuantLinear pytree type (same layout,
+        # no zero) so the spec tree matches the param tree structurally.
+        from vllm_trianglemix_tpu.quantization.linear import ActQuantLinear
+
+        act_quant = quantized.endswith("_w8a8")
         grouped = quantized in ("int4", "awq", "gptq")
         row_sz = P(None, "tp", None) if grouped else P(None, None, None)
+
+        def col_spec():
+            if act_quant:
+                return ActQuantLinear(qweight=P(None, None, "tp"),
+                                      scale=P(None, None, "tp"))
+            return QuantLinear(qweight=P(None, None, "tp"),
+                               scale=P(None, None, "tp"),
+                               zero=P(None, None, "tp"))
+
+        def row_spec():
+            if act_quant:
+                return ActQuantLinear(qweight=P(None, "tp", None),
+                                      scale=row_sz)
+            return QuantLinear(qweight=P(None, "tp", None),
+                               scale=row_sz, zero=row_sz)
+
         for k in ("q_proj", "k_proj", "v_proj", "gate_proj", "up_proj"):
-            layers[k] = QuantLinear(qweight=P(None, None, "tp"),
-                                    scale=P(None, None, "tp"),
-                                    zero=P(None, None, "tp"))
+            layers[k] = col_spec()
         for k in ("o_proj", "down_proj"):
-            layers[k] = QuantLinear(qweight=P(None, "tp", None),
-                                    scale=row_sz, zero=row_sz)
+            layers[k] = row_spec()
     specs = {"embed_tokens": P("tp", None), "layers": layers, "norm": P(None)}
     if not cfg.tie_word_embeddings:
         specs["lm_head"] = P(None, "tp")
@@ -342,10 +360,32 @@ def params_from_hf_state_dict(cfg: DecoderConfig, get_tensor,
             mats.append(np.stack(per_e))
         return jnp.asarray(np.stack(mats), dtype=dtype)
 
-    def stack_quant(key: str) -> QuantLinear:
+    def stack_quant(key: str):
+        prefix = name_map[key].rsplit(".", 1)[0]  # drop ".weight"
+        if quant["method"].endswith("_w8a8"):
+            from vllm_trianglemix_tpu.quantization.ingest import (
+                load_w8a8_linear,
+            )
+            from vllm_trianglemix_tpu.quantization.linear import (
+                ActQuantLinear,
+            )
+
+            qs, ss = [], []
+            for i in range(L):
+                q, s = load_w8a8_linear(get_tensor, prefix.format(i=i))
+                qs.append(q)
+                ss.append(s)
+            qw = jnp.asarray(np.stack(qs))
+            if quant["method"] == "fp8_w8a8" \
+                    and qw.dtype != jnp.float8_e4m3fn:
+                qw = qw.view(jnp.float8_e4m3fn) \
+                    if qw.dtype == jnp.uint8 else qw
+            return ActQuantLinear(
+                qweight=qw,
+                scale=jnp.asarray(np.stack(ss), jnp.float32),
+            )
         loader = (load_awq_linear if quant["method"] == "awq"
                   else load_gptq_linear)
-        prefix = name_map[key].rsplit(".", 1)[0]  # drop ".weight"
         qs, ss, zs = [], [], []
         for i in range(L):
             q, s, z = loader(get_tensor, prefix.format(i=i))

@@ -14,18 +14,23 @@ every projection. Methods:
 """
 
 from vllm_trianglemix_tpu.quantization.linear import (  # noqa: F401
+    ActQuantLinear,
     QuantLinear,
     apply_linear,
     dequantize,
+    quantize_fp8,
+    quantize_fp8_w8a8,
     quantize_int4,
     quantize_int8,
-    quantize_fp8,
+    quantize_int8_w8a8,
     quantize_params,
 )
 from vllm_trianglemix_tpu.quantization.ingest import (  # noqa: F401
     detect_checkpoint_quantization,
     load_awq_linear,
     load_gptq_linear,
+    load_w8a8_linear,
 )
 
-SUPPORTED_METHODS = ("int8", "int4", "fp8", "awq", "gptq")
+SUPPORTED_METHODS = ("int8", "int4", "fp8", "awq", "gptq",
+                     "int8_w8a8", "fp8_w8a8")

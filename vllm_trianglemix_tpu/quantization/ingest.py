@@ -115,9 +115,26 @@ def load_gptq_linear(get_tensor, prefix: str):
     return _pack_nibble_rows(q), scales, z
 
 
+def load_w8a8_linear(get_tensor, prefix: str):
+    """Read one W8A8 linear from a compressed-tensors / fp8 checkpoint:
+    ``{prefix}.weight`` (int8 or f8e4m3, HF [out, in] layout) +
+    ``{prefix}.weight_scale`` (scalar, [out] or [out, 1]). Returns
+    (qweight [in, out], scale [1, out]) numpy pieces; static
+    ``input_scale`` tensors are ignored — the engine always quantizes
+    activations dynamically per token (finer than any static scale)."""
+    w = np.asarray(get_tensor(f"{prefix}.weight"))
+    s = np.asarray(get_tensor(f"{prefix}.weight_scale"),
+                   dtype=np.float32).reshape(-1)
+    out_dim = w.shape[0]
+    if s.size == 1:
+        s = np.full(out_dim, float(s[0]), np.float32)
+    assert s.size == out_dim, (prefix, w.shape, s.shape)
+    return w.T, s[None, :]
+
+
 def detect_checkpoint_quantization(hf_config: dict) -> Optional[dict]:
-    """Return {'method': 'awq'|'gptq', 'bits': n, 'group_size': g} if the
-    checkpoint is pre-quantized (HF quantization_config)."""
+    """Return {'method': ...} if the checkpoint is pre-quantized (HF
+    quantization_config): 'awq' | 'gptq' | 'int8_w8a8' | 'fp8_w8a8'."""
     qc = hf_config.get("quantization_config")
     if not qc:
         return None
@@ -128,4 +145,18 @@ def detect_checkpoint_quantization(hf_config: dict) -> Optional[dict]:
             "bits": qc.get("bits", 4),
             "group_size": qc.get("group_size", 128),
         }
+    if method == "fp8":
+        # Neuralmagic/vLLM-style FP8 checkpoints (reference fp8.py:71).
+        return {"method": "fp8_w8a8"}
+    if method == "compressed-tensors":
+        # llm-compressor W8A8 schemes (reference compressed_tensors/):
+        # one config group with 8-bit weights, int -> INT8 W8A8,
+        # float -> FP8 W8A8.
+        for group in (qc.get("config_groups") or {}).values():
+            wcfg = group.get("weights") or {}
+            if wcfg.get("num_bits") == 8:
+                kind = (wcfg.get("type") or "int").lower()
+                return {"method": ("fp8_w8a8" if kind == "float"
+                                   else "int8_w8a8")}
+        return None
     return None

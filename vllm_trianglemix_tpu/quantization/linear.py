@@ -32,6 +32,24 @@ class QuantLinear(NamedTuple):
     zero: Optional[jnp.ndarray] = None
 
 
+class ActQuantLinear(NamedTuple):
+    """W8A8: quantized weight AND on-the-fly quantized activations.
+
+    The distinct pytree type (vs QuantLinear) is what selects the
+    activation-quantized matmul in apply_linear — no non-array flags in
+    the tree. qweight int8 (INT8 W8A8, reference tpu_int8.py:19-117 +
+    compressed-tensors int8) or f8e4m3 (FP8 W8A8, reference
+    fp8.py:71-1092); scale f32 [.., 1, Dout] per-output-channel.
+    Activations get dynamic per-token symmetric scales — the TPU-native
+    equivalent of the reference's fused act-quant CUDA kernels: XLA fuses
+    the absmax/divide/round chain into the surrounding elementwise work,
+    and the int8 dot rides the MXU's native int8 path.
+    """
+
+    qweight: jnp.ndarray
+    scale: jnp.ndarray
+
+
 def _unpack_int4(packed: jnp.ndarray) -> jnp.ndarray:
     """uint8 [.., Din//2, Dout] -> int8-valued [.., Din, Dout] (0..15)."""
     low = (packed & 0x0F).astype(jnp.int8)
@@ -58,7 +76,30 @@ def dequantize(w: QuantLinear, dtype=jnp.bfloat16) -> jnp.ndarray:
 
 
 def apply_linear(x: jnp.ndarray, w) -> jnp.ndarray:
-    """x [.., Din] @ w -> [.., Dout]; w is dense or QuantLinear."""
+    """x [.., Din] @ w -> [.., Dout]; w is dense, QuantLinear (weight-only)
+    or ActQuantLinear (W8A8)."""
+    if isinstance(w, ActQuantLinear):
+        w_scale = w.scale[..., 0, :]
+        if w.qweight.dtype == jnp.int8:
+            # Dynamic per-token symmetric int8 activations; int8xint8 dot
+            # accumulates in int32 on the MXU's native int8 path.
+            absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1,
+                             keepdims=True)
+            x_scale = jnp.maximum(absmax / 127.0, 1e-8)
+            xq = jnp.clip(jnp.round(x / x_scale), -127, 127).astype(jnp.int8)
+            y = jax.lax.dot_general(
+                xq, w.qweight, (((xq.ndim - 1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            return (y.astype(jnp.float32) * x_scale * w_scale).astype(x.dtype)
+        # FP8 e4m3 activations (per-token dynamic scale to the e4m3 range).
+        absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1,
+                         keepdims=True)
+        x_scale = jnp.maximum(absmax / 448.0, 1e-8)
+        xq = (x / x_scale).astype(jnp.float8_e4m3fn)
+        y = jax.lax.dot_general(
+            xq, w.qweight, (((xq.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return (y * x_scale * w_scale).astype(x.dtype)
     if isinstance(w, QuantLinear):
         per_channel_sym = w.zero is None and w.scale.shape[-2] == 1 \
             and w.qweight.dtype == jnp.int8
@@ -117,10 +158,26 @@ def quantize_fp8(w: jnp.ndarray) -> QuantLinear:
     return QuantLinear(qweight=q, scale=scale)
 
 
+def quantize_int8_w8a8(w: jnp.ndarray) -> ActQuantLinear:
+    """INT8 W8A8 (reference compressed-tensors int8 / tpu_int8.py):
+    symmetric per-output-channel weights; activations quantize per token
+    at run time inside apply_linear."""
+    q = quantize_int8(w)
+    return ActQuantLinear(qweight=q.qweight, scale=q.scale)
+
+
+def quantize_fp8_w8a8(w: jnp.ndarray) -> ActQuantLinear:
+    """FP8 W8A8 (reference fp8.py dynamic-activation path)."""
+    q = quantize_fp8(w)
+    return ActQuantLinear(qweight=q.qweight, scale=q.scale)
+
+
 _QUANTIZERS = {
     "int8": quantize_int8,
     "int4": quantize_int4,
     "fp8": quantize_fp8,
+    "int8_w8a8": quantize_int8_w8a8,
+    "fp8_w8a8": quantize_fp8_w8a8,
 }
 
 # Projection matrices quantized in a decoder layer; norms/embeddings stay
