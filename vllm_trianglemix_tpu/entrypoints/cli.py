@@ -215,6 +215,43 @@ def cmd_bench_throughput(args) -> int:
     return 0
 
 
+def cmd_eval_gsm8k(args) -> int:
+    """GSM8K accuracy gate (reference .buildkite/lm-eval-harness role)."""
+    from vllm_trianglemix_tpu.entrypoints.llm import LLM
+    from vllm_trianglemix_tpu.evals.gsm8k import (
+        check_gate,
+        evaluate_gsm8k,
+        load_gate_config,
+        load_jsonl,
+    )
+    from vllm_trianglemix_tpu.sampling_params import SamplingParams
+
+    gate = load_gate_config(args.gate) if args.gate else None
+    limit = args.limit or (gate or {}).get("limit")
+    fewshot = args.num_fewshot or (gate or {}).get("num_fewshot", 5)
+    data = load_jsonl(args.data, limit=(limit or 0) + fewshot or None)
+
+    llm = LLM(model=args.model, max_model_len=args.max_model_len,
+              max_num_seqs=args.max_num_seqs,
+              quantization=args.quantization)
+    params = SamplingParams(temperature=0.0, max_tokens=args.max_tokens,
+                            stop=["\n\nQuestion:", "Question:"])
+
+    def generate(prompts):
+        outs = llm.generate(prompts, params)
+        return [o.outputs[0].text for o in outs]
+
+    result = evaluate_gsm8k(generate, data, num_fewshot=fewshot,
+                            limit=limit)
+    print(json.dumps(result.as_json()))
+    if gate:
+        errs = check_gate(result, gate)
+        for e in errs:
+            print(f"GATE VIOLATION: {e}", file=sys.stderr)
+        return 1 if errs else 0
+    return 0
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(prog="vtt",
                                      description="vllm-trianglemix-tpu CLI")
@@ -254,6 +291,18 @@ def main(argv=None) -> int:
     p.add_argument("--input-len", type=int, default=128)
     p.add_argument("--output-len", type=int, default=128)
     p.set_defaults(fn=cmd_bench_throughput)
+
+    p = sub.add_parser("eval-gsm8k",
+                       help="GSM8K accuracy gate (lm-eval-harness role)")
+    _add_engine_args(p)
+    p.add_argument("--data", required=True,
+                   help="GSM8K-format JSONL (question/answer fields)")
+    p.add_argument("--gate", default=None,
+                   help="expected-score YAML (evals/configs/*.yaml)")
+    p.add_argument("--limit", type=int, default=None)
+    p.add_argument("--num-fewshot", type=int, default=None)
+    p.add_argument("--max-tokens", type=int, default=256)
+    p.set_defaults(fn=cmd_eval_gsm8k)
 
     args = parser.parse_args(argv)
     return args.fn(args)
