@@ -100,7 +100,8 @@ def write_kv(kv_cache: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
 @partial(jax.jit, static_argnames=("sink", "window", "last",
                                    "dense_threshold", "soft_cap", "scale",
-                                   "k_scale", "v_scale", "attn_window"))
+                                   "k_scale", "v_scale", "attn_window",
+                                   "tri_enabled"))
 def ragged_paged_attention_xla(
     q: jnp.ndarray,               # [T, HQ, D]
     kv_cache: jnp.ndarray,        # [num_blocks, page, 2*KH, D]
@@ -117,6 +118,7 @@ def ragged_paged_attention_xla(
     k_scale=None,
     v_scale=None,
     attn_window: int = 0,
+    tri_enabled: bool = True,
 ) -> jnp.ndarray:
     """Reference ragged paged attention, O(T × max_ctx) but pure XLA.
 
@@ -159,13 +161,14 @@ def ragged_paged_attention_xla(
         # previous attn_window positions (itself included).
         visible &= (q_pos - key_pos) < attn_window
 
-    n = md.prompt_lens[md.req_idx][:, None]                     # [T, 1]
-    tri = ((key_pos <= sink)
-           | (q_pos - key_pos <= window)
-           | (n - q_pos < last))
-    # decode tokens (q_pos >= prompt) and short prompts stay dense
-    apply_tri = use_triangle & (q_pos < n) & (n > dense_threshold)
-    visible &= jnp.where(apply_tri, tri, True)
+    if tri_enabled:
+        n = md.prompt_lens[md.req_idx][:, None]                 # [T, 1]
+        tri = ((key_pos <= sink)
+               | (q_pos - key_pos <= window)
+               | (n - q_pos < last))
+        # decode tokens (q_pos >= prompt) and short prompts stay dense
+        apply_tri = use_triangle & (q_pos < n) & (n > dense_threshold)
+        visible &= jnp.where(apply_tri, tri, True)
 
     scores = jnp.where(visible[:, None, None, :], scores, MASK_VALUE)
     probs = jax.nn.softmax(scores, axis=-1)

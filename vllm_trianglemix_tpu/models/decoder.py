@@ -500,6 +500,10 @@ def forward(
         last=tri_cfg.num_last_tokens,
         dense_threshold=tri_cfg.dense_threshold,
         attn_window=cfg.sliding_window,
+        # Static: a dense engine compiles the TriangleMix predicates out
+        # of the attention kernels entirely (3 [rows, cols] VPU compares
+        # per KV tile otherwise spent on an always-false traced flag).
+        tri_enabled=bool(tri_cfg.enabled),
     )
     if kv_quant is not None:
         attn_kwargs["k_scale"] = kv_quant[0]

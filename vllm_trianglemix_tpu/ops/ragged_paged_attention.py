@@ -236,6 +236,7 @@ def _kernel(
     row_offset: int = 0,
     merge_new_kv: bool = False,
     attn_window: int = 0,
+    tri_enabled: bool = True,
 ):
     if merge_new_kv:
         # new_ref: [q_blk, combined_heads_blk, head_dim] — the current
@@ -270,7 +271,11 @@ def _kernel(
     init_buf_idx = seq_buf_ref[1]
     q_len_start = q_blk_idx * q_blk_size
     q_len_end = q_len_start + q_blk_size
-    tri_on = tri_flag_ref[0] > 0
+    # tri_enabled is STATIC (TriangleMixConfig.enabled): when the engine
+    # runs dense, every TriangleMix predicate (3 extra [rows, cols] VPU
+    # compares per tile + the block-jump scalar plan) is compiled out
+    # instead of being evaluated against an always-false traced flag.
+    tri_on = (tri_flag_ref[0] > 0) if tri_enabled else False
 
     def seq_q_span(seq_idx):
         """This sequence's query-row overlap with the current q block, as
@@ -311,13 +316,19 @@ def _kernel(
         eff_kv_len = jnp.minimum(kv_len, pos_hi + 1)
         return tri_active, skip_from_blk, resume_blk, eff_kv_len
 
+    def eff_kv_len_of(seq_idx):
+        """Causal block pruning: KV past the q block's last row is dead."""
+        _, _, _, kv_len, _, pos_hi = seq_q_span(seq_idx)
+        return jnp.minimum(kv_len, pos_hi + 1)
+
     def next_kv_blk(kv_blk, seq_idx):
         """KV block iteration order with the TriangleMix middle-jump and
         the sliding-window lead-in skip."""
-        tri_active, skip_from, resume, _ = triangle_block_plan(seq_idx)
         nxt = kv_blk + 1
-        jump = tri_active & (nxt >= skip_from) & (nxt < resume)
-        nxt = lax.select(jump, resume, nxt)
+        if tri_enabled:
+            tri_active, skip_from, resume, _ = triangle_block_plan(seq_idx)
+            jump = tri_active & (nxt >= skip_from) & (nxt < resume)
+            nxt = lax.select(jump, resume, nxt)
         if attn_window > 0:
             # Sliding-window attention: blocks entirely before every
             # overlapping row's window are dead. Block 0 is still
@@ -451,7 +462,7 @@ def _kernel(
     def process_seq(state):
         done, seq_idx, buf_idx = state
         q_start, q_end, q_len, kv_len, _, _ = seq_q_span(seq_idx)
-        tri_active, _, _, eff_kv_len = triangle_block_plan(seq_idx)
+        eff_kv_len = eff_kv_len_of(seq_idx)
         prompt_len = prompt_lens_ref[seq_idx]
         store_lo = jnp.maximum(q_start - q_len_start, 0)
         store_hi = jnp.minimum(q_end - q_len_start, q_blk_size)
@@ -460,12 +471,14 @@ def _kernel(
         # within the q block) = i // group; absolute position
         # row_pos = base + i // group.
         base = kv_len - q_len + row_offset + q_len_start - q_start
-        # TriangleMix row rule: row is a "middle" prefill row iff
-        # prompt_len - row_pos >= last (implies row_pos < prompt_len for
-        # last >= 1); i//g <= prompt_len - last - base <=> i < g*(..+1).
-        tri_scalar = tri_on & (prompt_len > dense_threshold)
-        trirow_bound = lax.select(
-            tri_scalar, (prompt_len - last - base + 1) * group, _I32_MIN)
+        if tri_enabled:
+            # TriangleMix row rule: row is a "middle" prefill row iff
+            # prompt_len - row_pos >= last (implies row_pos < prompt_len
+            # for last >= 1); i//g <= prompt_len-last-base <=> i < g*(..+1).
+            tri_scalar = tri_on & (prompt_len > dense_threshold)
+            trirow_bound = lax.select(
+                tri_scalar, (prompt_len - last - base + 1) * group,
+                _I32_MIN)
 
         def prefetch_ids(kv_blk, buf_idx):
             """Pipeline lookahead: the (heads_blk, seq, kv_blk) the NEXT
@@ -526,13 +539,15 @@ def _kernel(
                     # sliding window: row_pos - col_pos < attn_window
                     # <=> i < g*(j + c + attn_window)
                     visible &= i < causal_rhs + group * attn_window
-                # TriangleMix invisible: middle row & col past sink &
-                # outside window. window: row_pos - col_pos > window
-                # <=> i >= causal_rhs + g*(window+1).
-                tri_inv = ((i < trirow_bound)
-                           & (j > (sink - kv_pos_start))
-                           & (i >= causal_rhs + group * (window + 1)))
-                return visible & ~tri_inv
+                if tri_enabled:
+                    # TriangleMix invisible: middle row & col past sink &
+                    # outside window. window: row_pos - col_pos > window
+                    # <=> i >= causal_rhs + g*(window+1).
+                    tri_inv = ((i < trirow_bound)
+                               & (j > (sink - kv_pos_start))
+                               & (i >= causal_rhs + group * (window + 1)))
+                    visible &= ~tri_inv
+                return visible
 
             kv_flat = kv_buf.reshape(
                 kv_pages_blk * page_size * combined_blk, head_dim)
@@ -627,6 +642,7 @@ def _kernel(
     jax.jit,
     static_argnames=("scale", "sink", "window", "last", "dense_threshold",
                      "soft_cap", "k_scale", "v_scale", "attn_window",
+                     "tri_enabled",
                      "num_kv_pages_per_block", "num_queries_per_block",
                      "vmem_limit_bytes", "interpret", "row_offset"))
 def ragged_paged_attention_pallas(
@@ -646,6 +662,7 @@ def ragged_paged_attention_pallas(
     k_scale: float | None = None,
     v_scale: float | None = None,
     attn_window: int = 0,
+    tri_enabled: bool = True,
     num_kv_pages_per_block: int | None = None,
     num_queries_per_block: int | None = None,
     vmem_limit_bytes: int | None = None,
@@ -691,7 +708,7 @@ def ragged_paged_attention_pallas(
             dense_threshold=dense_threshold, soft_cap=soft_cap,
             k_scale=k_scale, v_scale=v_scale,
             row_offset=row_offset, merge_new_kv=merge_new_kv,
-            attn_window=attn_window),
+            attn_window=attn_window, tri_enabled=tri_enabled),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=6,
             in_specs=in_specs,
