@@ -225,11 +225,25 @@ def fused_decode_attention(q, k_new, v_new, kv_cache, md,
             q, cache, md_inc, use_triangle, scale=scale,
             soft_cap=soft_cap, **kwargs)
 
+    new_kv = jnp.stack([k_new, v_new], axis=2).reshape(T, 2 * KH, D)
+    if not envs.VTT_DISABLE_DECODE_KERNEL:
+        from vllm_trianglemix_tpu.ops.decode_attention import (
+            decode_paged_attention_pallas,
+        )
+
+        # Decode rows are always TriangleMix-dense, so the decode kernel
+        # takes no triangle arguments.
+        return decode_paged_attention_pallas(
+            q, kv_cache, md, new_kv, scale=scale, soft_cap=soft_cap,
+            interpret=interpret,
+            **{k: v for k, v in kwargs.items()
+               if k in ("k_scale", "v_scale", "attn_window",
+                        "num_kv_pages_per_block", "vmem_limit_bytes")})
+
     from vllm_trianglemix_tpu.ops.ragged_paged_attention import (
         ragged_paged_attention_pallas,
     )
 
-    new_kv = jnp.stack([k_new, v_new], axis=2).reshape(T, 2 * KH, D)
     return ragged_paged_attention_pallas(
         q, kv_cache, md, use_triangle, new_kv, scale=scale,
         soft_cap=soft_cap, row_offset=1, interpret=interpret, **kwargs)

@@ -38,6 +38,11 @@ environment_variables: dict[str, Callable[[], Any]] = {
     "VTT_PALLAS_INTERPRET": lambda: bool(int(os.getenv("VTT_PALLAS_INTERPRET", "0"))),
     # Disable in-repo Pallas kernels entirely (fall back to XLA-native ops).
     "VTT_DISABLE_PALLAS": lambda: bool(int(os.getenv("VTT_DISABLE_PALLAS", "0"))),
+    # Disable the decode-specialized attention kernel (fall back to the
+    # general ragged kernel's fused-decode mode) — perf A/B escape hatch.
+    "VTT_DISABLE_DECODE_KERNEL": lambda: bool(
+        int(os.getenv("VTT_DISABLE_DECODE_KERNEL", "0"))
+    ),
     # Logging level for the engine's loggers.
     "VTT_LOGGING_LEVEL": lambda: os.getenv("VTT_LOGGING_LEVEL", "INFO"),
     # Use the C++ host runtime extension (block pool index) when built.
