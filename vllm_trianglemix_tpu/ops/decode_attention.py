@@ -14,8 +14,11 @@ This kernel (reference decode analog: csrc/attention/paged_attention_v1.cu
 and the torch_xla decode path of vllm/v1/attention/backends/pallas.py):
 
 - grid (1,): one program, sequences processed by a scalar while loop with
-  double-buffered conditional page DMA (dead pages past a sequence's
-  context are never fetched);
+  an NBUF-deep ring of KV tile buffers: the producer pointer walks the
+  flat (seq, tile) work list NBUF slots ahead of the consumer, so several
+  sequences' page fetches are in flight at once (decode tiles are small —
+  with 1-deep prefetch the DMA engines idle between sequences). Dead
+  pages past a sequence's context are never fetched;
 - per-sequence query rows are sliced dynamically from the whole-batch q
   block in VMEM ([group, head_dim] per kv head — the only rows that do
   work);
@@ -67,8 +70,8 @@ def _decode_kernel(
     # outputs
     o_ref,              # [R, HQ, head_dim] VMEM
     # scratch
-    kv_bufs,            # [2, pages_blk, page, 2*KH, head_dim] VMEM
-    sems,               # DMA semaphores [2]
+    kv_bufs,            # [num_bufs, pages_blk, page, 2*KH, head_dim] VMEM
+    sems,               # DMA semaphores [num_bufs]
     *,
     scale: float,
     soft_cap: float,
@@ -79,7 +82,7 @@ def _decode_kernel(
     R, num_q_heads, head_dim = q_ref.shape
     pages_per_seq = page_tables_ref.shape[1]
     num_seqs = num_seqs_ref[0]
-    _, pages_blk, page_size, combined, _ = kv_bufs.shape
+    num_bufs, pages_blk, page_size, combined, _ = kv_bufs.shape
     num_kv_heads = combined // 2
     group = num_q_heads // num_kv_heads
     tile_tokens = pages_blk * page_size
@@ -114,9 +117,27 @@ def _decode_kernel(
             end_page,
         )
 
-    @pl.when(num_seqs > 0)
-    def _prefetch_first():
-        start_copy(0, start_tile_of(0), 0).start()
+    def advance_producer(prod):
+        """Issue the fetch at the producer pointer (if live) and step it
+        one slot along the flat (seq, tile) work list."""
+        prod_seq, prod_tile, prod_ctr = prod
+
+        @pl.when(prod_seq < num_seqs)
+        def _issue():
+            start_copy(prod_seq, prod_tile, prod_ctr % num_bufs).start()
+
+        safe_seq = jnp.minimum(prod_seq, R - 1)
+        last = prod_tile + 1 >= live_tiles_of(safe_seq)
+        nxt_seq = lax.select(last, prod_seq + 1, prod_seq)
+        nxt_tile = lax.select(
+            last, start_tile_of(jnp.minimum(nxt_seq, R - 1)), prod_tile + 1)
+        return nxt_seq, nxt_tile, prod_ctr + 1
+
+    # Prologue: fill the ring — up to num_bufs fetches in flight before
+    # any compute starts.
+    prod0 = (jnp.int32(0), start_tile_of(0), jnp.int32(0))
+    for _ in range(num_bufs):
+        prod0 = advance_producer(prod0)
 
     def q_rows(seq_idx, kv_head):
         """Pre-scaled [group, head_dim] query rows for (seq, kv head)."""
@@ -127,34 +148,19 @@ def _decode_kernel(
         return (q.astype(jnp.float32) * scale).astype(q_ref.dtype)
 
     def process_seq(state):
-        seq_idx, buf_idx = state
+        seq_idx, cons_ctr, prod = state
         kv_len = kv_lens_ref[seq_idx]
         first_tile = start_tile_of(seq_idx)
         n_tiles = live_tiles_of(seq_idx)
         qs = [q_rows(seq_idx, h) for h in range(num_kv_heads)]
-
-        def next_ids(tile, buf_idx):
-            """(seq, tile, valid) the NEXT DMA should fetch."""
-            last_tile = tile + 1 >= n_tiles
-            nxt_seq = lax.select(last_tile, seq_idx + 1, seq_idx)
-            nxt_tile = lax.select(last_tile, start_tile_of(
-                jnp.minimum(nxt_seq, R - 1)), tile + 1)
-            valid = nxt_seq < num_seqs
-            return nxt_seq, nxt_tile, valid, lax.select(buf_idx == 0, 1, 0)
 
         def tile_pending(tile_state):
             tile = tile_state[0]
             return tile < n_tiles
 
         def process_tile(tile_state):
-            tile, buf_idx, ms, ls, accs = tile_state
-            nxt_seq, nxt_tile, nxt_valid, nxt_buf = next_ids(tile, buf_idx)
-
-            @pl.when(nxt_valid)
-            def _prefetch_next():
-                start_copy(nxt_seq, nxt_tile, nxt_buf).start()
-
-            kv_buf = start_copy(seq_idx, tile, buf_idx).wait()
+            tile, cons_ctr, prod, ms, ls, accs = tile_state
+            kv_buf = start_copy(seq_idx, tile, cons_ctr % num_bufs).wait()
             kv_flat = kv_buf.reshape(tile_tokens * combined, head_dim)
             tile_start = tile * tile_tokens
 
@@ -200,15 +206,20 @@ def _decode_kernel(
                     ls_n[h] = ls[h] * alpha + s_curr.sum(axis=1,
                                                          keepdims=True)
                     accs_n[h] = accs[h] * alpha + sv
-            return (tile + 1, nxt_buf, tuple(ms_n), tuple(ls_n),
-                    tuple(accs_n))
+            # Refill the slot this tile just freed (compute reads above
+            # are program-ordered before the DMA start, so the
+            # write-after-read is safe — same argument as 2-deep double
+            # buffering, just num_bufs deep).
+            prod_n = advance_producer(prod)
+            return (tile + 1, cons_ctr + 1, prod_n, tuple(ms_n),
+                    tuple(ls_n), tuple(accs_n))
 
         neg_inf = jnp.full((group, 1), -jnp.inf, jnp.float32)
         zero_l = jnp.zeros((group, 1), jnp.float32)
         zero_acc = jnp.zeros((group, head_dim), jnp.float32)
-        _, buf_idx, ms, ls, accs = lax.while_loop(
+        _, cons_ctr, prod, ms, ls, accs = lax.while_loop(
             tile_pending, process_tile,
-            (first_tile, buf_idx,
+            (first_tile, cons_ctr, prod,
              tuple(neg_inf for _ in range(num_kv_heads)),
              tuple(zero_l for _ in range(num_kv_heads)),
              tuple(zero_acc for _ in range(num_kv_heads))))
@@ -234,17 +245,35 @@ def _decode_kernel(
         out = jnp.concatenate(out_heads, axis=0)            # [HQ, D]
         o_ref[pl.ds(seq_idx, 1)] = out.reshape(
             1, num_q_heads, head_dim).astype(o_ref.dtype)
-        return seq_idx + 1, buf_idx
+        return seq_idx + 1, cons_ctr, prod
 
-    lax.while_loop(lambda s: s[0] < num_seqs, process_seq, (0, 0))
+    lax.while_loop(lambda s: s[0] < num_seqs, process_seq,
+                   (jnp.int32(0), jnp.int32(0), prod0))
     del num_tiles  # static bound only documents the tile loop's range
+
+
+def _tile_ladder(pages_per_seq: int, page_bytes: int) -> list[int]:
+    """Static tile-width candidates (in pages), ~25% apart, capped by the
+    per-slot VMEM budget. Dead page slots in a tile cost VPU work (the
+    mask/exp/update passes run over the full tile width), so at decode
+    the best tile hugs the batch's longest live context — measured 37 vs
+    29 us/layer for 5 live pages in an 8- vs 5-page tile
+    (scripts/profile_decode_kernel.py)."""
+    tile_budget = 4 * 1024 * 1024
+    cap = max(1, min(pages_per_seq, tile_budget // page_bytes))
+    ladder, p = [], 1
+    while p < cap:
+        ladder.append(p)
+        p += max(1, p // 4)
+    ladder.append(cap)
+    return ladder
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("scale", "soft_cap", "k_scale", "v_scale",
                      "attn_window", "num_kv_pages_per_block",
-                     "vmem_limit_bytes", "interpret"))
+                     "num_bufs", "vmem_limit_bytes", "interpret"))
 def decode_paged_attention_pallas(
     q: jax.Array,            # [R, num_q_heads, head_dim] — row i = seq i
     kv_cache: jax.Array,     # [num_pages, page, 2*KH interleaved, head_dim]
@@ -257,56 +286,86 @@ def decode_paged_attention_pallas(
     v_scale: float | None = None,
     attn_window: int = 0,
     num_kv_pages_per_block: int | None = None,
+    num_bufs: int | None = None,
     vmem_limit_bytes: int | None = None,
     interpret: bool = False,
 ):
     R, num_q_heads, head_dim = q.shape
     _, page_size, combined, _ = kv_cache.shape
     pages_per_seq = md.block_tables.shape[1]
-
-    # One tile spanning the whole per-seq context when it fits: fewest
-    # DMA chains and flash updates per sequence. Cap the double buffer
-    # at ~4 MiB per tile.
-    tile_budget = 4 * 1024 * 1024
     page_bytes = page_size * combined * head_dim * kv_cache.dtype.itemsize
-    pages_blk = max(1, min(pages_per_seq, tile_budget // page_bytes))
-    if num_kv_pages_per_block is not None:
-        pages_blk = min(pages_per_seq, num_kv_pages_per_block)
 
-    kernel = pl.pallas_call(
-        functools.partial(
-            _decode_kernel,
-            scale=scale, soft_cap=soft_cap,
-            k_scale=k_scale, v_scale=v_scale,
-            attn_window=attn_window),
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,
-            in_specs=[
-                pl.BlockSpec((R, num_q_heads, head_dim), lambda *_: (0, 0, 0)),
-                pl.BlockSpec((R, combined, head_dim), lambda *_: (0, 0, 0)),
-                pl.BlockSpec(memory_space=pl.ANY),
-            ],
-            out_specs=pl.BlockSpec((R, num_q_heads, head_dim),
-                                   lambda *_: (0, 0, 0)),
-            grid=(1,),
-            scratch_shapes=[
-                pltpu.VMEM((2, pages_blk, page_size, combined, head_dim),
-                           kv_cache.dtype),
-                pltpu.SemaphoreType.DMA((2,)),
-            ],
-        ),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
-            vmem_limit_bytes=vmem_limit_bytes or 64 * 1024 * 1024,
-        ),
-        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
-        name="vtt_decode_paged_attention",
-        interpret=interpret,
-    )
+    def make(pages_blk: int):
+        nb = num_bufs
+        if nb is None:
+            # Ring deep enough to keep several sequences' fetches in
+            # flight; 4 measured best (deeper pays launch-time zeroing
+            # and scalar bookkeeping for no extra overlap).
+            ring_budget = 16 * 1024 * 1024
+            nb = max(2, min(4, ring_budget // (pages_blk * page_bytes)))
+        return pl.pallas_call(
+            functools.partial(
+                _decode_kernel,
+                scale=scale, soft_cap=soft_cap,
+                k_scale=k_scale, v_scale=v_scale,
+                attn_window=attn_window),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=3,
+                in_specs=[
+                    pl.BlockSpec((R, num_q_heads, head_dim),
+                                 lambda *_: (0, 0, 0)),
+                    pl.BlockSpec((R, combined, head_dim),
+                                 lambda *_: (0, 0, 0)),
+                    pl.BlockSpec(memory_space=pl.ANY),
+                ],
+                out_specs=pl.BlockSpec((R, num_q_heads, head_dim),
+                                       lambda *_: (0, 0, 0)),
+                grid=(1,),
+                scratch_shapes=[
+                    pltpu.VMEM(
+                        (nb, pages_blk, page_size, combined, head_dim),
+                        kv_cache.dtype),
+                    pltpu.SemaphoreType.DMA((nb,)),
+                ],
+            ),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+                vmem_limit_bytes=vmem_limit_bytes or 64 * 1024 * 1024,
+            ),
+            out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+            name="vtt_decode_paged_attention",
+            interpret=interpret,
+        )
+
     num_seqs = jnp.asarray(md.num_reqs, jnp.int32).reshape(1)
-    return kernel(
+    args = (
         md.seq_lens.astype(jnp.int32),
         md.block_tables.astype(jnp.int32),
         num_seqs,
         q, new_kv, kv_cache,
     )
+
+    if num_kv_pages_per_block is not None:
+        return make(min(pages_per_seq, num_kv_pages_per_block))(*args)
+
+    ladder = _tile_ladder(pages_per_seq, page_bytes)
+    if attn_window > 0:
+        # A window spans at most cdiv(window, page) + 1 pages (straddle).
+        wcap = min(pages_per_seq, -(-attn_window // page_size) + 1)
+        ladder = sorted({min(p, wcap) for p in ladder})
+    if len(ladder) == 1:
+        return make(ladder[0])(*args)
+
+    # Context-matched tile, chosen DYNAMICALLY: all ladder variants live
+    # in one compiled graph behind a lax.switch, so the tile tracks the
+    # batch's longest live context with zero recompilation (the width is
+    # a perf knob only — every variant is correct for any context).
+    live = jnp.arange(R, dtype=jnp.int32) < num_seqs[0]
+    max_kv = jnp.max(jnp.where(live, args[0], 0))
+    pages_needed = jnp.maximum(-(-max_kv // page_size), 1)
+    sel = jnp.clip(
+        jnp.searchsorted(jnp.asarray(ladder, jnp.int32), pages_needed),
+        0, len(ladder) - 1)
+    branches = [functools.partial(lambda k, ops: k(*ops), make(p))
+                for p in ladder]
+    return lax.switch(sel, branches, args)
