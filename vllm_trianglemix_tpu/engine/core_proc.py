@@ -76,6 +76,19 @@ def _engine_core_main(engine_config: EngineConfig, input_addr: str,
             elif kind == "save_state":
                 engine_core.executor.save_state(payload)
                 output_sock.send(pickle.dumps(("saved", None)))
+            elif kind == "reset_prefix_cache":
+                ok = engine_core.scheduler.kv_cache_manager \
+                    .reset_prefix_cache()
+                output_sock.send(pickle.dumps(("reset", bool(ok))))
+            elif kind == "profile_start":
+                engine_core.executor.profile_start(payload)
+                output_sock.send(pickle.dumps(("profiling", None)))
+            elif kind == "profile_stop":
+                engine_core.executor.profile_stop()
+                output_sock.send(pickle.dumps(("profiled", None)))
+            elif kind == "reload_weights":
+                engine_core.executor.reload_weights(payload)
+                output_sock.send(pickle.dumps(("reloaded", None)))
             elif kind == "shutdown":
                 running = False
                 break
@@ -148,6 +161,25 @@ class EngineCoreClient:
     def _send(self, kind: str, payload) -> None:
         self.input_sock.send(pickle.dumps((kind, payload)))
 
+    def _recv_kind(self, want: str, timeout: float):
+        """Wait for a control reply, stashing any generation outputs that
+        arrive interleaved (a control request may be issued while steps
+        are in flight)."""
+        while True:
+            kind, payload = self._recv(timeout=timeout)
+            if kind == want:
+                return payload
+            if kind == "outputs":
+                self._outputs.put(payload)
+            else:
+                raise RuntimeError(
+                    f"engine core replied {kind!r}, wanted {want!r}")
+
+    def _note_finished(self, outs) -> None:
+        for out in outs:
+            if out.finished:
+                self._unfinished.discard(out.request_id)
+
     # --- engine-core-compatible surface ------------------------------------
     def add_request(self, request) -> None:
         self._unfinished.add(request.request_id)
@@ -159,19 +191,25 @@ class EngineCoreClient:
 
     def step(self):
         """Pull the next batch of outputs (blocking while work remains)."""
+        if not self._outputs.empty():
+            outs = self._outputs.get_nowait()
+            self._note_finished(outs)
+            return outs
         if not self._unfinished:
             return []
         kind, payload = self._recv(timeout=600.0)
         if kind != "outputs":
             return []
-        for out in payload:
-            if out.finished:
-                self._unfinished.discard(out.request_id)
+        self._note_finished(payload)
         return payload
 
     def try_step(self, timeout_ms: int = 50):
         """Non-blocking variant for replica pools (engine/dp_coordinator):
         returns [] when nothing is ready within ``timeout_ms``."""
+        if not self._outputs.empty():
+            outs = self._outputs.get_nowait()
+            self._note_finished(outs)
+            return outs
         if not self._unfinished:
             return []
         if self.proc is not None and not self.proc.is_alive():
@@ -182,9 +220,7 @@ class EngineCoreClient:
         kind, payload = pickle.loads(self.output_sock.recv())
         if kind != "outputs":
             return []
-        for out in payload:
-            if out.finished:
-                self._unfinished.discard(out.request_id)
+        self._note_finished(payload)
         return payload
 
     def has_unfinished_requests(self) -> bool:
@@ -200,13 +236,27 @@ class EngineCoreClient:
 
     def warm_up(self) -> None:
         self._send("warmup", None)
-        kind, _ = self._recv(timeout=3600.0)
-        assert kind == "warmed", kind
+        self._recv_kind("warmed", timeout=3600.0)
 
     def save_state(self, path: str) -> None:
         self._send("save_state", path)
-        kind, _ = self._recv(timeout=600.0)
-        assert kind == "saved", kind
+        self._recv_kind("saved", timeout=600.0)
+
+    def reset_prefix_cache(self) -> bool:
+        self._send("reset_prefix_cache", None)
+        return bool(self._recv_kind("reset", timeout=600.0))
+
+    def profile_start(self, trace_dir: str) -> None:
+        self._send("profile_start", trace_dir)
+        self._recv_kind("profiling", timeout=600.0)
+
+    def profile_stop(self) -> None:
+        self._send("profile_stop", None)
+        self._recv_kind("profiled", timeout=600.0)
+
+    def reload_weights(self, path: Optional[str] = None) -> None:
+        self._send("reload_weights", path)
+        self._recv_kind("reloaded", timeout=3600.0)
 
     def shutdown(self) -> None:
         if self._dead or self.proc is None:

@@ -91,6 +91,19 @@ class DPEngineClient:
     def save_state(self, path: str) -> None:
         self.clients[0].save_state(path)
 
+    def reset_prefix_cache(self) -> bool:
+        return all([c.reset_prefix_cache() for c in self.clients])
+
+    def profile_start(self, trace_dir: str) -> None:
+        self.clients[0].profile_start(trace_dir)
+
+    def profile_stop(self) -> None:
+        self.clients[0].profile_stop()
+
+    def reload_weights(self, path=None) -> None:
+        for c in self.clients:
+            c.reload_weights(path)
+
     def shutdown(self) -> None:
         for c in self.clients:
             c.shutdown()

@@ -122,7 +122,17 @@ class LLMEngine:
             self.engine_core.save_state(path)  # MP engine client
 
     def reload_weights(self, path=None) -> None:
-        self.engine_core.executor.reload_weights(path)
+        if hasattr(self.engine_core, "executor"):
+            self.engine_core.executor.reload_weights(path)
+        else:
+            self.engine_core.reload_weights(path)  # MP engine client
+
+    def reset_prefix_cache(self) -> bool:
+        """Drop the prefix-cache index (reference reset_prefix_cache)."""
+        core = self.engine_core
+        if hasattr(core, "scheduler"):
+            return core.scheduler.kv_cache_manager.reset_prefix_cache()
+        return core.reset_prefix_cache()  # MP engine client
 
     def shutdown(self) -> None:
         if hasattr(self.engine_core, "shutdown"):
@@ -137,7 +147,13 @@ class LLMEngine:
         trace_dir = trace_dir or os.environ.get(
             "VTT_PROFILER_DIR", os.path.join(tempfile.gettempdir(),
                                              "vtt_traces"))
-        self.engine_core.executor.profile_start(trace_dir)
+        if hasattr(self.engine_core, "executor"):
+            self.engine_core.executor.profile_start(trace_dir)
+        else:
+            self.engine_core.profile_start(trace_dir)  # MP engine client
 
     def stop_profile(self) -> None:
-        self.engine_core.executor.profile_stop()
+        if hasattr(self.engine_core, "executor"):
+            self.engine_core.executor.profile_stop()
+        else:
+            self.engine_core.profile_stop()  # MP engine client

@@ -84,9 +84,17 @@ def _engine_config(args):
 
 
 def cmd_serve(args) -> int:
+    import dataclasses
+
     from vllm_trianglemix_tpu.entrypoints.openai.api_server import run_server
 
-    run_server(_engine_config(args), host=args.host, port=args.port)
+    # Serving default: engine core in its own process (reference
+    # AsyncMPClient, core_client.py:597) so API-server hiccups can't
+    # stall the device loop.
+    cfg = _engine_config(args)
+    if not args.inproc_engine:
+        cfg = dataclasses.replace(cfg, multiprocess_engine=True)
+    run_server(cfg, host=args.host, port=args.port)
     return 0
 
 
@@ -261,6 +269,10 @@ def main(argv=None) -> int:
     _add_engine_args(p)
     p.add_argument("--host", default="0.0.0.0")
     p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--inproc-engine", action="store_true",
+                   help="run the engine core in the server process instead "
+                   "of its own process (debugging; the default isolates "
+                   "the device loop from the API event loop)")
     p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("chat", help="interactive chat REPL")

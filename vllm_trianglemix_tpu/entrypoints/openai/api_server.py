@@ -345,11 +345,8 @@ async def stop_profile(request: web.Request) -> web.Response:
 async def reset_prefix_cache(request: web.Request) -> web.Response:
     """Drop the prefix-cache index (reference /reset_prefix_cache)."""
     engine = request.app[ENGINE_KEY]
-    core = engine.engine.engine_core
-    if hasattr(core, "scheduler"):
-        ok = core.scheduler.kv_cache_manager.reset_prefix_cache()
-        return web.json_response({"reset": bool(ok)})
-    return _json_error("not supported on multiprocess engine yet", 501)
+    ok = engine.engine.reset_prefix_cache()
+    return web.json_response({"reset": bool(ok)})
 
 
 async def tokenize(request: web.Request) -> web.Response:
