@@ -194,17 +194,22 @@ class SpeculativeConfig:
     equivalence for temperature=0 requests (sampled requests skip
     speculation)."""
 
-    method: Optional[str] = None  # None | "ngram"
+    method: Optional[str] = None  # None | "ngram" | "eagle"
     num_speculative_tokens: int = 4
     prompt_lookup_max: int = 3
     prompt_lookup_min: int = 1
+    # EAGLE: draft checkpoint dir (safetensors, official fc + layers.0.*
+    # layout; reference vllm/v1/spec_decode/eagle.py:42). None => random
+    # draft weights (drafts mostly rejected; outputs stay exact — useful
+    # for tests and plumbing bring-up).
+    model: Optional[str] = None
 
     @property
     def enabled(self) -> bool:
         return self.method is not None
 
     def __post_init__(self):
-        if self.method not in (None, "ngram"):
+        if self.method not in (None, "ngram", "eagle"):
             raise ValueError(f"unsupported speculative method {self.method}")
         if self.enabled and self.num_speculative_tokens < 1:
             raise ValueError("num_speculative_tokens must be >= 1")

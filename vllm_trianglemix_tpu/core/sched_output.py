@@ -112,6 +112,9 @@ class ModelRunnerOutput:
     logprobs: Optional[list] = None
     # Embedding requests: req_id -> pooled (and normalized) vector.
     pooled: Optional[dict] = None
+    # EAGLE draft-model proposals for the NEXT step: req_id -> draft ids
+    # (reference spec_token_ids flow via update_from_output).
+    draft_tokens: Optional[dict] = None
 
 
 EMPTY_MODEL_RUNNER_OUTPUT = ModelRunnerOutput()

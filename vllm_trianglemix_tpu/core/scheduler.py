@@ -44,14 +44,22 @@ class Scheduler:
         self.scheduler_config = scheduler_config
         self.kv_connector = kv_connector
         self.proposer = None
+        self.spec_method = None
         self.num_spec_tokens = 0
+        # Draft scheduling vs acceptance counters (reference
+        # spec_decode/metrics.py role).
+        self.spec_stats = {"num_drafts": 0, "num_accepted": 0}
         if speculative_config is not None and speculative_config.enabled:
-            from vllm_trianglemix_tpu.spec_decode.ngram_proposer import (
-                NgramProposer,
-            )
-
-            self.proposer = NgramProposer(speculative_config)
+            self.spec_method = speculative_config.method
             self.num_spec_tokens = speculative_config.num_speculative_tokens
+            if speculative_config.method == "ngram":
+                from vllm_trianglemix_tpu.spec_decode.ngram_proposer import (
+                    NgramProposer,
+                )
+
+                self.proposer = NgramProposer(speculative_config)
+            # "eagle": drafts arrive device-proposed on the previous
+            # step's ModelRunnerOutput (request.spec_token_ids).
         self.max_num_seqs = scheduler_config.max_num_seqs
         self.max_num_batched_tokens = scheduler_config.max_num_batched_tokens
         self.max_model_len = max_model_len
@@ -62,7 +70,7 @@ class Scheduler:
         # advanced eagerly at schedule time, not in update_from_output.
         # Incompatible with spec decode (engine disables one of the two).
         self.async_scheduling = (scheduler_config.async_scheduling
-                                 and self.proposer is None)
+                                 and self.spec_method is None)
 
         self.kv_cache_manager = KVCacheManager(
             kv_cache_config,
@@ -119,7 +127,7 @@ class Scheduler:
         waiting_blocked = (not self.waiting
                            or len(self.running) >= self.max_num_seqs)
         multi_step = (
-            k_cfg > 1 and self.proposer is None and waiting_blocked
+            k_cfg > 1 and self.spec_method is None and waiting_blocked
             and self.running
             and all(r.num_tokens + r.num_output_placeholders
                     - r.num_computed_tokens == 1
@@ -193,7 +201,7 @@ class Scheduler:
             # rejection sampling (sample/sampler.py spec_sample) for
             # temperature>0.
             drafts: list[int] = []
-            if (self.proposer is not None and num_new_tokens == 1
+            if (self.spec_method is not None and num_new_tokens == 1
                     and not request.sampling_params.needs_host_sampling
                     and request.request_id not in self.no_lookahead_req_ids):
                 room = self.max_model_len - request.num_tokens - 1
@@ -201,8 +209,13 @@ class Scheduler:
                     room = min(room, request.sampling_params.max_tokens
                                - request.num_output_tokens - 1)
                 if room > 0:
-                    drafts = self.proposer.propose(
-                        list(request.all_token_ids))[:room]
+                    if self.proposer is not None:
+                        drafts = self.proposer.propose(
+                            list(request.all_token_ids))[:room]
+                    else:
+                        # EAGLE: drafts proposed by the draft model on the
+                        # previous step (update_from_output below).
+                        drafts = request.spec_token_ids[:room]
                 if drafts:
                     scheduled_spec_tokens[request.request_id] = drafts
                     num_new_tokens += len(drafts)
@@ -463,6 +476,11 @@ class Scheduler:
                 continue
 
             new_token_ids = sampled.get(req_id, [])
+            if model_output.draft_tokens is not None:
+                # EAGLE: next step's drafts, proposed device-side by the
+                # draft model this step.
+                request.spec_token_ids = list(
+                    model_output.draft_tokens.get(req_id, []))
             stopped = False
             accepted = 0
             if new_token_ids:
@@ -488,6 +506,10 @@ class Scheduler:
                     # update_from_output spec path).
                     num_rejected = len(drafts) + 1 - len(new_token_ids)
                     request.num_computed_tokens += num_tokens - num_rejected
+                    # Emitted = accepted drafts + 1 (recovery or bonus).
+                    self.spec_stats["num_drafts"] += len(drafts)
+                    self.spec_stats["num_accepted"] += max(
+                        0, len(new_token_ids) - 1)
                 else:
                     # Multi-step decode computed KV for `accepted` input
                     # tokens (the scheduled one + accepted-1 sampled

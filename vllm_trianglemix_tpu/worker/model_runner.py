@@ -250,6 +250,31 @@ class ModelRunner:
         # (logprobs report pre-penalty values, as before).
         self._jit_apply_rep = jax.jit(apply_repetition_coo)
         self._jit_apply_add = jax.jit(apply_additive_coo)
+
+        # --- EAGLE draft model (spec_decode/eagle.py) -------------------------
+        self._jit_eagle = None
+        spec = engine_config.speculative
+        if spec.enabled and spec.method == "eagle":
+            from vllm_trianglemix_tpu.spec_decode.eagle import (
+                build_eagle_fn,
+                init_random_eagle,
+                load_eagle_params,
+            )
+
+            if spec.model:
+                self.eagle_params = load_eagle_params(spec.model,
+                                                      dtype=self.dtype)
+            else:
+                self.eagle_params = init_random_eagle(self.cfg,
+                                                      dtype=self.dtype)
+            # Single-layer paged draft cache over the target's block
+            # geometry (~1/L of the target cache).
+            self.draft_kv = jnp.zeros(
+                kv_cache_shape(self.num_kv_blocks, self.block_size,
+                               self.cfg.num_key_value_heads,
+                               self.cfg.head_dim), dtype=self.dtype)
+            self._jit_eagle = build_eagle_fn(
+                self.cfg, spec.num_speculative_tokens, self.block_size)
         self._jit_logprobs = partial(jax.jit, static_argnames=(
             "num_logprobs",))(gather_logprobs)
         self._jit_multi_decode = self._build_multi_decode_fn()
@@ -432,7 +457,9 @@ class ModelRunner:
             last = hid[md.logits_indices.reshape(R, S)[:, 0]]
             cls = hid[md.query_start_loc[:R]]
             pooled = jnp.stack([last, mean, cls])      # [3, R, D]
-            return kv_caches, logits, pooled
+            # hidden [T, D] feeds the EAGLE draft's catch-up when spec
+            # decoding with a draft model (spec_decode/eagle.py).
+            return kv_caches, logits, pooled, hidden
 
         return step
 
@@ -889,8 +916,9 @@ class ModelRunner:
         lora = (None if self.lora_stacks is None else
                 {"stacks": self.lora_stacks, "idx": jnp.asarray(lora_idx)})
         self._rng_key, step_key = jax.random.split(self._rng_key)
-        self.kv_caches, logits, pooled = self._jit_step(
-            self.params, self.kv_caches, jnp.asarray(token_ids), md,
+        tok_dev = jnp.asarray(token_ids)
+        self.kv_caches, logits, pooled, hidden = self._jit_step(
+            self.params, self.kv_caches, tok_dev, md,
             self.tri_flags, lora, jnp.asarray(tok_gather),
             self._prev_sampled)
         is_spec = S > 1
@@ -913,6 +941,22 @@ class ModelRunner:
             tokens, accept_dev, recovery_dev, last_full = result
         else:
             (tokens, last_full), accept_dev, recovery_dev = result, None, None
+
+        # EAGLE drafting: one extra device dispatch proposes next step's
+        # drafts from the target's hidden states (spec_decode/eagle.py).
+        eagle_drafts_dev = None
+        if self._jit_eagle is not None:
+            nd = np.zeros(R, np.int32)
+            he = np.zeros(R, bool)
+            for i, rid in enumerate(req_ids):
+                nd[i] = len(drafts_per_req[i])
+                he[i] = (sampled_valid[i] and self.input_batch.get(
+                    rid).pooling_params is None)
+            self.draft_kv, eagle_drafts_dev, _ = self._jit_eagle(
+                self.eagle_params, self.params, self.draft_kv, hidden,
+                tok_dev, md, tokens, accept_dev, recovery_dev,
+                jnp.asarray(nd), jnp.asarray(he))
+
         self._step_count += 1
         self._prev_sampled = last_full
         self._prev_rows = {rid: i for i, rid in enumerate(req_ids)}
@@ -1010,10 +1054,18 @@ class ModelRunner:
                         (lp_ids[i, j].tolist(), lp_vals[i, j].tolist())
                         for j in range(n_acc)
                     ]
+            draft_map = None
+            if eagle_drafts_dev is not None:
+                dnp = np.asarray(jax.device_get(eagle_drafts_dev))
+                draft_map = {
+                    rid: dnp[i].tolist()
+                    for i, rid in enumerate(req_ids) if he[i]
+                }
             return ModelRunnerOutput(req_ids=req_ids,
                                      sampled_token_ids=sampled,
                                      pooled=pooled_out,
-                                     logprobs=logprobs_out)
+                                     logprobs=logprobs_out,
+                                     draft_tokens=draft_map)
 
         return _PendingStep(finalize)
 
@@ -1042,7 +1094,9 @@ class ModelRunner:
                     + self._jit_sample._cache_size()
                     + self._jit_multi_decode._cache_size()
                     + self._jit_apply_rep._cache_size()
-                    + self._jit_apply_add._cache_size())
+                    + self._jit_apply_add._cache_size()
+                    + (self._jit_eagle._cache_size()
+                       if self._jit_eagle is not None else 0))
         except Exception:  # noqa: BLE001 (private jax API moved)
             return -1
 
@@ -1242,7 +1296,7 @@ class ModelRunner:
         RS = R * self._sample_rows_per_req()
         smd = build_sampling_metadata([], [], RS)
         self._rng_key, step_key = jax.random.split(self._rng_key)
-        self.kv_caches, logits, _pooled = self._jit_step(
+        self.kv_caches, logits, _pooled, hidden = self._jit_step(
             self.params, self.kv_caches, jnp.zeros(T, jnp.int32), md,
             self.tri_flags, self._dummy_lora(T),
             jnp.full(T, -1, jnp.int32), self._prev_sampled)
@@ -1269,3 +1323,11 @@ class ModelRunner:
                                   jnp.zeros(C, jnp.float32),
                                   jnp.zeros(RS, jnp.float32))
         jax.block_until_ready(out)
+        if self._jit_eagle is not None:
+            self.draft_kv, drafts_w, _ = self._jit_eagle(
+                self.eagle_params, self.params, self.draft_kv, hidden,
+                jnp.zeros(T, jnp.int32), md,
+                jnp.zeros(RS, jnp.int32), jnp.zeros(RS, bool),
+                jnp.zeros(RS, jnp.int32), jnp.zeros(R, jnp.int32),
+                jnp.zeros(R, bool))
+            jax.block_until_ready(drafts_w)
