@@ -257,3 +257,63 @@ def test_logprobs_api_shape(serve):
         assert all(len(t) <= 2 for t in lp["top_logprobs"])
         assert lp["text_offset"][0] == 0
     serve(body)
+
+
+def test_score_endpoint(serve):
+    async def body(client):
+        r = await client.post("/v1/score", json={
+            "text_1": "hello world", "text_2": ["hello world", "tok7 tok9"],
+        })
+        assert r.status == 200, await r.text()
+        data = await r.json()
+        assert [d["index"] for d in data["data"]] == [0, 1]
+        # identical texts score ~1 under normalized embeddings and beat
+        # the unrelated pair
+        assert data["data"][0]["score"] > 0.99
+        assert data["data"][0]["score"] >= data["data"][1]["score"]
+    serve(body)
+
+
+def test_rerank_endpoint(serve):
+    async def body(client):
+        docs = ["tok1 tok2 tok3", "hello world", "tok9"]
+        r = await client.post("/v1/rerank", json={
+            "query": "hello world", "documents": docs, "top_n": 2,
+        })
+        assert r.status == 200, await r.text()
+        data = await r.json()
+        assert len(data["results"]) == 2
+        # the identical document must rank first
+        assert data["results"][0]["document"]["text"] == "hello world"
+        scores = [x["relevance_score"] for x in data["results"]]
+        assert scores == sorted(scores, reverse=True)
+        # /v2/rerank alias answers too
+        r2 = await client.post("/v2/rerank", json={
+            "query": "hello", "documents": docs})
+        assert r2.status == 200
+    serve(body)
+
+
+def test_responses_endpoint(serve):
+    async def body(client):
+        r = await client.post("/v1/responses", json={
+            "input": "hello world",
+            "instructions": "be brief",
+            "max_output_tokens": 4,
+            "temperature": 0.0,
+        })
+        assert r.status == 200, await r.text()
+        data = await r.json()
+        assert data["object"] == "response"
+        assert data["status"] == "completed"
+        msg = data["output"][0]
+        assert msg["role"] == "assistant"
+        assert msg["content"][0]["type"] == "output_text"
+        assert data["usage"]["output_tokens"] == 4
+        # message-list input form
+        r2 = await client.post("/v1/responses", json={
+            "input": [{"role": "user", "content": "hello"}],
+            "max_output_tokens": 2, "temperature": 0.0,
+        })
+        assert r2.status == 200, await r2.text()
+    serve(body)

@@ -223,6 +223,174 @@ def cmd_bench_throughput(args) -> int:
     return 0
 
 
+def cmd_bench_serving(args) -> int:
+    """Online serving benchmark at a fixed request rate (reference
+    `vllm bench serving`, vllm/benchmarks/serve.py role): Poisson
+    arrivals against the async engine, TTFT/TPOT/E2E percentiles."""
+    import asyncio
+
+    import numpy as np
+
+    from vllm_trianglemix_tpu.engine.async_llm import AsyncLLM
+    from vllm_trianglemix_tpu.sampling_params import SamplingParams
+
+    cfg = _engine_config(args)
+    cfg.model.skip_tokenizer_init = True
+    engine = AsyncLLM.from_engine_config(cfg)
+    rng = np.random.default_rng(args.seed)
+    prompts = [rng.integers(1, 1000, size=args.input_len).tolist()
+               for _ in range(args.num_prompts)]
+    params = SamplingParams(max_tokens=args.output_len, temperature=0.0,
+                            ignore_eos=True)
+    if args.request_rate > 0:
+        gaps = rng.exponential(1.0 / args.request_rate,
+                               size=args.num_prompts)
+    else:
+        gaps = np.zeros(args.num_prompts)  # burst: all at once
+
+    async def one(i, prompt, t_start):
+        ttft = None
+        n_out = 0
+        async for out in engine.generate(prompt, params, f"bench-{i}"):
+            n_out = len(out.outputs[0].token_ids)
+            if ttft is None and n_out > 0:
+                ttft = time.perf_counter() - t_start
+        e2e = time.perf_counter() - t_start
+        tpot = ((e2e - ttft) / max(n_out - 1, 1)) if ttft is not None else 0
+        return ttft, tpot, e2e, n_out
+
+    async def run():
+        # Warmup so the first timed request doesn't pay compilation.
+        await one(-1, prompts[0], time.perf_counter())
+        tasks = []
+        t0 = time.perf_counter()
+        for i, prompt in enumerate(prompts):
+            await asyncio.sleep(gaps[i])
+            tasks.append(asyncio.create_task(
+                one(i, prompt, time.perf_counter())))
+        results = await asyncio.gather(*tasks)
+        return results, time.perf_counter() - t0
+
+    loop = asyncio.new_event_loop()
+    asyncio.set_event_loop(loop)
+    results, elapsed = loop.run_until_complete(run())
+    ttfts = sorted(r[0] for r in results)
+    tpots = sorted(r[1] for r in results)
+    e2es = sorted(r[2] for r in results)
+    out_toks = sum(r[3] for r in results)
+
+    def pct(xs, p):
+        return xs[min(len(xs) - 1, int(len(xs) * p))]
+
+    print(json.dumps({
+        "request_rate_qps": args.request_rate,
+        "completed": len(results),
+        "elapsed_s": round(elapsed, 3),
+        "request_throughput_qps": round(len(results) / elapsed, 3),
+        "output_tokens_per_s": round(out_toks / elapsed, 1),
+        "ttft_p50_ms": round(pct(ttfts, 0.5) * 1e3, 1),
+        "ttft_p99_ms": round(pct(ttfts, 0.99) * 1e3, 1),
+        "tpot_p50_ms": round(pct(tpots, 0.5) * 1e3, 2),
+        "tpot_p99_ms": round(pct(tpots, 0.99) * 1e3, 2),
+        "e2e_p50_s": round(pct(e2es, 0.5), 3),
+        "e2e_p99_s": round(pct(e2es, 0.99), 3),
+    }))
+    engine.shutdown()
+    return 0
+
+
+def cmd_run_batch(args) -> int:
+    """OpenAI batch-file runner (reference `vllm run-batch`,
+    entrypoints/openai/run_batch.py role): JSONL of {custom_id, url,
+    body} processed offline, JSONL of responses out."""
+    import uuid
+
+    from vllm_trianglemix_tpu.entrypoints.llm import LLM
+    from vllm_trianglemix_tpu.entrypoints.openai.parsers import (
+        parse_chat_output,
+    )
+    from vllm_trianglemix_tpu.entrypoints.openai.protocol import (
+        ChatCompletionRequest,
+        CompletionRequest,
+        chat_response,
+        completion_response,
+    )
+    from vllm_trianglemix_tpu.pooling_params import PoolingParams
+    from vllm_trianglemix_tpu.sampling_params import SamplingParams
+
+    llm = LLM(model=args.model, dtype=args.dtype,
+              max_model_len=args.max_model_len,
+              max_num_seqs=args.max_num_seqs,
+              max_num_batched_tokens=args.max_num_batched_tokens,
+              load_format=args.load_format,
+              quantization=args.quantization)
+    tok = llm.llm_engine.tokenizer
+
+    def handle(line: dict) -> dict:
+        url = line.get("url", "/v1/chat/completions")
+        body = line.get("body", {})
+        rid = f"batch-{uuid.uuid4().hex}"
+        model = body.get("model") or args.model
+        if url == "/v1/chat/completions":
+            req = ChatCompletionRequest(**body)
+            ids = tok.apply_chat_template(
+                [m.model_dump(exclude_none=True) for m in req.messages],
+                tokenize=True, add_generation_prompt=True)
+            out = llm.generate([ids], req.to_sampling_params())[0]
+            comp = out.outputs[0]
+            msg = parse_chat_output(comp.text,
+                                    enable_tools=bool(req.tools))
+            return chat_response(rid, model, [{
+                "index": 0, "message": msg,
+                "finish_reason": comp.finish_reason}], {
+                    "prompt_tokens": len(out.prompt_token_ids),
+                    "completion_tokens": len(comp.token_ids),
+                    "total_tokens": (len(out.prompt_token_ids)
+                                     + len(comp.token_ids))})
+        if url == "/v1/completions":
+            req = CompletionRequest(**body)
+            out = llm.generate([req.prompt] if isinstance(req.prompt, str)
+                               else req.prompt,
+                               req.to_sampling_params())[0]
+            comp = out.outputs[0]
+            return completion_response(rid, model, [{
+                "index": 0, "text": comp.text,
+                "finish_reason": comp.finish_reason}], {
+                    "prompt_tokens": len(out.prompt_token_ids),
+                    "completion_tokens": len(comp.token_ids),
+                    "total_tokens": (len(out.prompt_token_ids)
+                                     + len(comp.token_ids))})
+        if url == "/v1/embeddings":
+            inputs = body["input"]
+            out = llm.encode([inputs] if isinstance(inputs, str)
+                             else inputs, PoolingParams())[0]
+            return {"object": "list", "model": model,
+                    "data": [{"object": "embedding", "index": 0,
+                              "embedding": out.pooled}]}
+        raise ValueError(f"unsupported url {url}")
+
+    n_ok = n_err = 0
+    with open(args.input_file) as fin, open(args.output_file, "w") as fout:
+        for raw in fin:
+            raw = raw.strip()
+            if not raw:
+                continue
+            line = json.loads(raw)
+            rec = {"id": f"vtt-batch-{uuid.uuid4().hex}",
+                   "custom_id": line.get("custom_id"),
+                   "response": None, "error": None}
+            try:
+                rec["response"] = {"status_code": 200,
+                                   "body": handle(line)}
+                n_ok += 1
+            except Exception as e:  # noqa: BLE001
+                rec["error"] = {"message": str(e)}
+                n_err += 1
+            fout.write(json.dumps(rec) + "\n")
+    print(json.dumps({"completed": n_ok, "failed": n_err}))
+    return 0 if n_err == 0 else 1
+
+
 def cmd_eval_gsm8k(args) -> int:
     """GSM8K accuracy gate (reference .buildkite/lm-eval-harness role)."""
     from vllm_trianglemix_tpu.entrypoints.llm import LLM
@@ -303,6 +471,23 @@ def main(argv=None) -> int:
     p.add_argument("--input-len", type=int, default=128)
     p.add_argument("--output-len", type=int, default=128)
     p.set_defaults(fn=cmd_bench_throughput)
+
+    p = sub.add_parser("bench-serving",
+                       help="online QPS benchmark (Poisson arrivals)")
+    _add_engine_args(p)
+    p.add_argument("--num-prompts", type=int, default=64)
+    p.add_argument("--input-len", type=int, default=128)
+    p.add_argument("--output-len", type=int, default=128)
+    p.add_argument("--request-rate", type=float, default=4.0,
+                   help="QPS; 0 = send all at once")
+    p.set_defaults(fn=cmd_bench_serving)
+
+    p = sub.add_parser("run-batch",
+                       help="process an OpenAI batch JSONL offline")
+    _add_engine_args(p)
+    p.add_argument("-i", "--input-file", required=True)
+    p.add_argument("-o", "--output-file", required=True)
+    p.set_defaults(fn=cmd_run_batch)
 
     p = sub.add_parser("eval-gsm8k",
                        help="GSM8K accuracy gate (lm-eval-harness role)")

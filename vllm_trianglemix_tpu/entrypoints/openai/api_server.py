@@ -326,6 +326,190 @@ async def create_embeddings(request: web.Request) -> web.Response:
     })
 
 
+async def _embed_texts(engine: AsyncLLM, texts: list, request_id: str,
+                       normalize: bool = True) -> list:
+    """Pooled (normalized) embeddings for a list of texts/token lists."""
+    from vllm_trianglemix_tpu.pooling_params import PoolingParams
+    from vllm_trianglemix_tpu.sampling_params import SamplingParams
+
+    pooling = PoolingParams(normalize=normalize)
+
+    async def run_one(i, prompt):
+        final = None
+        async for out in engine.generate(
+                prompt, SamplingParams(max_tokens=1), f"{request_id}-{i}",
+                pooling_params=pooling):
+            final = out
+        return i, final
+
+    results = await asyncio.gather(
+        *(run_one(i, p) for i, p in enumerate(texts)))
+    ordered = [None] * len(texts)
+    n_tokens = 0
+    for i, final in results:
+        ordered[i] = final.pooled
+        n_tokens += len(final.prompt_token_ids)
+    return ordered, n_tokens
+
+
+def _dot(a, b) -> float:
+    return float(sum(x * y for x, y in zip(a, b)))
+
+
+async def create_score(request: web.Request) -> web.Response:
+    """/v1/score (reference serving_score.py): similarity of text pairs.
+
+    Embedding-similarity scoring (cosine of normalized pooled vectors) —
+    the reference's path for embedding models; cross-encoder heads can
+    override later. text_1/text_2 broadcast 1-to-N like the reference."""
+    app = request.app
+    engine = app[ENGINE_KEY]
+    try:
+        body = await request.json()
+        t1 = body["text_1"]
+        t2 = body["text_2"]
+    except Exception as e:  # noqa: BLE001
+        return _json_error(str(e))
+    t1 = [t1] if isinstance(t1, str) else list(t1)
+    t2 = [t2] if isinstance(t2, str) else list(t2)
+    if len(t1) == 1 and len(t2) > 1:
+        t1 = t1 * len(t2)
+    if len(t2) == 1 and len(t1) > 1:
+        t2 = t2 * len(t1)
+    if len(t1) != len(t2):
+        return _json_error("text_1 and text_2 lengths do not broadcast")
+
+    request_id = f"score-{uuid.uuid4().hex}"
+    try:
+        embs, n_tok = await _embed_texts(engine, t1 + t2, request_id)
+    except EngineDeadError as e:
+        return _json_error(str(e), 500)
+    except ValueError as e:
+        return _json_error(str(e))
+    n = len(t1)
+    data = [{"object": "score", "index": i,
+             "score": _dot(embs[i], embs[n + i])} for i in range(n)]
+    return web.json_response({
+        "object": "list",
+        "id": request_id,
+        "data": data,
+        "model": body.get("model") or app[MODEL_KEY],
+        "usage": {"prompt_tokens": n_tok, "total_tokens": n_tok},
+    })
+
+
+async def create_rerank(request: web.Request) -> web.Response:
+    """/v1/rerank + /v2/rerank (reference serving_score.py rerank
+    surface, Jina/Cohere-compatible): order documents by relevance to the
+    query via embedding similarity."""
+    app = request.app
+    engine = app[ENGINE_KEY]
+    try:
+        body = await request.json()
+        query = body["query"]
+        documents = list(body["documents"])
+        top_n = int(body.get("top_n") or len(documents))
+    except Exception as e:  # noqa: BLE001
+        return _json_error(str(e))
+
+    request_id = f"rerank-{uuid.uuid4().hex}"
+    try:
+        embs, n_tok = await _embed_texts(engine, [query] + documents,
+                                         request_id)
+    except EngineDeadError as e:
+        return _json_error(str(e), 500)
+    except ValueError as e:
+        return _json_error(str(e))
+    scores = [(_dot(embs[0], e), i) for i, e in enumerate(embs[1:])]
+    scores.sort(key=lambda x: (-x[0], x[1]))
+    results = [{
+        "index": i,
+        "document": {"text": documents[i]},
+        "relevance_score": s,
+    } for s, i in scores[:top_n]]
+    return web.json_response({
+        "id": request_id,
+        "model": body.get("model") or app[MODEL_KEY],
+        "results": results,
+        "usage": {"prompt_tokens": n_tok, "total_tokens": n_tok},
+    })
+
+
+async def create_response(request: web.Request) -> web.Response:
+    """/v1/responses (reference serving_responses.py, core subset): the
+    OpenAI Responses API over the chat machinery — string or message-list
+    input, optional instructions, non-background, non-streaming."""
+    app = request.app
+    engine = app[ENGINE_KEY]
+    tokenizer = engine.tokenizer
+    if tokenizer is None:
+        return _json_error("responses requires a tokenizer", 501)
+    try:
+        body = await request.json()
+        inp = body.get("input")
+        if inp is None:
+            raise ValueError("missing 'input'")
+        if body.get("stream"):
+            raise ValueError("responses streaming not supported yet")
+    except Exception as e:  # noqa: BLE001
+        return _json_error(str(e))
+
+    messages = []
+    if body.get("instructions"):
+        messages.append({"role": "system", "content": body["instructions"]})
+    if isinstance(inp, str):
+        messages.append({"role": "user", "content": inp})
+    else:
+        for m in inp:
+            messages.append({"role": m.get("role", "user"),
+                             "content": m.get("content", "")})
+    try:
+        prompt_ids = tokenizer.apply_chat_template(
+            messages, tokenize=True, add_generation_prompt=True)
+    except Exception as e:  # noqa: BLE001
+        return _json_error(f"chat template failed: {e}")
+
+    from vllm_trianglemix_tpu.sampling_params import SamplingParams
+
+    params = SamplingParams(
+        max_tokens=body.get("max_output_tokens") or 256,
+        temperature=float(body.get("temperature", 1.0)),
+        top_p=float(body.get("top_p", 1.0)),
+    )
+    request_id = f"resp_{uuid.uuid4().hex}"
+    try:
+        final = await engine.generate_once(prompt_ids, params, request_id)
+    except EngineDeadError as e:
+        return _json_error(str(e), 500)
+    except ValueError as e:
+        return _json_error(str(e))
+    comp = final.outputs[0]
+    return web.json_response({
+        "id": request_id,
+        "object": "response",
+        "created_at": int(time.time()),
+        "status": "completed",
+        "model": body.get("model") or app[MODEL_KEY],
+        "output": [{
+            "type": "message",
+            "id": f"msg_{uuid.uuid4().hex}",
+            "role": "assistant",
+            "status": "completed",
+            "content": [{
+                "type": "output_text",
+                "text": comp.text,
+                "annotations": [],
+            }],
+        }],
+        "usage": {
+            "input_tokens": len(final.prompt_token_ids),
+            "output_tokens": len(comp.token_ids),
+            "total_tokens": (len(final.prompt_token_ids)
+                             + len(comp.token_ids)),
+        },
+    })
+
+
 async def start_profile(request: web.Request) -> web.Response:
     engine = request.app[ENGINE_KEY]
     try:
@@ -387,6 +571,12 @@ def build_app(engine: AsyncLLM, model_name: str) -> web.Application:
     app.router.add_post("/v1/completions", create_completion)
     app.router.add_post("/v1/chat/completions", create_chat_completion)
     app.router.add_post("/v1/embeddings", create_embeddings)
+    app.router.add_post("/v1/responses", create_response)
+    app.router.add_post("/v1/score", create_score)
+    app.router.add_post("/score", create_score)
+    app.router.add_post("/v1/rerank", create_rerank)
+    app.router.add_post("/v2/rerank", create_rerank)
+    app.router.add_post("/rerank", create_rerank)
     app.router.add_post("/tokenize", tokenize)
     app.router.add_post("/detokenize", detokenize)
     app.router.add_post("/start_profile", start_profile)
