@@ -36,6 +36,18 @@ class FullAttentionSpec(KVCacheSpec):
 
 
 @dataclass(frozen=True)
+class MLAAttentionSpec(KVCacheSpec):
+    """Latent-cache MLA (reference MLAAttentionSpec,
+    vllm/v1/kv_cache_interface.py:142): ONE row per token of width
+    head_size = kv_lora_rank + qk_rope_head_dim — no separate K and V."""
+
+    @property
+    def page_size_bytes(self) -> int:
+        return (self.block_size * self.num_kv_heads * self.head_size
+                * self.dtype_bytes)
+
+
+@dataclass(frozen=True)
 class SlidingWindowSpec(KVCacheSpec):
     sliding_window: int = 0
 

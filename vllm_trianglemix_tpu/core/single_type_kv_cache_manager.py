@@ -17,6 +17,7 @@ from vllm_trianglemix_tpu.core.kv_cache_interface import (
     FullAttentionSpec,
     KVCacheSpec,
     SlidingWindowSpec,
+    MLAAttentionSpec,
 )
 from vllm_trianglemix_tpu.request import Request
 
@@ -152,6 +153,9 @@ def get_manager_for_kv_cache_spec(kv_cache_spec: KVCacheSpec,
                                   ) -> SingleTypeKVCacheManager:
     if isinstance(kv_cache_spec, SlidingWindowSpec):
         return SlidingWindowManager(kv_cache_spec, block_pool)
-    if isinstance(kv_cache_spec, FullAttentionSpec):
+    if isinstance(kv_cache_spec, (FullAttentionSpec, MLAAttentionSpec)):
+        # MLA latent blocks have full-attention lifetime semantics (every
+        # token's row is live forever; prefix caching by content hash is
+        # valid because the latent is a pure function of the prefix).
         return FullAttentionManager(kv_cache_spec, block_pool)
     raise NotImplementedError(f"No manager for {type(kv_cache_spec)}")

@@ -29,6 +29,8 @@ _REGISTRY: dict[str, tuple[str, str]] = {
                            "MistralConfig"),
     "MixtralForCausalLM": ("vllm_trianglemix_tpu.models.mixtral",
                            "MixtralConfig"),
+    "DeepseekV2ForCausalLM": ("vllm_trianglemix_tpu.models.deepseek_v2",
+                              "DeepseekV2Config"),
 }
 
 

@@ -201,16 +201,34 @@ class ModelRunner:
             kv_dtype = jnp.int8
             s_ = float(self.model_config.kv_cache_scale)
             self.kv_quant = (s_, s_)
+        self.is_mla = bool(getattr(self.model, "IS_MLA", False))
+        if self.is_mla:
+            # MLA (DeepSeek-V2): latent paged cache, absorbed attention
+            # (attention/mla.py). These paths assume the GQA cache layout:
+            if engine_config.scheduler.multi_step_decode > 1:
+                raise ValueError("multi_step_decode unsupported with MLA")
+            if engine_config.speculative.enabled:
+                raise ValueError("speculative decoding unsupported with MLA")
+            if self.model_config.kv_cache_dtype != "auto":
+                raise ValueError("quantized KV cache unsupported with MLA")
+            if engine_config.lora.enabled:
+                raise ValueError("LoRA unsupported with MLA")
+            layer_shape = self.model.kv_cache_layer_shape(
+                self.cfg, self.num_kv_blocks, self.block_size)
+        else:
+            layer_shape = kv_cache_shape(
+                self.num_kv_blocks, self.block_size,
+                self.cfg.num_key_value_heads, self.cfg.head_dim)
         self.kv_caches = jnp.zeros(
-            (self.cfg.num_hidden_layers,
-             *kv_cache_shape(self.num_kv_blocks, self.block_size,
-                             self.cfg.num_key_value_heads, self.cfg.head_dim)),
-            dtype=kv_dtype)
+            (self.cfg.num_hidden_layers, *layer_shape), dtype=kv_dtype)
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
+            # GQA caches shard on the KV-head axis; the MLA latent cache
+            # is MQA-like (one fat row) and stays replicated.
+            kv_spec = (P(None, None, None, None, None) if self.is_mla
+                       else P(None, None, None, "tp", None))
             self.kv_caches = jax.device_put(
-                self.kv_caches,
-                NamedSharding(self.mesh, P(None, None, None, "tp", None)))
+                self.kv_caches, NamedSharding(self.mesh, kv_spec))
 
         # KV connector (worker role: move pages device<->store)
         from vllm_trianglemix_tpu.distributed.kv_connector import (
