@@ -232,6 +232,10 @@ class LoRAConfig:
 class ObservabilityConfig:
     collect_stats: bool = True
     log_stats_interval_s: float = 5.0
+    # OTLP gRPC collector endpoint for per-request spans (reference
+    # --otlp-traces-endpoint, vllm/tracing.py). None disables OTLP; the
+    # in-memory recorder is still available via TracingStatLogger.
+    otlp_traces_endpoint: "Optional[str]" = None
 
 
 @dataclass

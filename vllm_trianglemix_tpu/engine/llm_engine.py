@@ -67,6 +67,12 @@ class LLMEngine:
 
             self.stat_loggers.append(LoggingStatLogger(
                 engine_config.observability.log_stats_interval_s))
+        if engine_config.observability.otlp_traces_endpoint:
+            from vllm_trianglemix_tpu.tracing import TracingStatLogger
+
+            self.stat_loggers.append(TracingStatLogger(
+                engine_config.model.model,
+                engine_config.observability.otlp_traces_endpoint))
 
     @classmethod
     def from_engine_config(cls, engine_config: EngineConfig) -> "LLMEngine":

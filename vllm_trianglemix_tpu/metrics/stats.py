@@ -29,6 +29,7 @@ class RequestStateStats:
 class FinishedRequestStats:
     finish_reason: str = ""
     e2e_latency: float = 0.0
+    ttft: float = 0.0
     num_prompt_tokens: int = 0
     num_generation_tokens: int = 0
     queued_time: float = 0.0
@@ -75,6 +76,8 @@ class IterationStats:
         self.finished_requests.append(FinishedRequestStats(
             finish_reason=out.finish_reason or "",
             e2e_latency=e2e,
+            ttft=(state.first_token_time - state.arrival_time
+                  if state.first_token_time else e2e),
             num_prompt_tokens=prompt_len,
             num_generation_tokens=state.num_generation_tokens,
             queued_time=state.scheduled_time - state.arrival_time
