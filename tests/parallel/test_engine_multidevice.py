@@ -42,3 +42,29 @@ def test_tp2_engine_matches_single_device(tiny_model_dir):
     base = run_engine(tiny_model_dir, tp=1, prompts=prompts)
     tp2 = run_engine(tiny_model_dir, tp=2, prompts=prompts)
     assert base == tp2
+
+
+def test_cp2_engine_matches_single_device(tiny_model_dir):
+    """DCP engine wiring (parallel/dcp.py:dcp_write_and_attention): KV
+    pages sharded over a cp=2 mesh axis, write+attention+LSE merge under
+    shard_map — greedy outputs must be token-identical to single-device.
+    Reference analogue: decode_context_parallel_size + merge_attn_states
+    (sched/scheduler.py:105, tests/distributed/test_context_parallel.py).
+    """
+    rng = np.random.default_rng(1)
+    prompts = [rng.integers(1, 400, size=n).tolist()
+               for n in (9, 23, 41, 6)]
+    base = run_engine(tiny_model_dir, tp=1, prompts=prompts)
+
+    llm = LLM(model=tiny_model_dir, dtype="float32", max_model_len=128,
+              block_size=16, max_num_seqs=4, max_num_batched_tokens=128,
+              num_kv_blocks=32, skip_tokenizer_init=True,
+              context_parallel_size=2, multiprocess_engine=False)
+    worker = llm.llm_engine.engine_core.executor.worker
+    assert worker.mesh is not None and "cp" in worker.mesh.axis_names
+    kv_sharding = worker.model_runner.kv_caches.sharding
+    assert kv_sharding.spec[1] == "cp", kv_sharding  # page axis
+    outs = llm.generate(prompts, SamplingParams(
+        temperature=0.0, max_tokens=8, ignore_eos=True))
+    cp2 = [list(o.outputs[0].token_ids) for o in outs]
+    assert base == cp2

@@ -43,6 +43,7 @@ class LLM:
         enable_prefix_caching: bool = True,
         tensor_parallel_size: int = 1,
         data_parallel_size: int = 1,
+        context_parallel_size: int = 1,
         enable_expert_parallel: bool = False,
         multiprocess_engine: Optional[bool] = None,
         trianglemix: Optional[TriangleMixConfig] = None,
@@ -77,6 +78,7 @@ class LLM:
             parallel=ParallelConfig(
                 tensor_parallel_size=tensor_parallel_size,
                 data_parallel_size=data_parallel_size,
+                context_parallel_size=context_parallel_size,
                 enable_expert_parallel=enable_expert_parallel),
             # DP replicas require process isolation (one engine per
             # replica); otherwise respect the explicit flag.

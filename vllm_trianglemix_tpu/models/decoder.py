@@ -470,6 +470,11 @@ def forward(
                                    # the cache dtype is fp8/int8
     moe_fn=None,                   # override for the MoE MLP, e.g. the
                                    # expert-parallel parallel/ep.py path
+    cp_ctx=None,                   # (mesh, axis_name): decode context
+                                   # parallelism — KV pages sharded over
+                                   # the axis, write+attention+LSE-merge
+                                   # run under shard_map
+                                   # (parallel/dcp.py:dcp_write_and_attention)
     fused_decode: bool = False,    # decode-only fast path: attention
                                    # merges the current token's K/V from
                                    # registers, cache writes are deferred
@@ -548,6 +553,15 @@ def forward(
             attn = fused_decode_attention(q, k, v, kv, md, tri,
                                           **attn_kwargs)
             ys = (k, v)
+        elif cp_ctx is not None:
+            from vllm_trianglemix_tpu.parallel.dcp import (
+                dcp_write_and_attention,
+            )
+
+            attn, kv = dcp_write_and_attention(
+                q, k, v, kv, md, cp_ctx[0], scale=scale,
+                cp_axis=cp_ctx[1])
+            ys = kv
         else:
             kv = write_kv(kv, k, v, md, kv_quant=kv_quant)
             attn = ragged_paged_attention(q, kv, md, tri, **attn_kwargs)

@@ -51,6 +51,88 @@ def merge_partials(m, l, o, axis_name: str):
     return o_sum / jnp.maximum(l_sum, 1e-30)[..., None]
 
 
+def dcp_write_and_attention(
+    q: jnp.ndarray,           # [T, HQ, D]
+    k_new: jnp.ndarray,       # [T, KH, D]
+    v_new: jnp.ndarray,       # [T, KH, D]
+    kv_cache: jnp.ndarray,    # [num_pages, page, 2*KH, D], sharded on the
+                              # page axis over cp (shard-major layout:
+                              # global page p lives on shard p % cp at
+                              # local row p // cp)
+    md: AttentionMetadata,
+    mesh,
+    *,
+    scale: float,
+    cp_axis: str = "cp",
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Engine-path DCP layer step: scatter this step's K/V rows into the
+    owning shard's pages, then context-parallel attention with LSE merge
+    (reference scheduler+merge integration, sched/scheduler.py:105 +
+    merge_attn_states). Block tables and slot mappings stay GLOBAL page
+    ids — ownership (page % cp) is resolved inside the shard_map, so the
+    scheduler/runner need no DCP-specific host math.
+
+    Returns (attn [T, HQ, D], updated kv_cache).
+    """
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    cp = mesh.shape[cp_axis]
+    num_pages, page, twoKH, D = kv_cache.shape
+    KH = twoKH // 2
+    T, HQ, _ = q.shape
+    G = HQ // KH
+    R, max_blocks = md.block_tables.shape
+    C = max_blocks * page
+    pp = num_pages // cp
+
+    def body(kv_local, q_full, k_n, v_n, slot_mapping, block_tables,
+             seq_lens, req_idx, positions):
+        my = jax.lax.axis_index(cp_axis)
+        # --- local scatter write (rows whose page this shard owns) ---
+        p_ids = slot_mapping // page
+        off = slot_mapping % page
+        owned_w = (slot_mapping >= 0) & (p_ids % cp == my)
+        lrow = jnp.where(owned_w, p_ids // cp, pp)  # OOB rows dropped
+        kv_rows = jnp.stack([k_n, v_n], axis=2).reshape(T, twoKH, D)
+        kv_local = kv_local.at[lrow, off].set(
+            kv_rows.astype(kv_local.dtype), mode="drop")
+
+        # --- local masked attention over owned pages ---
+        bt = block_tables
+        owned = (bt % cp) == my
+        pages = kv_local[jnp.where(owned, bt // cp, 0)]
+        pages = pages.reshape(R, C, twoKH, D)
+        k = pages[:, :, 0::2, :].astype(jnp.float32)
+        v = pages[:, :, 1::2, :].astype(jnp.float32)
+        k_t = k[req_idx]
+        v_t = v[req_idx]
+
+        key_pos = jnp.arange(C, dtype=jnp.int32)[None, :]
+        q_pos = positions[:, None]
+        ctx = seq_lens[req_idx][:, None]
+        visible = (key_pos <= q_pos) & (key_pos < ctx)
+        visible &= jnp.repeat(owned, page, axis=1)[req_idx]
+
+        qf = q_full.reshape(T, KH, G, D).astype(jnp.float32)
+        m, l, o = _partial_attention(qf, k_t, v_t, visible, scale)
+        out = merge_partials(m, l, o, cp_axis)
+        return out.reshape(T, HQ, D).astype(q_full.dtype), kv_local
+
+    fn = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(cp_axis, None, None, None), P(None, None, None),
+                  P(None, None, None), P(None, None, None), P(None),
+                  P(None, None), P(None), P(None), P(None)),
+        out_specs=(P(None, None, None), P(cp_axis, None, None, None)),
+    )
+    return fn(kv_cache, q, k_new, v_new, md.slot_mapping, md.block_tables,
+              md.seq_lens, md.req_idx, md.positions)
+
+
 def dcp_ragged_attention(
     q: jnp.ndarray,           # [T, HQ, D]
     kv_cache: jnp.ndarray,    # [num_pages, page, 2*KH interleaved, D]

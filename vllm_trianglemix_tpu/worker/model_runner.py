@@ -191,6 +191,11 @@ class ModelRunner:
 
         # --- KV cache ---------------------------------------------------------
         self.num_kv_blocks = self._determine_num_kv_blocks()
+        cp_ws = (engine_config.parallel.context_parallel_size
+                 if mesh is not None else 1)
+        if cp_ws > 1:
+            # dcp page ownership (page % cp) needs an even page split.
+            self.num_kv_blocks -= self.num_kv_blocks % cp_ws
         self.kv_quant = None
         kv_dtype = self.dtype
         if self.model_config.kv_cache_dtype == "fp8":
@@ -201,7 +206,26 @@ class ModelRunner:
             kv_dtype = jnp.int8
             s_ = float(self.model_config.kv_cache_scale)
             self.kv_quant = (s_, s_)
+        # Decode context parallelism (parallel/dcp.py engine wiring).
+        self.cp = (engine_config.parallel.context_parallel_size
+                   if mesh is not None else 1)
+        if self.cp > 1:
+            if engine_config.parallel.tensor_parallel_size > 1:
+                raise ValueError("cp currently composes with tp=1 only")
+            if engine_config.scheduler.multi_step_decode > 1:
+                raise ValueError("multi_step_decode unsupported with cp")
+            if engine_config.speculative.enabled:
+                raise ValueError("speculative decoding unsupported with cp")
+            if self.tri_cfg.enabled:
+                raise ValueError("TriangleMix unsupported with cp")
+            if self.model_config.kv_cache_dtype != "auto":
+                raise ValueError("quantized KV cache unsupported with cp")
+            if getattr(self.cfg, "sliding_window", 0):
+                raise ValueError("sliding-window models unsupported with cp")
+
         self.is_mla = bool(getattr(self.model, "IS_MLA", False))
+        if self.is_mla and self.cp > 1:
+            raise ValueError("MLA + cp not implemented")
         if self.is_mla:
             # MLA (DeepSeek-V2): latent paged cache, absorbed attention
             # (attention/mla.py). These paths assume the GQA cache layout:
@@ -224,9 +248,12 @@ class ModelRunner:
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
             # GQA caches shard on the KV-head axis; the MLA latent cache
-            # is MQA-like (one fat row) and stays replicated.
+            # is MQA-like (one fat row) and stays replicated. Under cp,
+            # pages shard over the cp axis (shard-major page ownership:
+            # global page p on shard p % cp — parallel/dcp.py).
             kv_spec = (P(None, None, None, None, None) if self.is_mla
-                       else P(None, None, None, "tp", None))
+                       else P(None, "cp" if self.cp > 1 else None, None,
+                              "tp", None))
             self.kv_caches = jax.device_put(
                 self.kv_caches, NamedSharding(self.mesh, kv_spec))
 
@@ -444,6 +471,7 @@ class ModelRunner:
 
         kv_quant = self.kv_quant
         moe_fn = self._moe_fn()
+        cp_ctx = (self.mesh, "cp") if self.cp > 1 else None
 
         @partial(jax.jit, donate_argnums=(1,))
         def step(params, kv_caches, token_ids, md: AttentionMetadata,
@@ -456,9 +484,12 @@ class ModelRunner:
                     prev_sampled[jnp.clip(gather_idx, 0,
                                           prev_sampled.shape[0] - 1)],
                     token_ids)
+            fkw = {}
+            if cp_ctx is not None:
+                fkw["cp_ctx"] = cp_ctx
             hidden, kv_caches = model.forward(
                 params, cfg, tri_cfg, token_ids, kv_caches, md, tri_flags,
-                lora=lora, kv_quant=kv_quant, moe_fn=moe_fn)
+                lora=lora, kv_quant=kv_quant, moe_fn=moe_fn, **fkw)
             sel = hidden[md.logits_indices]            # [R*S, D]
             logits = model.compute_logits(params, cfg, sel)
 

@@ -37,7 +37,9 @@ class Worker:
         from vllm_trianglemix_tpu.parallel.mesh import make_mesh
 
         p = engine_config.parallel
-        return make_mesh(tp=p.tensor_parallel_size, dp=p.data_parallel_size)
+        return make_mesh(tp=p.tensor_parallel_size,
+                         dp=p.data_parallel_size,
+                         cp=p.context_parallel_size)
 
     @property
     def num_kv_blocks(self) -> int:
