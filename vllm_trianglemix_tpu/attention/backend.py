@@ -32,9 +32,36 @@ from vllm_trianglemix_tpu.attention.metadata import AttentionMetadata
 from vllm_trianglemix_tpu.attention.trianglemix import MASK_VALUE
 
 
+def padded_head_dim(head_dim: int) -> int:
+    """On TPU, pad the stored head dim to the 128-lane boundary so the
+    Pallas kernels serve every head size (reference pallas.py:17-18,
+    255-264 head padding). CPU/other backends keep the true width."""
+    try:
+        if jax.default_backend() == "tpu":
+            return cdiv_128(head_dim) * 128
+    except Exception:  # noqa: BLE001 (no backend yet)
+        pass
+    return head_dim
+
+
+def cdiv_128(n: int) -> int:
+    return -(-n // 128)
+
+
 def kv_cache_shape(num_blocks: int, block_size: int, num_kv_heads: int,
                    head_dim: int) -> tuple[int, int, int, int]:
-    return (num_blocks, block_size, 2 * num_kv_heads, head_dim)
+    return (num_blocks, block_size, 2 * num_kv_heads,
+            padded_head_dim(head_dim))
+
+
+def _pad_heads(x: jnp.ndarray, d_pad: int) -> jnp.ndarray:
+    """Zero-pad the trailing head axis to the cache's stored width.
+    Zero K columns add 0 to q·k; zero V columns are sliced off after."""
+    d = x.shape[-1]
+    if d == d_pad:
+        return x
+    pad = [(0, 0)] * (x.ndim - 1) + [(0, d_pad - d)]
+    return jnp.pad(x, pad)
 
 
 def quantize_kv(k: jnp.ndarray, v: jnp.ndarray, cache_dtype,
@@ -64,10 +91,10 @@ def write_to_kv_cache(kv_cache: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     donated; the Pallas kv_cache_update kernel replaces it where profiling
     demands (reference ops/pallas_kv_cache_update.py precedent).
     """
-    num_blocks, block_size, _, _ = kv_cache.shape
+    num_blocks, block_size, _, Dc = kv_cache.shape
     T, KH, D = k.shape
     # Interleave on the head axis: kv[:, 2h] = k_h, kv[:, 2h+1] = v_h.
-    kv = jnp.stack([k, v], axis=2).reshape(T, 2 * KH, D)
+    kv = _pad_heads(jnp.stack([k, v], axis=2).reshape(T, 2 * KH, D), Dc)
     block_idx = slot_mapping // block_size
     block_off = slot_mapping % block_size
     # Negative slots => out-of-range index, dropped by scatter mode="drop".
@@ -92,7 +119,8 @@ def write_kv(kv_cache: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         )
 
         T, KH, D = k.shape
-        kv = jnp.stack([k, v], axis=2).reshape(T, 2 * KH, D)
+        kv = _pad_heads(jnp.stack([k, v], axis=2).reshape(T, 2 * KH, D),
+                        kv_cache.shape[-1])
         return kv_cache_update_pallas(kv, kv_cache, md.kv_slices,
                                       md.num_kv_slices)
     return write_to_kv_cache(kv_cache, k, v, md.slot_mapping)
@@ -183,16 +211,23 @@ def ragged_paged_attention_xla(
 
 def ragged_paged_attention(q, kv_cache, md, use_triangle=False, **kwargs):
     """Dispatch: Pallas kernel on TPU (hot path), XLA-native elsewhere or
-    when VTT_DISABLE_PALLAS is set."""
+    when VTT_DISABLE_PALLAS is set. Heads narrower than the cache's
+    stored (lane-padded) width are zero-padded in and sliced out."""
     from vllm_trianglemix_tpu import envs
 
+    D = q.shape[-1]
+    Dc = kv_cache.shape[-1]
+    q = _pad_heads(q, Dc)
     if not envs.VTT_DISABLE_PALLAS and _pallas_supported(q):
         from vllm_trianglemix_tpu.ops.ragged_paged_attention import (
             ragged_paged_attention_pallas,
         )
-        return ragged_paged_attention_pallas(q, kv_cache, md, use_triangle,
-                                             **kwargs)
-    return ragged_paged_attention_xla(q, kv_cache, md, use_triangle, **kwargs)
+        out = ragged_paged_attention_pallas(q, kv_cache, md, use_triangle,
+                                            **kwargs)
+    else:
+        out = ragged_paged_attention_xla(q, kv_cache, md, use_triangle,
+                                         **kwargs)
+    return out[..., :D] if Dc != D else out
 
 
 def fused_decode_attention(q, k_new, v_new, kv_cache, md,
@@ -215,6 +250,15 @@ def fused_decode_attention(q, k_new, v_new, kv_cache, md,
 
     T, HQ, D = q.shape
     KH = k_new.shape[1]
+    Dc = kv_cache.shape[-1]
+    if Dc != D:
+        q = _pad_heads(q, Dc)
+        out = fused_decode_attention(q, _pad_heads(k_new, Dc),
+                                     _pad_heads(v_new, Dc), kv_cache, md,
+                                     use_triangle, scale=scale,
+                                     soft_cap=soft_cap,
+                                     interpret=interpret, **kwargs)
+        return out[..., :D]
 
     if envs.VTT_DISABLE_PALLAS or not _pallas_supported(q):
         # Semantics reference: write this layer's K/V, then plain
@@ -265,9 +309,10 @@ def write_kv_all_layers(kv_caches, ks, vs, slot_mapping, lengths,
     T = ks.shape[1]
     if kv_quant is not None and kv_caches.dtype != ks.dtype:
         ks, vs = quantize_kv(ks, vs, kv_caches.dtype, *kv_quant)
-    new = jnp.stack([ks, vs], axis=3).reshape(L, T, twoKH, D)
+    new = _pad_heads(
+        jnp.stack([ks, vs], axis=3).reshape(L, T, twoKH, ks.shape[-1]), D)
 
-    if envs.VTT_DISABLE_PALLAS or not _pallas_supported(ks):
+    if envs.VTT_DISABLE_PALLAS or not _pallas_supported(new):
         block_idx = jnp.where(lengths > 0, slot_mapping // page, pages)
         block_off = slot_mapping % page
         return jax.vmap(

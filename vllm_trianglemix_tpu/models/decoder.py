@@ -593,6 +593,7 @@ def compute_logits(params: dict, cfg: DecoderConfig,
 
 
 def kv_cache_spec(cfg: DecoderConfig, block_size: int, dtype_bytes: int = 2):
+    from vllm_trianglemix_tpu.attention.backend import padded_head_dim
     from vllm_trianglemix_tpu.core.kv_cache_interface import (
         FullAttentionSpec,
         SlidingWindowSpec,
@@ -603,13 +604,13 @@ def kv_cache_spec(cfg: DecoderConfig, block_size: int, dtype_bytes: int = 2):
         return SlidingWindowSpec(
             block_size=block_size,
             num_kv_heads=cfg.num_key_value_heads,
-            head_size=cfg.head_dim,
+            head_size=padded_head_dim(cfg.head_dim),
             dtype_bytes=dtype_bytes,
             sliding_window=cfg.sliding_window,
         )
     return FullAttentionSpec(
         block_size=block_size,
         num_kv_heads=cfg.num_key_value_heads,
-        head_size=cfg.head_dim,
+        head_size=padded_head_dim(cfg.head_dim),
         dtype_bytes=dtype_bytes,
     )

@@ -96,7 +96,11 @@ def dcp_write_and_attention(
         off = slot_mapping % page
         owned_w = (slot_mapping >= 0) & (p_ids % cp == my)
         lrow = jnp.where(owned_w, p_ids // cp, pp)  # OOB rows dropped
-        kv_rows = jnp.stack([k_n, v_n], axis=2).reshape(T, twoKH, D)
+        kv_rows = jnp.stack([k_n, v_n], axis=2).reshape(
+            T, twoKH, k_n.shape[-1])
+        if kv_rows.shape[-1] != D:  # lane-padded cache (TPU)
+            kv_rows = jnp.pad(kv_rows, ((0, 0), (0, 0),
+                                        (0, D - kv_rows.shape[-1])))
         kv_local = kv_local.at[lrow, off].set(
             kv_rows.astype(kv_local.dtype), mode="drop")
 
@@ -116,10 +120,14 @@ def dcp_write_and_attention(
         visible = (key_pos <= q_pos) & (key_pos < ctx)
         visible &= jnp.repeat(owned, page, axis=1)[req_idx]
 
-        qf = q_full.reshape(T, KH, G, D).astype(jnp.float32)
+        Dq = q_full.shape[-1]
+        qf = q_full.reshape(T, KH, G, Dq).astype(jnp.float32)
+        if Dq != D:
+            qf = jnp.pad(qf, ((0, 0), (0, 0), (0, 0), (0, D - Dq)))
         m, l, o = _partial_attention(qf, k_t, v_t, visible, scale)
         out = merge_partials(m, l, o, cp_axis)
-        return out.reshape(T, HQ, D).astype(q_full.dtype), kv_local
+        return (out[..., :Dq].reshape(T, HQ, Dq).astype(q_full.dtype),
+                kv_local)
 
     fn = shard_map(
         body,
