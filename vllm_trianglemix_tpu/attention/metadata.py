@@ -32,6 +32,13 @@ class AttentionMetadata(NamedTuple):
     #     fallback from slot_mapping) ---
     kv_slices: Optional[jnp.ndarray] = None      # int32[3, S]
     num_kv_slices: Optional[jnp.ndarray] = None  # int32[]
+    # --- hybrid KV-cache groups (reference kv_cache_coordinator.py):
+    #     per-group block tables / slot mappings when layers split into
+    #     multiple cache groups (e.g. alternating sliding/full attention).
+    #     None for single-group models; group 0's view also populates the
+    #     flat fields above. ---
+    block_tables_g: Optional[jnp.ndarray] = None  # int32[G, R, max_blocks]
+    slot_mapping_g: Optional[jnp.ndarray] = None  # int32[G, T]
 
     @property
     def num_tokens_padded(self) -> int:

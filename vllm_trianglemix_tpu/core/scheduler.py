@@ -142,7 +142,8 @@ class Scheduler:
 
         # KV connector push: newly-filled full blocks since last step
         # (reference: connector save hooks in update_from_output).
-        if self.kv_connector is not None:
+        if (self.kv_connector is not None
+                and self.kv_cache_manager.n_groups == 1):
             for request in self.running:
                 full = min(request.num_computed_tokens // self.block_size,
                            len(request.block_hashes))

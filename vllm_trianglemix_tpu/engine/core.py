@@ -33,11 +33,19 @@ class EngineCore:
         from vllm_trianglemix_tpu.models.registry import resolve_model
 
         model_module, model_cfg = resolve_model(engine_config.model.model)
-        spec = model_module.kv_cache_spec(
-            model_cfg, engine_config.cache.block_size, dtype_bytes=2)
+        if hasattr(model_module, "kv_cache_group_specs"):
+            # Hybrid models (e.g. alternating sliding/full attention)
+            # declare one group per cache type (reference
+            # kv_cache_coordinator.py role).
+            groups = tuple(model_module.kv_cache_group_specs(
+                model_cfg, engine_config.cache.block_size, dtype_bytes=2))
+        else:
+            spec = model_module.kv_cache_spec(
+                model_cfg, engine_config.cache.block_size, dtype_bytes=2)
+            groups = (KVCacheGroupSpec(("all_layers",), spec),)
         kv_cache_config = KVCacheConfig(
             num_blocks=self.executor.num_kv_blocks,
-            kv_cache_groups=(KVCacheGroupSpec(("all_layers",), spec),),
+            kv_cache_groups=groups,
         )
         from vllm_trianglemix_tpu.distributed.kv_connector import (
             create_connector,

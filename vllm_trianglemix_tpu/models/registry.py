@@ -31,6 +31,8 @@ _REGISTRY: dict[str, tuple[str, str]] = {
                            "MixtralConfig"),
     "DeepseekV2ForCausalLM": ("vllm_trianglemix_tpu.models.deepseek_v2",
                               "DeepseekV2Config"),
+    "Gemma2ForCausalLM": ("vllm_trianglemix_tpu.models.gemma2",
+                          "Gemma2Config"),
 }
 
 

@@ -66,8 +66,13 @@ class InputBatch:
                 state.token_ids = list(cached.all_token_ids[i])
                 state.block_ids = list(cached.new_block_ids[i])
             else:
-                if cached.new_block_ids[i]:
-                    state.block_ids.extend(cached.new_block_ids[i])
+                new_ids = cached.new_block_ids[i]
+                if new_ids and isinstance(new_ids[0], list):
+                    # hybrid KV groups: per-group block lists
+                    for g, ids in zip(state.block_ids, new_ids):
+                        g.extend(ids)
+                elif new_ids:
+                    state.block_ids.extend(new_ids)
             state.num_computed_tokens = cached.num_computed_tokens[i]
 
     def append_token(self, req_id: str, token_id: int) -> None:

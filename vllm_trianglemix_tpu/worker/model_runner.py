@@ -226,6 +226,27 @@ class ModelRunner:
         self.is_mla = bool(getattr(self.model, "IS_MLA", False))
         if self.is_mla and self.cp > 1:
             raise ValueError("MLA + cp not implemented")
+
+        # Hybrid KV-cache groups (reference kv_cache_coordinator.py):
+        # alternating sliding/full layers carry per-group block tables.
+        self.n_kv_groups = 1
+        if hasattr(self.model, "kv_cache_group_specs"):
+            self.n_kv_groups = len(self.model.kv_cache_group_specs(
+                self.cfg, self.block_size))
+        if self.n_kv_groups > 1:
+            for flag, why in (
+                (engine_config.scheduler.multi_step_decode > 1,
+                 "multi_step_decode"),
+                (engine_config.speculative.enabled, "speculative decoding"),
+                (self.cp > 1, "context parallelism"),
+                (engine_config.lora.enabled, "LoRA"),
+                (self.model_config.kv_cache_dtype != "auto",
+                 "quantized KV cache"),
+                (self.tri_cfg.enabled, "TriangleMix"),
+            ):
+                if flag:
+                    raise ValueError(f"{why} unsupported with hybrid "
+                                     "KV-cache groups")
         if self.is_mla:
             # MLA (DeepSeek-V2): latent paged cache, absorbed attention
             # (attention/mla.py). These paths assume the GQA cache layout:
@@ -862,6 +883,9 @@ class ModelRunner:
         req_idx = np.full(T, R - 1, np.int32)  # pad rows point at pad req
         slot_mapping = np.full(T, -1, np.int32)
         block_tables = np.zeros((R, MB), np.int32)
+        if self.n_kv_groups > 1:
+            block_tables_g = np.zeros((self.n_kv_groups, R, MB), np.int32)
+            slot_mapping_g = np.full((self.n_kv_groups, T), -1, np.int32)
         seq_lens = np.zeros(R, np.int32)
         prompt_lens = np.zeros(R, np.int32)
         query_start_loc = np.zeros(R + 1, np.int32)
@@ -896,12 +920,21 @@ class ModelRunner:
             req_idx[offset:offset + n_sched] = i
             lora_idx[offset:offset + n_sched] = \
                 self.lora_slot_map.get(state.lora_name, 0)
-            bt = np.asarray(state.block_ids, np.int32)
-            block_tables[i, :len(bt)] = bt
             pos = np.arange(start, end)
-            slot_mapping[offset:offset + n_sched] = (
-                bt[pos // self.block_size] * self.block_size
-                + pos % self.block_size)
+            if self.n_kv_groups > 1:
+                for g, ids in enumerate(state.block_ids):
+                    bt = np.asarray(ids, np.int32)
+                    block_tables_g[g, i, :len(bt)] = bt
+                    covered = pos[pos < len(bt) * self.block_size]
+                    slot_mapping_g[g, offset:offset + len(covered)] = (
+                        bt[covered // self.block_size] * self.block_size
+                        + covered % self.block_size)
+            else:
+                bt = np.asarray(state.block_ids, np.int32)
+                block_tables[i, :len(bt)] = bt
+                slot_mapping[offset:offset + n_sched] = (
+                    bt[pos // self.block_size] * self.block_size
+                    + pos % self.block_size)
             seq_lens[i] = end
             prompt_lens[i] = state.prompt_len
             query_start_loc[i + 1] = query_start_loc[i] + n_sched
@@ -933,8 +966,12 @@ class ModelRunner:
         md = AttentionMetadata(
             positions=jnp.asarray(positions),
             req_idx=jnp.asarray(req_idx),
-            slot_mapping=jnp.asarray(slot_mapping),
-            block_tables=jnp.asarray(block_tables),
+            slot_mapping=(jnp.asarray(slot_mapping_g[0])
+                          if self.n_kv_groups > 1
+                          else jnp.asarray(slot_mapping)),
+            block_tables=(jnp.asarray(block_tables_g[0])
+                          if self.n_kv_groups > 1
+                          else jnp.asarray(block_tables)),
             seq_lens=jnp.asarray(seq_lens),
             prompt_lens=jnp.asarray(prompt_lens),
             query_start_loc=jnp.asarray(query_start_loc),
@@ -942,6 +979,10 @@ class ModelRunner:
             num_reqs=jnp.asarray(num_reqs, jnp.int32),
             kv_slices=jnp.asarray(kv_slices),
             num_kv_slices=jnp.asarray(num_slices, jnp.int32),
+            block_tables_g=(jnp.asarray(block_tables_g)
+                            if self.n_kv_groups > 1 else None),
+            slot_mapping_g=(jnp.asarray(slot_mapping_g)
+                            if self.n_kv_groups > 1 else None),
         )
         if S > 1:
             # One sampling-metadata row per logits row; distinct counter
@@ -1341,6 +1382,11 @@ class ModelRunner:
             num_reqs=jnp.asarray(R, jnp.int32),
             kv_slices=jnp.zeros((3, S), jnp.int32),
             num_kv_slices=jnp.asarray(0, jnp.int32),
+            block_tables_g=(jnp.zeros(
+                (self.n_kv_groups, R, self.max_blocks_per_req), jnp.int32)
+                if self.n_kv_groups > 1 else None),
+            slot_mapping_g=(jnp.full((self.n_kv_groups, T), -1, jnp.int32)
+                            if self.n_kv_groups > 1 else None),
         )
         RS = R * self._sample_rows_per_req()
         smd = build_sampling_metadata([], [], RS)
