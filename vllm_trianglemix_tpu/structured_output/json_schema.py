@@ -51,8 +51,32 @@ class SchemaError(ValueError):
     pass
 
 
-def schema_to_regex(schema: Any, depth: int = 6) -> str:
-    """Translate a JSON schema to a regex over its serialized form."""
+def _resolve_ref(ref: str, root: Any) -> Any:
+    """JSON-pointer resolution within the document ("#", "#/$defs/x",
+    "#/definitions/x/y", reference: outlines/xgrammar $ref handling)."""
+    if not ref.startswith("#"):
+        raise SchemaError(f"only local $refs supported: {ref!r}")
+    node = root
+    for part in ref[1:].strip("/").split("/"):
+        if not part:
+            continue
+        part = part.replace("~1", "/").replace("~0", "~")
+        if not isinstance(node, dict) or part not in node:
+            raise SchemaError(f"unresolvable $ref {ref!r}")
+        node = node[part]
+    return node
+
+
+def schema_to_regex(schema: Any, depth: int = 8, root: Any = None) -> str:
+    """Translate a JSON schema to a regex over its serialized form.
+
+    Recursive schemas ($ref back into themselves, directly or via
+    $defs/definitions) are unrolled up to ``depth`` levels; recursive
+    alternatives inside anyOf/oneOf and OPTIONAL recursive object
+    properties are pruned at the depth limit, so self-referential
+    list/tree schemas terminate with their non-recursive base cases."""
+    if root is None:
+        root = schema
     if depth <= 0:
         raise SchemaError("schema nesting too deep")
     if schema in (True, {}):
@@ -60,19 +84,29 @@ def schema_to_regex(schema: Any, depth: int = 6) -> str:
     if not isinstance(schema, dict):
         raise SchemaError(f"unsupported schema: {schema!r}")
 
+    if "$ref" in schema:
+        return schema_to_regex(_resolve_ref(schema["$ref"], root),
+                               depth - 1, root)
     if "const" in schema:
         return _json_const(schema["const"])
     if "enum" in schema:
         return "(" + "|".join(_json_const(v) for v in schema["enum"]) + ")"
     if "anyOf" in schema or "oneOf" in schema:
         subs = schema.get("anyOf") or schema.get("oneOf")
-        return "(" + "|".join(schema_to_regex(s, depth - 1)
-                              for s in subs) + ")"
+        parts, errs = [], []
+        for sub in subs:
+            try:
+                parts.append(schema_to_regex(sub, depth - 1, root))
+            except SchemaError as e:  # prune recursive arms at the limit
+                errs.append(e)
+        if not parts:
+            raise errs[0]
+        return "(" + "|".join(parts) + ")"
 
     t = schema.get("type")
     if isinstance(t, list):
         return "(" + "|".join(
-            schema_to_regex(dict(schema, type=one), depth - 1)
+            schema_to_regex(dict(schema, type=one), depth - 1, root)
             for one in t) + ")"
     if t == "string":
         if "pattern" in schema:
@@ -89,7 +123,7 @@ def schema_to_regex(schema: Any, depth: int = 6) -> str:
     if t == "null":
         return NULL
     if t == "array":
-        item = schema_to_regex(schema.get("items", {}), depth - 1)
+        item = schema_to_regex(schema.get("items", {}), depth - 1, root)
         min_items = schema.get("minItems", 0)
         max_items = schema.get("maxItems")
         one = f"{item}"
@@ -119,8 +153,13 @@ def schema_to_regex(schema: Any, depth: int = 6) -> str:
         # Fixed declared key order (standard guided-json behavior).
         parts = []
         for key, sub in props.items():
-            member = (f'"{_escape_literal(key)}"'
-                      f"{WS}:{WS}{schema_to_regex(sub, depth - 1)}")
+            try:
+                member = (f'"{_escape_literal(key)}"'
+                          f"{WS}:{WS}{schema_to_regex(sub, depth - 1, root)}")
+            except SchemaError:
+                if key in required:
+                    raise
+                continue  # prune optional recursive property at the limit
             parts.append((member, key in required))
         if not any(req for _, req in parts):
             # All-optional object: any subset of members in any order

@@ -458,26 +458,47 @@ class TokenMask:
     """Per-state allowed-token rows for a DFA over a tokenizer vocab."""
 
     def __init__(self, dfa: DFA, vocab_strings: list[str],
-                 eos_token_id: int) -> None:
+                 eos_token_id: int, vocab_cp=None) -> None:
         self.dfa = dfa
         self.eos_token_id = eos_token_id
         V = len(vocab_strings)
         self.V = V
-        max_len = max((len(s) for s in vocab_strings if s), default=1)
-        max_len = min(max_len, 64)
-        mat = np.full((V, max_len), -1, np.int32)
-        self._too_long: dict[int, str] = {}
-        self._empty = np.zeros(V, bool)
-        for t, s in enumerate(vocab_strings):
-            if not s:
-                self._empty[t] = True
-                continue
-            if len(s) > max_len:
-                self._too_long[t] = s
-                continue
-            for j, ch in enumerate(s):
-                mat[t, j] = dfa.alphabet.classify(ch)
-        self.mat = mat
+        if vocab_cp is not None:
+            # Vectorized classification over a precomputed codepoint
+            # matrix (built once per engine): O(V*max_len) numpy ops per
+            # grammar compile instead of a Python loop over every vocab
+            # character — the 151k-vocab path.
+            cp_mat, too_long, empty = vocab_cp
+            cc = dfa.alphabet.char_class
+            if cc:
+                keys = np.fromiter(sorted(cc), np.int64, len(cc))
+                vals = np.asarray([cc[k] for k in keys], np.int32)
+                idx = np.clip(np.searchsorted(keys, cp_mat), 0,
+                              len(keys) - 1)
+                hit = keys[idx] == cp_mat
+                mat = np.where(hit, vals[idx], 0).astype(np.int32)
+            else:
+                mat = np.zeros(cp_mat.shape, np.int32)
+            mat[cp_mat < 0] = -1
+            self.mat = mat
+            self._too_long = dict(too_long)
+            self._empty = empty
+        else:
+            max_len = max((len(s) for s in vocab_strings if s), default=1)
+            max_len = min(max_len, 64)
+            mat = np.full((V, max_len), -1, np.int32)
+            self._too_long = {}
+            self._empty = np.zeros(V, bool)
+            for t, s in enumerate(vocab_strings):
+                if not s:
+                    self._empty[t] = True
+                    continue
+                if len(s) > max_len:
+                    self._too_long[t] = s
+                    continue
+                for j, ch in enumerate(s):
+                    mat[t, j] = dfa.alphabet.classify(ch)
+            self.mat = mat
         self._rows: dict[int, tuple[np.ndarray, np.ndarray]] = {}
 
     def row(self, state: int) -> tuple[np.ndarray, np.ndarray]:
