@@ -251,3 +251,14 @@ class LLM:
                     results[order[out.request_id]] = out
         assert all(r is not None for r in results)
         return results
+
+    def classify(
+        self,
+        prompts: Union[PromptType, Sequence[PromptType]],
+    ) -> list[RequestOutput]:
+        """Sequence classification (reference LLM.classify): last-token
+        pooling through the model's score head; class probabilities land
+        in ``output.pooled``."""
+        from vllm_trianglemix_tpu.pooling_params import PoolingParams
+
+        return self.encode(prompts, PoolingParams(task="classify"))

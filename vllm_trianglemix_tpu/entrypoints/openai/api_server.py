@@ -435,6 +435,57 @@ async def create_rerank(request: web.Request) -> web.Response:
     })
 
 
+async def create_classify(request: web.Request) -> web.Response:
+    """/classify (reference serving_classification role): class
+    probabilities from a sequence-classification model's score head."""
+    app = request.app
+    engine = app[ENGINE_KEY]
+    try:
+        body = await request.json()
+        inputs = body["input"]
+    except Exception as e:  # noqa: BLE001
+        return _json_error(str(e))
+    if isinstance(inputs, str):
+        inputs = [inputs]
+
+    from vllm_trianglemix_tpu.pooling_params import PoolingParams
+    from vllm_trianglemix_tpu.sampling_params import SamplingParams
+
+    request_id = f"classify-{uuid.uuid4().hex}"
+    pooling = PoolingParams(task="classify")
+
+    async def run_one(i, prompt):
+        final = None
+        async for out in engine.generate(
+                prompt, SamplingParams(max_tokens=1), f"{request_id}-{i}",
+                pooling_params=pooling):
+            final = out
+        return i, final
+
+    try:
+        results = await asyncio.gather(
+            *(run_one(i, p) for i, p in enumerate(inputs)))
+    except EngineDeadError as e:
+        return _json_error(str(e), 500)
+    except ValueError as e:
+        return _json_error(str(e))
+    data = []
+    n_tok = 0
+    for i, final in sorted(results):
+        probs = [float(x) for x in final.pooled]
+        n_tok += len(final.prompt_token_ids)
+        data.append({"object": "classify", "index": i, "probs": probs,
+                     "label": int(max(range(len(probs)),
+                                      key=probs.__getitem__))})
+    return web.json_response({
+        "id": request_id,
+        "object": "list",
+        "data": data,
+        "model": body.get("model") or app[MODEL_KEY],
+        "usage": {"prompt_tokens": n_tok, "total_tokens": n_tok},
+    })
+
+
 async def create_response(request: web.Request) -> web.Response:
     """/v1/responses (reference serving_responses.py, core subset): the
     OpenAI Responses API over the chat machinery — string or message-list
@@ -572,6 +623,8 @@ def build_app(engine: AsyncLLM, model_name: str) -> web.Application:
     app.router.add_post("/v1/chat/completions", create_chat_completion)
     app.router.add_post("/v1/embeddings", create_embeddings)
     app.router.add_post("/v1/responses", create_response)
+    app.router.add_post("/classify", create_classify)
+    app.router.add_post("/v1/classify", create_classify)
     app.router.add_post("/v1/score", create_score)
     app.router.add_post("/score", create_score)
     app.router.add_post("/v1/rerank", create_rerank)

@@ -33,6 +33,8 @@ _REGISTRY: dict[str, tuple[str, str]] = {
                               "DeepseekV2Config"),
     "Gemma2ForCausalLM": ("vllm_trianglemix_tpu.models.gemma2",
                           "Gemma2Config"),
+    "Qwen2ForSequenceClassification": (
+        "vllm_trianglemix_tpu.models.qwen2_cls", "Qwen2ClsConfig"),
 }
 
 

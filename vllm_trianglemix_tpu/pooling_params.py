@@ -14,7 +14,12 @@ class PoolingParams:
     normalize: bool = True
     # embedding dimension truncation (OpenAI `dimensions`); 0 = full
     dimensions: int = 0
+    # "embed" returns the pooled vector; "classify" applies the model's
+    # score head + softmax (reference layers/pooler.py classify task).
+    task: str = "embed"
 
     def __post_init__(self):
         if self.pooling_type not in ("last", "mean", "cls"):
             raise ValueError(f"unknown pooling_type {self.pooling_type}")
+        if self.task not in ("embed", "classify"):
+            raise ValueError(f"unknown pooling task {self.task}")

@@ -294,6 +294,12 @@ class ModelRunner:
             donate_argnums=(0,))
         self._jit_kv_gather = jax.jit(lambda kv, ids: kv[:, ids])
 
+        # Classification score head (models/qwen2_cls.py): host-side copy
+        # for the pooler's classify task.
+        self._score_head = (np.asarray(self.params["score"], np.float32)
+                            if isinstance(self.params, dict)
+                            and "score" in self.params else None)
+
         # step key for sampling randomness
         self._rng_key = jax.random.PRNGKey(self.model_config.seed)
         self._step_count = 0
@@ -1082,6 +1088,18 @@ class ModelRunner:
                 for i, rid in pooling_reqs:
                     pp = pooling_params_of[rid]
                     vec = pooled_np[kinds[pp.pooling_type], i]
+                    if pp.task == "classify":
+                        # score head + softmax (reference pooler.py
+                        # classify task); the head is tiny — host math.
+                        if self._score_head is None:
+                            raise ValueError(
+                                "classify task needs a model with a "
+                                "score head")
+                        logits = vec.astype(np.float64) @ self._score_head
+                        logits -= logits.max()
+                        e = np.exp(logits)
+                        pooled_out[rid] = e / e.sum()
+                        continue
                     if pp.dimensions:
                         vec = vec[:pp.dimensions]
                     if pp.normalize:
