@@ -177,6 +177,10 @@ class ParallelConfig:
     enable_expert_parallel: bool = False
     # Per-shard EP token capacity factor; None = no token drops (exact).
     ep_capacity_factor: float | None = None
+    # EPLB (parallel/eplb.py): periodically repack experts onto shards by
+    # measured load; interval is in engine steps.
+    enable_eplb: bool = False
+    eplb_interval: int = 256
 
     @property
     def world_size(self) -> int:

@@ -45,6 +45,8 @@ class LLM:
         data_parallel_size: int = 1,
         context_parallel_size: int = 1,
         enable_expert_parallel: bool = False,
+        enable_eplb: bool = False,
+        eplb_interval: int = 256,
         multiprocess_engine: Optional[bool] = None,
         trianglemix: Optional[TriangleMixConfig] = None,
         speculative_config: Optional[dict] = None,
@@ -79,7 +81,9 @@ class LLM:
                 tensor_parallel_size=tensor_parallel_size,
                 data_parallel_size=data_parallel_size,
                 context_parallel_size=context_parallel_size,
-                enable_expert_parallel=enable_expert_parallel),
+                enable_expert_parallel=enable_expert_parallel,
+                enable_eplb=enable_eplb,
+                eplb_interval=eplb_interval),
             # DP replicas require process isolation (one engine per
             # replica); otherwise respect the explicit flag.
             multiprocess_engine=(data_parallel_size > 1

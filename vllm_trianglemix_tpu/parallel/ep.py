@@ -46,10 +46,23 @@ def ep_partition_specs(ep_axis: str = "tp") -> dict:
 
 def ep_moe_mlp(h: jnp.ndarray, lp: dict, cfg, mesh, *,
                ep_axis: str = "tp",
-               capacity_factor: float | None = None) -> jnp.ndarray:
+               capacity_factor: float | None = None,
+               return_counts: bool = False):
     """Expert-parallel sparse-MoE MLP. Same contract as
     ``models/decoder.py:_moe_mlp`` (h [T, D] -> [T, D]); expert stacks in
-    ``lp`` must be sharded on their E axis over ``ep_axis``."""
+    ``lp`` must be sharded on their E axis over ``ep_axis``.
+
+    EPLB (parallel/eplb.py): when ``lp["eplb_map"]`` is present
+    (int32[E], logical expert -> physical slot), routed expert ids pass
+    through it before placement — the physical slot axis is what the
+    shards own, so rebalancing is a weight permutation plus this map.
+    ``return_counts=True`` additionally returns the LOGICAL per-expert
+    token counts int32[E] for the balancer.
+
+    Routing runs once, replicated, outside the shard_map (it is tiny);
+    each shard only slices its contiguous capacity window of the
+    expert-sorted rows and runs the local grouped GEMM.
+    """
     ep = mesh.shape[ep_axis]
     E, K = cfg.num_experts, cfg.num_experts_per_tok
     if E % ep != 0:
@@ -63,21 +76,26 @@ def ep_moe_mlp(h: jnp.ndarray, lp: dict, cfg, mesh, *,
         C = min(TK, -(-int(capacity_factor * TK) // ep))
         C = -(-C // 8) * 8  # pad to sublane multiple
 
-    def local_moe(h, gate, wg, wu, wd):
+    # --- routing (replicated) -------------------------------------------------
+    logits = (h @ lp["moe_gate"]).astype(jnp.float32)    # [T, E]
+    probs = jax.nn.softmax(logits, axis=-1)
+    topv, topi = jax.lax.top_k(probs, K)                 # [T, K]
+    if cfg.norm_topk_prob:
+        topv = topv / jnp.maximum(topv.sum(-1, keepdims=True), 1e-20)
+    counts = jnp.bincount(topi.reshape(-1), length=E).astype(jnp.int32)
+    emap = lp.get("eplb_map")
+    if emap is not None:
+        topi = emap[topi]                                # logical -> slot
+
+    flat_e = topi.reshape(-1)                            # [TK]
+    order = jnp.argsort(flat_e, stable=True)             # slot-major
+    token_of = (order // K).astype(jnp.int32)
+    w_sorted = topv.reshape(-1)[order]
+    sizes = jnp.bincount(flat_e, length=E).astype(jnp.int32)
+    csum = jnp.cumsum(sizes)
+
+    def local_moe(h, token_of, w_sorted, sizes, csum, wg, wu, wd):
         # wg/wu/wd are the local expert slices [El, D, F] / [El, F, D].
-        logits = (h @ gate).astype(jnp.float32)          # [T, E]
-        probs = jax.nn.softmax(logits, axis=-1)
-        topv, topi = jax.lax.top_k(probs, K)             # [T, K]
-        if cfg.norm_topk_prob:
-            topv = topv / jnp.maximum(topv.sum(-1, keepdims=True), 1e-20)
-
-        flat_e = topi.reshape(-1)                        # [TK]
-        order = jnp.argsort(flat_e, stable=True)         # expert-major
-        token_of = order // K
-        w_sorted = topv.reshape(-1)[order]
-        sizes = jnp.bincount(flat_e, length=E).astype(jnp.int32)
-        csum = jnp.cumsum(sizes)
-
         my = jax.lax.axis_index(ep_axis)
         lo = my * El                                     # first local expert
         start = jnp.where(lo == 0, 0, csum[jnp.maximum(lo - 1, 0)])
@@ -94,8 +112,7 @@ def ep_moe_mlp(h: jnp.ndarray, lp: dict, cfg, mesh, *,
         # so the dynamic_slice never clamps near the end.
         pad = jnp.zeros(C, jnp.int32)
         tok_loc = jax.lax.dynamic_slice(
-            jnp.concatenate([token_of.astype(jnp.int32), pad]),
-            (start,), (C,))
+            jnp.concatenate([token_of, pad]), (start,), (C,))
         w_loc = jax.lax.dynamic_slice(
             jnp.concatenate([w_sorted, pad.astype(jnp.float32)]),
             (start,), (C,))
@@ -112,12 +129,15 @@ def ep_moe_mlp(h: jnp.ndarray, lp: dict, cfg, mesh, *,
     fn = shard_map(
         local_moe,
         mesh=mesh,
-        in_specs=(P(None, None), P(None, None),
+        in_specs=(P(None, None), P(None), P(None), P(None), P(None),
                   P(ep_axis, None, None), P(ep_axis, None, None),
                   P(ep_axis, None, None)),
         out_specs=P(None, None),
         check_vma=False,
     )
-    out = fn(h, lp["moe_gate"], lp["gate_proj"], lp["up_proj"],
-             lp["down_proj"])
-    return out.astype(h.dtype)
+    out = fn(h, token_of, w_sorted, sizes, csum, lp["gate_proj"],
+             lp["up_proj"], lp["down_proj"])
+    out = out.astype(h.dtype)
+    if return_counts:
+        return out, counts
+    return out

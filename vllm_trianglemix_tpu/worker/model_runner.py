@@ -312,6 +312,7 @@ class ModelRunner:
         self._prev_sampled = jnp.zeros(self._req_pad_max, jnp.int32)
         self._prev_rows: dict[str, int] = {}
 
+        self._init_eplb()
         self._jit_step = self._build_step_fn()
         self._jit_sample = self._build_sample_fn()
         from vllm_trianglemix_tpu.sample.sampler import (
@@ -443,8 +444,70 @@ class ModelRunner:
 
         mesh = self.mesh
         cap = self.engine_config.parallel.ep_capacity_factor
-        return partial(ep_moe_mlp, mesh=mesh, ep_axis="tp",
-                       capacity_factor=cap)
+        if self._eplb_state is None:
+            return partial(ep_moe_mlp, mesh=mesh, ep_axis="tp",
+                           capacity_factor=cap)
+
+        from jax.experimental import io_callback
+
+        accumulate = self._eplb_state.accumulate
+
+        def moe_with_stats(h, lp, cfg):
+            out, counts = ep_moe_mlp(h, lp, cfg, mesh=mesh, ep_axis="tp",
+                                     capacity_factor=cap,
+                                     return_counts=True)
+            io_callback(accumulate, None, counts, ordered=False)
+            return out
+
+        return moe_with_stats
+
+    def _init_eplb(self) -> None:
+        """EPLB setup (parallel/eplb.py): identity placement map stored
+        per layer next to the expert stacks, host-side load state, and
+        the jitted expert-axis weight shuffle."""
+        self._eplb_state = None
+        p = self.engine_config.parallel
+        if not (p.enable_eplb and self._ep_enabled()
+                and getattr(self.cfg, "num_experts", 0) > 0):
+            return
+        from vllm_trianglemix_tpu.parallel.eplb import EplbState
+
+        E = self.cfg.num_experts
+        ep = p.tensor_parallel_size
+        self._eplb_state = EplbState(E, ep, interval=p.eplb_interval)
+        L = self.cfg.num_hidden_layers
+        emap = jnp.tile(jnp.arange(E, dtype=jnp.int32), (L, 1))
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            emap = jax.device_put(
+                emap, NamedSharding(self.mesh, P(None, None)))
+        self.params["layers"]["eplb_map"] = emap
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def shuffle(layers, mapping, new_map):
+            for k in ("gate_proj", "up_proj", "down_proj"):
+                layers[k] = layers[k][:, mapping]
+            layers["eplb_map"] = new_map
+            return layers
+
+        self._jit_eplb_shuffle = shuffle
+
+    def _maybe_eplb_rebalance(self) -> None:
+        st = self._eplb_state
+        if st is None or not st.step():
+            return
+        result = st.rebalance()
+        if result is None:
+            return
+        new_p, mapping = result
+        from vllm_trianglemix_tpu.parallel.eplb import inverse_permutation
+
+        L = self.cfg.num_hidden_layers
+        new_map = jnp.tile(
+            jnp.asarray(inverse_permutation(new_p), jnp.int32), (L, 1))
+        self.params["layers"] = self._jit_eplb_shuffle(
+            dict(self.params["layers"]), jnp.asarray(mapping), new_map)
 
     def _determine_num_kv_blocks(self) -> int:
         """Size the KV pool from free HBM (reference tpu_worker.py:174-231),
@@ -1011,6 +1074,7 @@ class ModelRunner:
 
         lora = (None if self.lora_stacks is None else
                 {"stacks": self.lora_stacks, "idx": jnp.asarray(lora_idx)})
+        self._maybe_eplb_rebalance()
         self._rng_key, step_key = jax.random.split(self._rng_key)
         tok_dev = jnp.asarray(token_ids)
         self.kv_caches, logits, pooled, hidden = self._jit_step(
