@@ -562,6 +562,8 @@ class ModelRunner:
         kv_quant = self.kv_quant
         moe_fn = self._moe_fn()
         cp_ctx = (self.mesh, "cp") if self.cp > 1 else None
+        spec_cfg = self.engine_config.speculative
+        want_hidden = spec_cfg.enabled and spec_cfg.method == "eagle"
 
         @partial(jax.jit, donate_argnums=(1,))
         def step(params, kv_caches, token_ids, md: AttentionMetadata,
@@ -597,8 +599,11 @@ class ModelRunner:
             cls = hid[md.query_start_loc[:R]]
             pooled = jnp.stack([last, mean, cls])      # [3, R, D]
             # hidden [T, D] feeds the EAGLE draft's catch-up when spec
-            # decoding with a draft model (spec_decode/eagle.py).
-            return kv_caches, logits, pooled, hidden
+            # decoding with a draft model (spec_decode/eagle.py); without
+            # a draft model only a stub row leaves the graph (avoids a
+            # T x D output copy every step).
+            hidden_out = hidden if want_hidden else hidden[:1]
+            return kv_caches, logits, pooled, hidden_out
 
         return step
 
