@@ -48,6 +48,21 @@ class MLAAttentionSpec(KVCacheSpec):
 
 
 @dataclass(frozen=True)
+class MambaSpec(KVCacheSpec):
+    """Constant-size per-request state (reference MambaSpec,
+    vllm/v1/kv_cache_interface.py:218): block_size is the whole model
+    length so every request owns exactly ONE block, whose storage is a
+    single state row of head_size elements per layer."""
+
+    @property
+    def page_size_bytes(self) -> int:
+        return self.num_kv_heads * self.head_size * self.dtype_bytes
+
+    def max_memory_usage_bytes(self, max_model_len: int) -> int:
+        return self.page_size_bytes
+
+
+@dataclass(frozen=True)
 class SlidingWindowSpec(KVCacheSpec):
     sliding_window: int = 0
 

@@ -18,6 +18,7 @@ from vllm_trianglemix_tpu.core.kv_cache_interface import (
     KVCacheSpec,
     SlidingWindowSpec,
     MLAAttentionSpec,
+    MambaSpec,
 )
 from vllm_trianglemix_tpu.request import Request
 
@@ -148,11 +149,22 @@ class SlidingWindowManager(SingleTypeKVCacheManager):
         self.block_pool.free_blocks(removed)
 
 
+class MambaManager(FullAttentionManager):
+    """Constant-size state slots (reference MambaManager,
+    single_type_kv_cache_manager.py:529): one block per request for its
+    whole lifetime; state content is positional, never prefix-cacheable."""
+
+    def find_longest_cache_hit(self, block_hashes, max_blocks):
+        return []
+
+
 def get_manager_for_kv_cache_spec(kv_cache_spec: KVCacheSpec,
                                   block_pool: BlockPool
                                   ) -> SingleTypeKVCacheManager:
     if isinstance(kv_cache_spec, SlidingWindowSpec):
         return SlidingWindowManager(kv_cache_spec, block_pool)
+    if isinstance(kv_cache_spec, MambaSpec):
+        return MambaManager(kv_cache_spec, block_pool)
     if isinstance(kv_cache_spec, (FullAttentionSpec, MLAAttentionSpec)):
         # MLA latent blocks have full-attention lifetime semantics (every
         # token's row is live forever; prefix caching by content hash is

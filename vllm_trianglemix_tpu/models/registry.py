@@ -35,6 +35,8 @@ _REGISTRY: dict[str, tuple[str, str]] = {
                           "Gemma2Config"),
     "Qwen2ForSequenceClassification": (
         "vllm_trianglemix_tpu.models.qwen2_cls", "Qwen2ClsConfig"),
+    "MambaForCausalLM": ("vllm_trianglemix_tpu.models.mamba",
+                         "MambaConfig"),
 }
 
 

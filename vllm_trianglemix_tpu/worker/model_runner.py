@@ -247,17 +247,24 @@ class ModelRunner:
                 if flag:
                     raise ValueError(f"{why} unsupported with hybrid "
                                      "KV-cache groups")
-        if self.is_mla:
-            # MLA (DeepSeek-V2): latent paged cache, absorbed attention
-            # (attention/mla.py). These paths assume the GQA cache layout:
+        self.is_mamba = bool(getattr(self.model, "IS_MAMBA", False))
+        custom_cache = self.is_mla or self.is_mamba
+        if custom_cache:
+            # Non-GQA cache layouts: MLA latent rows (attention/mla.py)
+            # or Mamba state rows (models/mamba.py). The fast paths below
+            # assume the GQA layout:
+            kind = "MLA" if self.is_mla else "Mamba"
             if engine_config.scheduler.multi_step_decode > 1:
-                raise ValueError("multi_step_decode unsupported with MLA")
+                raise ValueError(f"multi_step_decode unsupported w/ {kind}")
             if engine_config.speculative.enabled:
-                raise ValueError("speculative decoding unsupported with MLA")
+                raise ValueError(
+                    f"speculative decoding unsupported with {kind}")
             if self.model_config.kv_cache_dtype != "auto":
-                raise ValueError("quantized KV cache unsupported with MLA")
+                raise ValueError(f"quantized KV cache unsupported w/ {kind}")
             if engine_config.lora.enabled:
-                raise ValueError("LoRA unsupported with MLA")
+                raise ValueError(f"LoRA unsupported with {kind}")
+            if self.cp > 1:
+                raise ValueError(f"context parallelism unsupported w/ {kind}")
             layer_shape = self.model.kv_cache_layer_shape(
                 self.cfg, self.num_kv_blocks, self.block_size)
         else:
@@ -272,7 +279,8 @@ class ModelRunner:
             # is MQA-like (one fat row) and stays replicated. Under cp,
             # pages shard over the cp axis (shard-major page ownership:
             # global page p on shard p % cp — parallel/dcp.py).
-            kv_spec = (P(None, None, None, None, None) if self.is_mla
+            kv_spec = (P(*([None] * (1 + len(layer_shape))))
+                       if custom_cache
                        else P(None, "cp" if self.cp > 1 else None, None,
                               "tp", None))
             self.kv_caches = jax.device_put(
@@ -1006,9 +1014,14 @@ class ModelRunner:
             else:
                 bt = np.asarray(state.block_ids, np.int32)
                 block_tables[i, :len(bt)] = bt
-                slot_mapping[offset:offset + n_sched] = (
-                    bt[pos // self.block_size] * self.block_size
-                    + pos % self.block_size)
+                if self.is_mamba:
+                    # State cache: one slot per request, addressed via
+                    # block_tables[:, 0]; per-token slots are meaningless.
+                    pass
+                else:
+                    slot_mapping[offset:offset + n_sched] = (
+                        bt[pos // self.block_size] * self.block_size
+                        + pos % self.block_size)
             seq_lens[i] = end
             prompt_lens[i] = state.prompt_len
             query_start_loc[i + 1] = query_start_loc[i] + n_sched
