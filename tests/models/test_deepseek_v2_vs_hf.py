@@ -167,3 +167,33 @@ def test_deepseek_v2_engine_e2e(tmp_path):
             ref = hf.generate(torch.tensor([prompt]), do_sample=False,
                               max_new_tokens=8)[0, len(prompt):].tolist()
         assert got == ref
+
+
+def test_deepseek_v3_routing_matches_hf():
+    """V3's sigmoid + aux-loss-free (noaux_tc) routing with the
+    e_score_correction_bias, through the same MLA backbone."""
+    from transformers import DeepseekV3Config as HFV3Config
+    from transformers import DeepseekV3ForCausalLM
+
+    hf_kw = dict(BASE, n_routed_experts=8, n_group=4, topk_group=2,
+                 num_experts_per_tok=2, norm_topk_prob=True,
+                 q_lora_rank=24, kv_lora_rank=32, routed_scaling_factor=2.5)
+    torch.manual_seed(4)
+    hf = DeepseekV3ForCausalLM(HFV3Config(**hf_kw)).eval().float()
+    # give the correction bias real values (zeros-init by default)
+    with torch.no_grad():
+        for layer in hf.model.layers[1:]:
+            layer.mlp.gate.e_score_correction_bias.uniform_(-0.5, 0.5)
+
+    cfg = deepseek_v2.DeepseekV3Config.from_hf_config(hf_kw)
+    assert cfg.scoring_func == "sigmoid"
+    assert cfg.topk_method == "noaux_tc"
+    params = deepseek_v2.params_from_hf_state_dict(
+        cfg, torch_state_dict_reader(hf.state_dict()), dtype=jnp.float32)
+
+    rng = np.random.default_rng(4)
+    token_ids = rng.integers(0, BASE["vocab_size"], size=19).tolist()
+    with torch.no_grad():
+        hf_logits = hf(torch.tensor([token_ids])).logits[0].numpy()
+    ours, _ = prefill_logits(cfg, params, token_ids)
+    np.testing.assert_allclose(ours, hf_logits, atol=3e-4, rtol=3e-3)

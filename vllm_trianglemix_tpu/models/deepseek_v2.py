@@ -64,7 +64,9 @@ class DeepseekV2Config:
     num_experts_per_tok: int = 6
     first_k_dense_replace: int = 1
     moe_layer_freq: int = 1
-    topk_method: str = "greedy"
+    topk_method: str = "greedy"  # greedy | group_limited_greedy | noaux_tc
+    scoring_func: str = "softmax"  # softmax (V2) | sigmoid (V3)
+    norm_topk_prob: bool = False
     n_group: int = 1
     topk_group: int = 1
     routed_scaling_factor: float = 1.0
@@ -106,7 +108,8 @@ class DeepseekV2Config:
             "num_attention_heads", "kv_lora_rank", "q_lora_rank",
             "qk_nope_head_dim", "qk_rope_head_dim", "v_head_dim",
             "n_routed_experts", "n_shared_experts", "num_experts_per_tok",
-            "first_k_dense_replace", "topk_method", "n_group",
+            "first_k_dense_replace", "topk_method", "scoring_func",
+            "norm_topk_prob", "n_group",
             "topk_group", "routed_scaling_factor", "rms_norm_eps",
             "rope_theta", "max_position_embeddings", "tie_word_embeddings",
             "eos_token_id", "bos_token_id",
@@ -120,6 +123,18 @@ class DeepseekV2Config:
     def from_pretrained(cls, path: str) -> "DeepseekV2Config":
         with open(os.path.join(path, "config.json")) as f:
             return cls.from_hf_config(json.load(f))
+
+
+@dataclass(frozen=True)
+class DeepseekV3Config(DeepseekV2Config):
+    """DeepSeek-V3 (reference vllm models/deepseek_v2.py serves both; HF
+    modeling_deepseek_v3.py): same MLA, but sigmoid router scores with an
+    aux-loss-free selection bias (e_score_correction_bias, used ONLY to
+    pick experts) and group top-k by the sum of each group's top-2."""
+
+    scoring_func: str = "sigmoid"
+    topk_method: str = "noaux_tc"
+    norm_topk_prob: bool = True
 
 
 def _attn_shapes(cfg: DeepseekV2Config, L: int) -> dict:
@@ -158,6 +173,8 @@ def shape_tree(cfg: DeepseekV2Config) -> dict:
     moe = _attn_shapes(cfg, Lm)
     moe.update({
         "moe_gate": (Lm, D, E),
+        **({"moe_gate_bias": (Lm, E)}
+           if cfg.topk_method == "noaux_tc" else {}),
         "gate_proj": (Lm, E, D, Im),
         "up_proj": (Lm, E, D, Im),
         "down_proj": (Lm, E, Im, D),
@@ -256,6 +273,10 @@ def params_from_hf_state_dict(cfg: DeepseekV2Config, get_tensor,
 
     moe = attn_params(m_idx, tree["moe_layers"])
     moe["moe_gate"] = stack("model.layers.{i}.mlp.gate.weight", m_idx, True)
+    if "moe_gate_bias" in tree["moe_layers"]:
+        moe["moe_gate_bias"] = stack(
+            "model.layers.{i}.mlp.gate.e_score_correction_bias", m_idx,
+            False)
     for k in ("gate_proj", "up_proj", "down_proj"):
         moe[k] = stack_experts(k, m_idx)
         moe[f"shared_{k}"] = stack(
@@ -308,6 +329,8 @@ def partition_specs(cfg: DeepseekV2Config, quantized=None) -> dict:
     moe = attn(None)
     moe.update({
         "moe_gate": P(None, None, None),
+        **({"moe_gate_bias": P(None, None)}
+           if cfg.topk_method == "noaux_tc" else {}),
         "gate_proj": P(None, None, None, "tp"),
         "up_proj": P(None, None, None, "tp"),
         "down_proj": P(None, None, "tp", None),
@@ -387,18 +410,38 @@ def _routed_moe(h, lp, cfg: DeepseekV2Config):
     grouped GEMM (decoder.py:_moe_mlp pattern), plus shared experts."""
     T, D = h.shape
     E, K = cfg.n_routed_experts, cfg.num_experts_per_tok
-    scores = jax.nn.softmax(
-        (h.astype(jnp.float32) @ lp["moe_gate"].astype(jnp.float32)),
-        axis=-1)
-    if cfg.topk_method == "group_limited_greedy":
+    logits = (h.astype(jnp.float32) @ lp["moe_gate"].astype(jnp.float32))
+    if cfg.scoring_func == "sigmoid":                         # V3
+        scores = jax.nn.sigmoid(logits)
+    else:
+        scores = jax.nn.softmax(logits, axis=-1)
+    # selection scores: V3 adds the aux-loss-free correction bias here
+    # ONLY (routing weights still come from the unbiased scores).
+    choice = scores
+    if "moe_gate_bias" in lp:
+        choice = choice + lp["moe_gate_bias"].astype(jnp.float32)
+    if cfg.topk_method == "group_limited_greedy" and cfg.n_group > 1:
         G = cfg.n_group
-        gs = scores.reshape(T, G, E // G).max(axis=-1)        # [T, G]
+        gs = choice.reshape(T, G, E // G).max(axis=-1)        # [T, G]
         _, gidx = jax.lax.top_k(gs, cfg.topk_group)
         gmask = jnp.zeros((T, G), bool).at[
             jnp.arange(T)[:, None], gidx].set(True)
-        scores = jnp.where(
-            jnp.repeat(gmask, E // G, axis=1), scores, 0.0)
-    topv, topi = jax.lax.top_k(scores, K)
+        choice = jnp.where(
+            jnp.repeat(gmask, E // G, axis=1), choice, 0.0)
+    elif cfg.topk_method == "noaux_tc" and cfg.n_group > 1:
+        G = cfg.n_group
+        g2, _ = jax.lax.top_k(choice.reshape(T, G, E // G),
+                              min(2, E // G))
+        gs = g2.sum(axis=-1)                                  # [T, G]
+        _, gidx = jax.lax.top_k(gs, cfg.topk_group)
+        gmask = jnp.zeros((T, G), bool).at[
+            jnp.arange(T)[:, None], gidx].set(True)
+        choice = jnp.where(
+            jnp.repeat(gmask, E // G, axis=1), choice, 0.0)
+    _, topi = jax.lax.top_k(choice, K)
+    topv = jnp.take_along_axis(scores, topi, axis=-1)
+    if cfg.scoring_func == "sigmoid" and cfg.norm_topk_prob:
+        topv = topv / (topv.sum(-1, keepdims=True) + 1e-20)
     topv = topv * cfg.routed_scaling_factor
 
     flat_e = topi.reshape(-1)

@@ -31,6 +31,8 @@ _REGISTRY: dict[str, tuple[str, str]] = {
                            "MixtralConfig"),
     "DeepseekV2ForCausalLM": ("vllm_trianglemix_tpu.models.deepseek_v2",
                               "DeepseekV2Config"),
+    "DeepseekV3ForCausalLM": ("vllm_trianglemix_tpu.models.deepseek_v2",
+                              "DeepseekV3Config"),
     "Gemma2ForCausalLM": ("vllm_trianglemix_tpu.models.gemma2",
                           "Gemma2Config"),
     "Qwen2ForSequenceClassification": (
