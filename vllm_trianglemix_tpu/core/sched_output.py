@@ -142,3 +142,7 @@ class SchedulerStats:
     kv_cache_usage: float = 0.0
     prefix_cache_queries: int = 0
     prefix_cache_hits: int = 0
+    # spec decode (reference spec_decode/metrics.py): cumulative drafts
+    # scheduled vs accepted
+    spec_num_drafts: int = 0
+    spec_num_accepted: int = 0

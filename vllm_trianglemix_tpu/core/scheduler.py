@@ -583,4 +583,6 @@ class Scheduler:
             kv_cache_usage=self.kv_cache_manager.usage,
             prefix_cache_queries=pool.total_queries,
             prefix_cache_hits=pool.hit_queries,
+            spec_num_drafts=self.spec_stats["num_drafts"],
+            spec_num_accepted=self.spec_stats["num_accepted"],
         )

@@ -109,6 +109,12 @@ class PrometheusStatLogger(StatLoggerBase):
             "vtt_prefix_cache_queries_total", "Prefix cache query tokens.")
         self.counter_prefix_hits = counter(
             "vtt_prefix_cache_hits_total", "Prefix cache hit tokens.")
+        self.counter_spec_drafts = counter(
+            "vtt_spec_decode_num_draft_tokens_total",
+            "Speculative draft tokens scheduled.")
+        self.counter_spec_accepted = counter(
+            "vtt_spec_decode_num_accepted_tokens_total",
+            "Speculative draft tokens accepted.")
         self.hist_ttft = histogram(
             "vtt_time_to_first_token_seconds", "TTFT histogram.",
             self._LATENCY_BUCKETS)
@@ -121,6 +127,8 @@ class PrometheusStatLogger(StatLoggerBase):
             self._LATENCY_BUCKETS)
         self._prev_prefix_queries = 0
         self._prev_prefix_hits = 0
+        self._prev_spec_drafts = 0
+        self._prev_spec_accepted = 0
 
     def record(self, scheduler_stats, iteration_stats) -> None:
         if scheduler_stats is not None:
@@ -130,6 +138,15 @@ class PrometheusStatLogger(StatLoggerBase):
             dq = scheduler_stats.prefix_cache_queries \
                 - self._prev_prefix_queries
             dh = scheduler_stats.prefix_cache_hits - self._prev_prefix_hits
+            dd = scheduler_stats.spec_num_drafts - self._prev_spec_drafts
+            da = (scheduler_stats.spec_num_accepted
+                  - self._prev_spec_accepted)
+            if dd > 0:
+                self.counter_spec_drafts.inc(dd)
+                self._prev_spec_drafts = scheduler_stats.spec_num_drafts
+            if da > 0:
+                self.counter_spec_accepted.inc(da)
+                self._prev_spec_accepted = scheduler_stats.spec_num_accepted
             if dq > 0:
                 self.counter_prefix_queries.inc(dq)
                 self._prev_prefix_queries = scheduler_stats.prefix_cache_queries
