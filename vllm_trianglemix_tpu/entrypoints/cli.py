@@ -29,6 +29,19 @@ def _add_engine_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--kv-cache-dtype", default="auto",
                    choices=["auto", "fp8", "int8"])
     p.add_argument("--tensor-parallel-size", "-tp", type=int, default=1)
+    p.add_argument("--context-parallel-size", "-cp", type=int, default=1,
+                   help="decode context parallelism: KV pages sharded "
+                        "over a cp mesh axis with LSE-merged attention")
+    p.add_argument("--enable-eplb", action="store_true",
+                   help="expert-parallel load balancing (periodic "
+                        "measured-load expert repacking)")
+    p.add_argument("--eplb-interval", type=int, default=256)
+    p.add_argument("--speculative-method", default=None,
+                   choices=["ngram", "eagle"],
+                   help="speculative decoding proposer")
+    p.add_argument("--num-speculative-tokens", type=int, default=4)
+    p.add_argument("--speculative-model", default=None,
+                   help="EAGLE draft checkpoint dir")
     p.add_argument("--data-parallel-size", "-dp", type=int, default=1,
                    help="engine replicas behind a least-loaded router "
                         "(implies --multiprocess-engine)")
@@ -60,7 +73,16 @@ def _engine_config(args):
         tri = TriangleMixConfig(enabled=True,
                                 num_triangle_layers=args.trianglemix_layers
                                 or 8)
+    from vllm_trianglemix_tpu.config import SpeculativeConfig
+
+    spec = SpeculativeConfig()
+    if args.speculative_method:
+        spec = SpeculativeConfig(
+            method=args.speculative_method,
+            num_speculative_tokens=args.num_speculative_tokens,
+            model=args.speculative_model)
     return EngineConfig(
+        speculative=spec,
         multiprocess_engine=(args.multiprocess_engine
                              or args.data_parallel_size > 1),
         model=ModelConfig(model=args.model, dtype=args.dtype,
@@ -78,7 +100,10 @@ def _engine_config(args):
         parallel=ParallelConfig(
             tensor_parallel_size=args.tensor_parallel_size,
             data_parallel_size=args.data_parallel_size,
-            enable_expert_parallel=args.enable_expert_parallel),
+            context_parallel_size=args.context_parallel_size,
+            enable_expert_parallel=args.enable_expert_parallel,
+            enable_eplb=args.enable_eplb,
+            eplb_interval=args.eplb_interval),
         trianglemix=tri,
     )
 
