@@ -521,8 +521,33 @@ def forward(
         n_slots = next(iter(lora_stacks.values()))[0].shape[1]
         onehot = slot_onehot(lora["idx"], n_slots)
 
-    def layer_fn(x, scanned):
-        lp, kv, tri, lmods = scanned
+    # TPU-first cache layout: keep the paged KV pool OUT of the lax.scan.
+    # Scanning it as xs/ys makes XLA dynamic-slice a full per-layer cache
+    # copy in (and stack another out) every step — ~2x the whole cache in
+    # HBM traffic per forward (measured ~0.4 ms/layer at the 8k-token
+    # bench prefill, scripts/profile_kv_write.py). Instead all layers
+    # share ONE flat page pool [L*blocks, page, 2KH, D]; each layer
+    # addresses its own pages via block tables offset by layer_id*blocks,
+    # the write kernel updates the pool in place (input_output_aliases),
+    # and for prefill the pool rides the scan carry so no copies happen.
+    L = cfg.num_hidden_layers
+    num_blocks, page = kv_caches.shape[1], kv_caches.shape[2]
+    layer_ids = jnp.arange(L, dtype=jnp.int32)
+
+    def md_for_layer(lid):
+        off_slots = lid * (num_blocks * page)
+        kw = dict(
+            block_tables=md.block_tables + lid * num_blocks,
+            slot_mapping=jnp.where(md.slot_mapping >= 0,
+                                   md.slot_mapping + off_slots,
+                                   md.slot_mapping),
+        )
+        if md.kv_slices is not None:
+            kw["kv_slices"] = md.kv_slices.at[0].add(off_slots)
+        return md._replace(**kw)
+
+    def qkv_mlp(x, lp, lmods, attn_of):
+        """Shared layer body; attn_of(q, k, v) -> attention output."""
         T = x.shape[0]
 
         def proj(h, key):
@@ -549,23 +574,7 @@ def forward(
             q = rms_norm(q, lp["q_norm"], eps)
             k = rms_norm(k, lp["k_norm"], eps)
         q, k = apply_rope(q, k, cos, sin)
-        if fused_decode:
-            attn = fused_decode_attention(q, k, v, kv, md, tri,
-                                          **attn_kwargs)
-            ys = (k, v)
-        elif cp_ctx is not None:
-            from vllm_trianglemix_tpu.parallel.dcp import (
-                dcp_write_and_attention,
-            )
-
-            attn, kv = dcp_write_and_attention(
-                q, k, v, kv, md, cp_ctx[0], scale=scale,
-                cp_axis=cp_ctx[1])
-            ys = kv
-        else:
-            kv = write_kv(kv, k, v, md, kv_quant=kv_quant)
-            attn = ragged_paged_attention(q, kv, md, tri, **attn_kwargs)
-            ys = kv
+        attn = attn_of(q, k, v)
         x = x + proj(attn.reshape(T, HQ * Dh), "o_proj")
         h2 = rms_norm(x, lp["post_attention_layernorm"], eps)
         if cfg.num_experts > 0:
@@ -573,11 +582,69 @@ def forward(
         else:
             mlp = silu_and_mul(proj(h2, "gate_proj"), proj(h2, "up_proj"))
             x = x + proj(mlp, "down_proj")
-        return x, ys
+        return x
 
-    x, new_kv = jax.lax.scan(
-        layer_fn, x,
-        (params["layers"], kv_caches, tri_flags, lora_stacks))
+    if fused_decode:
+        flat_kv = kv_caches.reshape((L * num_blocks,) + kv_caches.shape[2:])
+
+        def layer_fn(x, scanned):
+            lp, tri, lmods, lid = scanned
+            kept = {}
+
+            def attn_of(q, k, v):
+                kept["kv"] = (k, v)
+                return fused_decode_attention(q, k, v, flat_kv,
+                                              md_for_layer(lid), tri,
+                                              **attn_kwargs)
+
+            x = qkv_mlp(x, lp, lmods, attn_of)
+            return x, kept["kv"]
+
+        x, new_kv = jax.lax.scan(
+            layer_fn, x,
+            (params["layers"], tri_flags, lora_stacks, layer_ids))
+    elif cp_ctx is not None:
+        from vllm_trianglemix_tpu.parallel.dcp import (
+            dcp_write_and_attention,
+        )
+
+        def layer_fn(x, scanned):
+            lp, kv, tri, lmods = scanned
+            kept = {}
+
+            def attn_of(q, k, v):
+                attn, kept["kv"] = dcp_write_and_attention(
+                    q, k, v, kv, md, cp_ctx[0], scale=scale,
+                    cp_axis=cp_ctx[1])
+                return attn
+
+            x = qkv_mlp(x, lp, lmods, attn_of)
+            return x, kept["kv"]
+
+        x, new_kv = jax.lax.scan(
+            layer_fn, x,
+            (params["layers"], kv_caches, tri_flags, lora_stacks))
+    else:
+        flat_kv = kv_caches.reshape((L * num_blocks,) + kv_caches.shape[2:])
+
+        def layer_fn(carry, scanned):
+            x, flat = carry
+            lp, tri, lmods, lid = scanned
+            md_l = md_for_layer(lid)
+            kept = {}
+
+            def attn_of(q, k, v):
+                kept["kv"] = write_kv(flat, k, v, md_l, kv_quant=kv_quant)
+                return ragged_paged_attention(q, kept["kv"], md_l, tri,
+                                              **attn_kwargs)
+
+            x = qkv_mlp(x, lp, lmods, attn_of)
+            return (x, kept["kv"]), None
+
+        (x, flat_kv), _ = jax.lax.scan(
+            layer_fn, (x, flat_kv),
+            (params["layers"], tri_flags, lora_stacks, layer_ids))
+        new_kv = flat_kv.reshape(kv_caches.shape)
     x = rms_norm(x, params["norm"], eps)
     return x, new_kv
 
