@@ -53,19 +53,25 @@ def main() -> None:
         num_reqs=jnp.asarray(R, jnp.int32),
     )
 
+    L = 28
+
     def bench(kv_pages, q_blk, iters=5):
+        """Amortized: dispatch L chained calls, sync once — a single
+        dispatch+fetch costs ~25 ms over the axon tunnel and would
+        swamp a ~1 ms kernel."""
         try:
-            out = None
             times = []
             for _ in range(iters):
                 t0 = time.perf_counter()
-                out = ragged_paged_attention_pallas(
-                    q, kv, md, False, scale=Dh ** -0.5,
-                    num_kv_pages_per_block=kv_pages,
-                    num_queries_per_block=q_blk)
-                float(np.asarray(jax.device_get(out[0, 0, 0])))
+                x = q
+                for _ in range(L):
+                    x = ragged_paged_attention_pallas(
+                        x, kv, md, False, scale=Dh ** -0.5,
+                        num_kv_pages_per_block=kv_pages,
+                        num_queries_per_block=q_blk)
+                jax.block_until_ready(x)
                 times.append(time.perf_counter() - t0)
-            return min(times[1:])
+            return min(times[1:]) / L
         except Exception as e:
             print(f"  kv_pages={kv_pages} q_blk={q_blk}: "
                   f"{type(e).__name__}: {str(e)[:120]}")

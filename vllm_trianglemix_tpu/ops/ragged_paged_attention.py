@@ -241,20 +241,22 @@ def _kernel(
     if merge_new_kv:
         # new_ref: [q_blk, combined_heads_blk, head_dim] — the current
         # tokens' K/V, blocked like q (fused decode).
-        (new_ref, o_ref, seq_buf_ref, kv_bufs, sems, l_ref, m_ref,
+        (new_ref, o_ref, state_ref, kv_bufs, sems, l_ref, m_ref,
          acc_ref) = rest
     else:
-        # seq_buf_ref: i32[2] SMEM (resume seq idx, dma buf idx) — must be
-        # scratch, not an input: only scratch persists across programs.
-        # kv_bufs: [2, kv_pages_blk, page, combined_blk, head_dim] VMEM;
-        # sems: DMA semaphores [2]; l/m: f32[kv_heads_blk, q*group, 128];
-        # acc: f32[q_blk, q_heads_blk, head_dim].
+        # state_ref: i32[8] SMEM, persists across programs (only scratch
+        # does): [0]=consumer resume seq, [1]=consumer tile counter,
+        # [2..5]=producer walk position (heads, q blk, seq, kv blk),
+        # [6]=producer tile counter.
+        # kv_bufs: [NBUF, kv_pages_blk, page, combined_blk, head_dim]
+        # VMEM ring; sems: DMA semaphores [NBUF]; l/m:
+        # f32[kv_heads_blk, q*group, 128]; acc: f32[q_blk, q_heads, head].
         new_ref = None
-        o_ref, seq_buf_ref, kv_bufs, sems, l_ref, m_ref, acc_ref = rest
+        o_ref, state_ref, kv_bufs, sems, l_ref, m_ref, acc_ref = rest
     q_blk_size, q_heads_blk, head_dim = q_ref.shape
     pages_per_seq = page_tables_ref.shape[1]
     num_seqs = num_seqs_ref[0]
-    _, kv_pages_blk, page_size, combined_blk, _ = kv_bufs.shape
+    num_bufs, kv_pages_blk, page_size, combined_blk, _ = kv_bufs.shape
     kv_heads_blk = combined_blk // 2
     kv_blk_size = kv_pages_blk * page_size
     group = q_heads_blk // kv_heads_blk
@@ -262,13 +264,6 @@ def _kernel(
     num_heads_blks = pl.num_programs(0)
     assert last >= 1, "TriangleMix num_last_tokens must be >= 1"
 
-    @pl.when(heads_blk_idx + q_blk_idx == 0)
-    def _init_carry():
-        seq_buf_ref[0] = 0
-        seq_buf_ref[1] = 0
-
-    init_seq_idx = seq_buf_ref[0]
-    init_buf_idx = seq_buf_ref[1]
     q_len_start = q_blk_idx * q_blk_size
     q_len_end = q_len_start + q_blk_size
     # tri_enabled is STATIC (TriangleMixConfig.enabled): when the engine
@@ -277,15 +272,18 @@ def _kernel(
     # instead of being evaluated against an always-false traced flag.
     tri_on = (tri_flag_ref[0] > 0) if tri_enabled else False
 
-    def seq_q_span(seq_idx):
-        """This sequence's query-row overlap with the current q block, as
-        absolute token positions [pos_lo, pos_hi] plus lengths."""
+    def seq_q_span(seq_idx, q_lo=None):
+        """A sequence's query-row overlap with the q block starting at
+        token q_lo (default: the current program's), as absolute token
+        positions [pos_lo, pos_hi] plus lengths."""
+        if q_lo is None:
+            q_lo = q_len_start
         q_start = cu_q_lens_ref[seq_idx]
         q_end = cu_q_lens_ref[seq_idx + 1]
         kv_len = kv_lens_ref[seq_idx]
         q_len = q_end - q_start
-        row_lo = jnp.maximum(q_start, q_len_start)
-        row_hi = jnp.minimum(q_end, q_len_end) - 1
+        row_lo = jnp.maximum(q_start, q_lo)
+        row_hi = jnp.minimum(q_end, q_lo + q_blk_size) - 1
         # row_offset shifts query positions past the stored KV length
         # (fused decode: the current token's K/V ride in VMEM, the cache
         # holds only positions < kv_len).
@@ -293,16 +291,16 @@ def _kernel(
         pos_hi = kv_len - q_len + row_offset + (row_hi - q_start)
         return q_start, q_end, q_len, kv_len, pos_lo, pos_hi
 
-    def triangle_block_plan(seq_idx):
-        """(tri_active, skip_from_blk, resume_blk, eff_kv_len) for the
-        current (seq, q block) pair.
+    def triangle_block_plan(seq_idx, q_lo=None):
+        """(tri_active, skip_from_blk, resume_blk, eff_kv_len) for a
+        (seq, q block) pair.
 
         When every overlapping query row is a middle prefill row, KV blocks
         in (skip_from_blk, resume_blk) are invisible: past the sink region
         and before every row's sliding window. eff_kv_len prunes blocks in
         the causal future of the whole q block.
         """
-        _, _, q_len, kv_len, pos_lo, pos_hi = seq_q_span(seq_idx)
+        _, _, q_len, kv_len, pos_lo, pos_hi = seq_q_span(seq_idx, q_lo)
         n = prompt_lens_ref[seq_idx]
         all_prefill = pos_hi < n
         no_last_rows = (n - pos_hi) >= last
@@ -316,25 +314,26 @@ def _kernel(
         eff_kv_len = jnp.minimum(kv_len, pos_hi + 1)
         return tri_active, skip_from_blk, resume_blk, eff_kv_len
 
-    def eff_kv_len_of(seq_idx):
+    def eff_kv_len_of(seq_idx, q_lo=None):
         """Causal block pruning: KV past the q block's last row is dead."""
-        _, _, _, kv_len, _, pos_hi = seq_q_span(seq_idx)
+        _, _, _, kv_len, _, pos_hi = seq_q_span(seq_idx, q_lo)
         return jnp.minimum(kv_len, pos_hi + 1)
 
-    def next_kv_blk(kv_blk, seq_idx):
+    def next_kv_blk(kv_blk, seq_idx, q_lo=None):
         """KV block iteration order with the TriangleMix middle-jump and
         the sliding-window lead-in skip."""
         nxt = kv_blk + 1
         if tri_enabled:
-            tri_active, skip_from, resume, _ = triangle_block_plan(seq_idx)
+            tri_active, skip_from, resume, _ = triangle_block_plan(
+                seq_idx, q_lo)
             jump = tri_active & (nxt >= skip_from) & (nxt < resume)
             nxt = lax.select(jump, resume, nxt)
         if attn_window > 0:
             # Sliding-window attention: blocks entirely before every
             # overlapping row's window are dead. Block 0 is still
             # processed (fully masked) to keep the DMA pipeline's
-            # cross-program prefetch order simple; the jump starts there.
-            _, _, _, _, pos_lo, _ = seq_q_span(seq_idx)
+            # prefetch walk simple; the jump starts there.
+            _, _, _, _, pos_lo, _ = seq_q_span(seq_idx, q_lo)
             win_lo = jnp.maximum(pos_lo - (attn_window - 1), 0)
             nxt = jnp.maximum(nxt, win_lo // kv_blk_size)
         return nxt
@@ -353,14 +352,63 @@ def _kernel(
             end_page,
         )
 
-    # DMA-pipeline contract: every sequence with index < num_seqs must
-    # have kv_len >= 1 and q_len >= 1 — each processed (seq, q-block)
-    # consumes exactly the block the previous iteration prefetched. A
-    # zero-kv-block sequence would leave an unconsumed DMA signal and
-    # corrupt the semaphore for later launches.
+    # --- NBUF-deep DMA ring -------------------------------------------------
+    # A 2-deep (one-program-lookahead) pipeline exposes the ~13 us
+    # HBM->VMEM round trip on every tile when per-program compute is
+    # shorter (measured: one bare 512 KB copy costs ~14 us/program while a
+    # trivial same-grid kernel costs 0.05 us). Instead a producer walks
+    # the full (heads blk, q blk, seq, kv blk) tile order NBUF tiles ahead
+    # of the consumer, its position carried across programs in SMEM. The
+    # walk mirrors the consumer's iteration exactly (same triangle jumps /
+    # window skips / causal pruning), so every issued fetch is consumed in
+    # order. Pipeline contract: every sequence with index < num_seqs has
+    # kv_len >= 1 and q_len >= 1.
+    total_q = cu_q_lens_ref[num_seqs]
+
+    def prod_advance(state):
+        """Issue the fetch at the producer position and step the walk."""
+        ph, pq, ps, pk, ctr = state
+        live = (ph < num_heads_blks) & (num_seqs > 0)
+
+        @pl.when(live)
+        def _issue():
+            start_copy(ph, ps, pk, lax.rem(ctr, num_bufs)).start()
+
+        ps_c = jnp.minimum(ps, jnp.maximum(num_seqs - 1, 0))
+        q_lo = pq * q_blk_size
+        nk = next_kv_blk(pk, ps_c, q_lo)
+        tiles_done = nk * kv_blk_size >= eff_kv_len_of(ps_c, q_lo)
+        # Within the q block: next seq if this one ends inside it, else
+        # the same seq continues into the next q block.
+        q_end = cu_q_lens_ref[ps_c + 1]
+        blk_end = q_lo + q_blk_size
+        seq_ends_in_blk = q_end <= blk_end
+        ns = lax.select(seq_ends_in_blk, ps + 1, ps)
+        ns_c = jnp.minimum(ns, num_seqs)
+        move_q = ((~seq_ends_in_blk) | (ns >= num_seqs)
+                  | (cu_q_lens_ref[ns_c] >= blk_end))
+        nq = lax.select(move_q, pq + 1, pq)
+        head_done = move_q & ((ns >= num_seqs)
+                              | (nq * q_blk_size >= total_q))
+        nxt_ph = lax.select(tiles_done & head_done, ph + 1, ph)
+        nxt_pq = lax.select(tiles_done,
+                            lax.select(head_done, 0, nq), pq)
+        nxt_ps = lax.select(tiles_done,
+                            lax.select(head_done, 0, ns), ps)
+        nxt_pk = lax.select(tiles_done, 0, nk)
+        return nxt_ph, nxt_pq, nxt_ps, nxt_pk, ctr + 1
+
     @pl.when((heads_blk_idx + q_blk_idx == 0) & (num_seqs > 0))
-    def _prefetch_first():
-        start_copy(heads_blk_idx, init_seq_idx, 0, init_buf_idx).start()
+    def _init_ring():
+        prod = (jnp.int32(0),) * 5
+        for _ in range(num_bufs):
+            prod = prod_advance(prod)
+        state_ref[0] = 0   # consumer resume seq
+        state_ref[1] = 0   # consumer tile counter
+        for i in range(5):
+            state_ref[2 + i] = prod[i]
+
+    init_seq_idx = state_ref[0]
 
     def store_row_masks(store_lo, store_hi):
         """Shared row-validity masks for the l/m ([q_rows, 128]) and acc
@@ -374,14 +422,18 @@ def _kernel(
         return lm_mask, acc_mask
 
     def flash_tile(q_scaled, k, v, head_l, head_m, head_acc, *, masks,
-                   visibility, init):
+                   visibility, init, single=None):
         """One online-softmax update for one kv head.
 
         q_scaled: [q_rows, head_dim] (pre-multiplied by scale);
         k, v: [cols, head_dim]; visibility(shape) -> bool[q_rows, cols]
         (True = visible); `init` traced bool: initialize the running
         stats instead of merging; `masks`: (lm_mask, acc_mask) from
-        store_row_masks.
+        store_row_masks. `single` (traced bool or None): this tile is the
+        sequence's ONLY kv tile for this q block — take a direct-softmax
+        path that skips the l/m scratch stores and the alpha/beta merge
+        entirely (the dominant serving prefill shape: a whole prompt in
+        one KV tile; ~40% of the tile's VPU passes are merge bookkeeping).
         """
         lm_mask, acc_mask = masks
         qk = jnp.einsum("nd,md->nm", q_scaled, k,
@@ -402,21 +454,7 @@ def _kernel(
         # the standard flash-attention tradeoff. Accumulation stays fp32.
         sv = jnp.dot(s_curr.astype(v.dtype) if v.dtype == jnp.bfloat16
                      else s_curr, v, preferred_element_type=jnp.float32)
-
-        lm_shape = head_m.shape
-        m_curr_b = jnp.broadcast_to(m_curr, lm_shape)
-        l_curr_b = jnp.broadcast_to(s_curr.sum(axis=1, keepdims=True),
-                                    lm_shape)
-        m_prev = with_init(head_m, -jnp.inf)
-        l_prev = with_init(head_l, 0.0)
-        m_next = jnp.maximum(m_prev, m_curr_b)
-        alpha = jnp.exp(m_prev - m_next)
-        beta = jnp.exp(m_curr_b - m_next)
-        l_alpha = alpha * l_prev
-        l_next = l_alpha + beta * l_curr_b
-        l_safe = jnp.where(l_next == 0.0, 1.0, l_next)
-        pltpu.store(head_m, m_next, mask=lm_mask)
-        pltpu.store(head_l, l_safe, mask=lm_mask)
+        l_curr = s_curr.sum(axis=1, keepdims=True)
 
         def tile_cols(arr, shape):
             # arr columns are all identical (keepdims reductions broadcast
@@ -429,14 +467,44 @@ def _kernel(
                                        axis=1)
             return arr[:, :shape[1]]
 
-        o_prev = with_init(head_acc, 0.0).reshape(-1, head_dim)
-        out = lax.div(
-            tile_cols(l_alpha, sv.shape) * o_prev
-            + tile_cols(beta, sv.shape) * sv,
-            tile_cols(l_safe, sv.shape),
-        )
-        pltpu.store(head_acc, out.reshape(head_acc.shape),
-                    mask=acc_mask)
+        def merge_path():
+            lm_shape = head_m.shape
+            m_curr_b = jnp.broadcast_to(m_curr, lm_shape)
+            l_curr_b = jnp.broadcast_to(l_curr, lm_shape)
+            m_prev = with_init(head_m, -jnp.inf)
+            l_prev = with_init(head_l, 0.0)
+            m_next = jnp.maximum(m_prev, m_curr_b)
+            alpha = jnp.exp(m_prev - m_next)
+            beta = jnp.exp(m_curr_b - m_next)
+            l_alpha = alpha * l_prev
+            l_next = l_alpha + beta * l_curr_b
+            l_safe = jnp.where(l_next == 0.0, 1.0, l_next)
+            pltpu.store(head_m, m_next, mask=lm_mask)
+            pltpu.store(head_l, l_safe, mask=lm_mask)
+
+            o_prev = with_init(head_acc, 0.0).reshape(-1, head_dim)
+            out = lax.div(
+                tile_cols(l_alpha, sv.shape) * o_prev
+                + tile_cols(beta, sv.shape) * sv,
+                tile_cols(l_safe, sv.shape),
+            )
+            pltpu.store(head_acc, out.reshape(head_acc.shape),
+                        mask=acc_mask)
+
+        if single is None:
+            merge_path()
+            return
+
+        @pl.when(single)
+        def _direct():
+            l_safe = jnp.where(l_curr == 0.0, 1.0, l_curr)
+            out = lax.div(sv, tile_cols(l_safe, sv.shape))
+            pltpu.store(head_acc, out.reshape(head_acc.shape),
+                        mask=acc_mask)
+
+        @pl.when(~single)
+        def _merge():
+            merge_path()
 
     def q_head_slice(kv_head):
         """[q_rows, head_dim] pre-scaled q rows for one kv head.
@@ -460,7 +528,7 @@ def _kernel(
         return (done == 0) & in_range
 
     def process_seq(state):
-        done, seq_idx, buf_idx = state
+        done, seq_idx, cons_ctr = state
         q_start, q_end, q_len, kv_len, _, _ = seq_q_span(seq_idx)
         eff_kv_len = eff_kv_len_of(seq_idx)
         prompt_len = prompt_lens_ref[seq_idx]
@@ -480,38 +548,14 @@ def _kernel(
                 tri_scalar, (prompt_len - last - base + 1) * group,
                 _I32_MIN)
 
-        def prefetch_ids(kv_blk, buf_idx):
-            """Pipeline lookahead: the (heads_blk, seq, kv_blk) the NEXT
-            DMA should fetch, following the same skip-jump order."""
-            nxt_kv = next_kv_blk(kv_blk, seq_idx)
-            is_last_kv = nxt_kv * kv_blk_size >= eff_kv_len
-            nxt_kv = lax.select(is_last_kv, 0, nxt_kv)
-            seq_ends_here = q_end <= q_len_end
-            nxt_seq = lax.select(
-                is_last_kv,
-                lax.select(seq_ends_here, seq_idx + 1, seq_idx),
-                seq_idx)
-            is_last_seq = nxt_seq == num_seqs
-            nxt_seq = lax.select(is_last_seq, 0, nxt_seq)
-            nxt_heads = lax.select(is_last_seq, heads_blk_idx + 1,
-                                   heads_blk_idx)
-            return nxt_heads, nxt_seq, nxt_kv, lax.select(buf_idx == 0, 1, 0)
-
         def kv_pending(kv_state):
             kv_blk, _ = kv_state
             return kv_blk * kv_blk_size < eff_kv_len
 
         def process_kv_blk(kv_state):
-            kv_blk, buf_idx = kv_state
-            nxt_heads, nxt_seq, nxt_kv, nxt_buf = prefetch_ids(kv_blk,
-                                                               buf_idx)
-
-            @pl.when(nxt_heads < num_heads_blks)
-            def _prefetch_next():
-                start_copy(nxt_heads, nxt_seq, nxt_kv, nxt_buf).start()
-
+            kv_blk, cons_ctr = kv_state
             kv_buf = start_copy(heads_blk_idx, seq_idx, kv_blk,
-                                buf_idx).wait()
+                                lax.rem(cons_ctr, num_bufs)).wait()
             kv_pos_start = kv_blk * kv_blk_size
 
             def visibility(shape):
@@ -551,8 +595,25 @@ def _kernel(
 
             kv_flat = kv_buf.reshape(
                 kv_pages_blk * page_size * combined_blk, head_dim)
+            # Only-tile detection: first AND last kv block for this
+            # (seq, q block) => direct softmax, no merge bookkeeping.
+            # Fused decode always merges (the new-KV diagonal tile
+            # follows), so the fast path is compiled out there.
+            single = (None if merge_new_kv else
+                      (kv_blk == 0) & ((kv_blk + 1) * kv_blk_size
+                                       >= eff_kv_len))
             packing = _dtype_packing(kv_flat.dtype)
             load_step = max(1, packing // 2)
+            # The visibility mask and the V column-validity mask are
+            # per-(q block, kv tile) — hoist them out of the kv-head loop
+            # (they were the largest VPU cost in the tile, paid once per
+            # head otherwise).
+            vis_rows = q_blk_size * group
+            vis_mask = visibility((vis_rows, kv_blk_size))
+            col_valid = (lax.broadcasted_iota(
+                jnp.int32, (kv_blk_size, head_dim), 0)
+                < (kv_len - kv_pos_start))
+            zeros_v = None
             for h0 in range(0, kv_heads_blk, load_step):
                 k_list, v_list = _split_kv_heads(kv_flat, h0, combined_blk,
                                                  load_step)
@@ -568,10 +629,9 @@ def _kernel(
                     # bits; 0-probability * NaN would still poison sv, so
                     # zero V past the context (K garbage is handled by the
                     # visibility select on qk).
-                    col_valid = (lax.broadcasted_iota(
-                        jnp.int32, v.shape, 0)
-                        < (kv_len - kv_pos_start))
-                    v = jnp.where(col_valid, v, jnp.zeros_like(v))
+                    if zeros_v is None:
+                        zeros_v = jnp.zeros_like(v)
+                    v = jnp.where(col_valid, v, zeros_v)
                     kv_head = h0 + s
                     q_head0 = kv_head * group
                     flash_tile(
@@ -580,20 +640,30 @@ def _kernel(
                         m_ref.at[kv_head],
                         acc_ref.at[:, q_head0:q_head0 + group, :],
                         masks=masks,
-                        visibility=visibility,
-                        init=kv_blk == 0)
-            return next_kv_blk(kv_blk, seq_idx), nxt_buf
+                        visibility=lambda shape: vis_mask,
+                        init=kv_blk == 0,
+                        single=single)
+            # Ring refill: the tile just consumed freed one slot; issue
+            # the producer's next fetch into it. The compute reads above
+            # are program-ordered before this DMA start (same
+            # write-after-read argument as classic double buffering,
+            # num_bufs deep).
+            prod = tuple(state_ref[2 + i] for i in range(5))
+            prod = prod_advance(prod)
+            for i in range(5):
+                state_ref[2 + i] = prod[i]
+            return next_kv_blk(kv_blk, seq_idx), cons_ctr + 1
 
-        _, buf_idx = lax.while_loop(kv_pending, process_kv_blk,
-                                    (0, buf_idx))
+        _, cons_ctr = lax.while_loop(kv_pending, process_kv_blk,
+                                     (0, cons_ctr))
         nxt_seq = lax.select(q_end <= q_len_end, seq_idx + 1, seq_idx)
         done = lax.select(q_end < q_len_end, done, 1)
-        return done, nxt_seq, buf_idx
+        return done, nxt_seq, cons_ctr
 
-    _, seq_idx, buf_idx = lax.while_loop(
-        q_blk_pending, process_seq, (0, init_seq_idx, init_buf_idx))
-    seq_buf_ref[0] = lax.select(seq_idx < num_seqs, seq_idx, 0)
-    seq_buf_ref[1] = buf_idx
+    _, seq_idx, cons_ctr = lax.while_loop(
+        q_blk_pending, process_seq, (0, init_seq_idx, state_ref[1]))
+    state_ref[0] = lax.select(seq_idx < num_seqs, seq_idx, 0)
+    state_ref[1] = cons_ctr
 
     if merge_new_kv:
         # Fused decode: one extra online-softmax tile whose columns are
@@ -691,6 +761,12 @@ def ragged_paged_attention_pallas(
     num_q_blks = pl.cdiv(T, q_blk_size)
     grid = (num_heads_blks, num_q_blks)
 
+    # DMA-ring depth: deep enough to hide the ~13 us HBM->VMEM round trip
+    # behind multiple tiles' compute, capped by a VMEM budget.
+    tile_bytes = (kv_pages_blk * page_size * combined_blk * head_dim
+                  * kv_cache.dtype.itemsize)
+    num_bufs = max(2, min(6, (8 * 1024 * 1024) // max(tile_bytes, 1)))
+
     def q_index_map(heads_blk, q_blk, *_):
         return (q_blk, heads_blk, 0)
 
@@ -715,10 +791,10 @@ def ragged_paged_attention_pallas(
             out_specs=q_spec,
             grid=grid,
             scratch_shapes=[
-                pltpu.SMEM((2,), jnp.int32),
-                pltpu.VMEM((2, kv_pages_blk, page_size, combined_blk,
-                            head_dim), kv_cache.dtype),
-                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SMEM((8,), jnp.int32),
+                pltpu.VMEM((num_bufs, kv_pages_blk, page_size,
+                            combined_blk, head_dim), kv_cache.dtype),
+                pltpu.SemaphoreType.DMA((num_bufs,)),
                 pltpu.VMEM((combined_blk // 2, q_blk_size * group, 128),
                            jnp.float32),
                 pltpu.VMEM((combined_blk // 2, q_blk_size * group, 128),
