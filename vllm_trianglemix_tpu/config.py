@@ -168,6 +168,9 @@ class ParallelConfig:
 
     tensor_parallel_size: int = 1
     data_parallel_size: int = 1
+    # pipeline parallel: decoder layers sharded in stages over a pp mesh
+    # axis (parallel/pp.py), reference config/parallel.py pipeline_parallel_size
+    pipeline_parallel_size: int = 1
     expert_parallel_size: int = 1
     # decode context parallel (KV-shard decode, reference config/parallel.py:198)
     context_parallel_size: int = 1
@@ -185,7 +188,7 @@ class ParallelConfig:
     @property
     def world_size(self) -> int:
         return (self.tensor_parallel_size * self.data_parallel_size
-                * self.context_parallel_size)
+                * self.context_parallel_size * self.pipeline_parallel_size)
 
 
 @dataclass

@@ -29,6 +29,7 @@ def _add_engine_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--kv-cache-dtype", default="auto",
                    choices=["auto", "fp8", "int8"])
     p.add_argument("--tensor-parallel-size", "-tp", type=int, default=1)
+    p.add_argument("--pipeline-parallel-size", "-pp", type=int, default=1)
     p.add_argument("--context-parallel-size", "-cp", type=int, default=1,
                    help="decode context parallelism: KV pages sharded "
                         "over a cp mesh axis with LSE-merged attention")
@@ -99,6 +100,7 @@ def _engine_config(args):
             multi_step_decode=args.multi_step_decode),
         parallel=ParallelConfig(
             tensor_parallel_size=args.tensor_parallel_size,
+            pipeline_parallel_size=args.pipeline_parallel_size,
             data_parallel_size=args.data_parallel_size,
             context_parallel_size=args.context_parallel_size,
             enable_expert_parallel=args.enable_expert_parallel,

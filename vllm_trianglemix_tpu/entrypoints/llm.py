@@ -42,6 +42,7 @@ class LLM:
         num_kv_blocks: Optional[int] = None,
         enable_prefix_caching: bool = True,
         tensor_parallel_size: int = 1,
+        pipeline_parallel_size: int = 1,
         data_parallel_size: int = 1,
         context_parallel_size: int = 1,
         enable_expert_parallel: bool = False,
@@ -79,6 +80,7 @@ class LLM:
                 async_scheduling=async_scheduling),
             parallel=ParallelConfig(
                 tensor_parallel_size=tensor_parallel_size,
+                pipeline_parallel_size=pipeline_parallel_size,
                 data_parallel_size=data_parallel_size,
                 context_parallel_size=context_parallel_size,
                 enable_expert_parallel=enable_expert_parallel,

@@ -498,23 +498,10 @@ def forward(
         scaling=cfg.rope_scaling,
         max_position_embeddings=cfg.max_position_embeddings)
 
-    attn_kwargs = dict(
-        scale=scale,
-        sink=tri_cfg.num_sink_tokens,
-        window=tri_cfg.sliding_window_size,
-        last=tri_cfg.num_last_tokens,
-        dense_threshold=tri_cfg.dense_threshold,
-        attn_window=cfg.sliding_window,
-        # Static: a dense engine compiles the TriangleMix predicates out
-        # of the attention kernels entirely (3 [rows, cols] VPU compares
-        # per KV tile otherwise spent on an always-false traced flag).
-        tri_enabled=bool(tri_cfg.enabled),
-    )
-    if kv_quant is not None:
-        attn_kwargs["k_scale"] = kv_quant[0]
-        attn_kwargs["v_scale"] = kv_quant[1]
+    attn_kwargs = build_attn_kwargs(cfg, tri_cfg, kv_quant)
 
     lora_stacks = lora["stacks"] if lora is not None else {}
+    onehot = None
     if lora is not None:
         from vllm_trianglemix_tpu.lora.layers import slot_onehot
 
@@ -531,73 +518,24 @@ def forward(
     # the write kernel updates the pool in place (input_output_aliases),
     # and for prefill the pool rides the scan carry so no copies happen.
     L = cfg.num_hidden_layers
-    num_blocks, page = kv_caches.shape[1], kv_caches.shape[2]
-    layer_ids = jnp.arange(L, dtype=jnp.int32)
-
-    def md_for_layer(lid):
-        off_slots = lid * (num_blocks * page)
-        kw = dict(
-            block_tables=md.block_tables + lid * num_blocks,
-            slot_mapping=jnp.where(md.slot_mapping >= 0,
-                                   md.slot_mapping + off_slots,
-                                   md.slot_mapping),
-        )
-        if md.kv_slices is not None:
-            kw["kv_slices"] = md.kv_slices.at[0].add(off_slots)
-        return md._replace(**kw)
-
-    def qkv_mlp(x, lp, lmods, attn_of):
-        """Shared layer body; attn_of(q, k, v) -> attention output."""
-        T = x.shape[0]
-
-        def proj(h, key):
-            y = apply_linear(h, lp[key])
-            if key in lmods:
-                from vllm_trianglemix_tpu.lora.layers import apply_lora
-
-                A, B = lmods[key]
-                y = apply_lora(h, y, A, B, onehot)
-            return y
-
-        h = rms_norm(x, lp["input_layernorm"], eps)
-        q = proj(h, "q_proj")
-        k = proj(h, "k_proj")
-        v = proj(h, "v_proj")
-        if cfg.use_qkv_bias:
-            q = q + lp["q_bias"]
-            k = k + lp["k_bias"]
-            v = v + lp["v_bias"]
-        q = q.reshape(T, HQ, Dh)
-        k = k.reshape(T, KH, Dh)
-        v = v.reshape(T, KH, Dh)
-        if cfg.use_qk_norm:
-            q = rms_norm(q, lp["q_norm"], eps)
-            k = rms_norm(k, lp["k_norm"], eps)
-        q, k = apply_rope(q, k, cos, sin)
-        attn = attn_of(q, k, v)
-        x = x + proj(attn.reshape(T, HQ * Dh), "o_proj")
-        h2 = rms_norm(x, lp["post_attention_layernorm"], eps)
-        if cfg.num_experts > 0:
-            x = x + (moe_fn or _moe_mlp)(h2, lp, cfg)
-        else:
-            mlp = silu_and_mul(proj(h2, "gate_proj"), proj(h2, "up_proj"))
-            x = x + proj(mlp, "down_proj")
-        return x
+    num_blocks = kv_caches.shape[1]
 
     if fused_decode:
         flat_kv = kv_caches.reshape((L * num_blocks,) + kv_caches.shape[2:])
+        layer_ids = jnp.arange(L, dtype=jnp.int32)
 
         def layer_fn(x, scanned):
             lp, tri, lmods, lid = scanned
             kept = {}
+            md_l = offset_md(md, lid, num_blocks, kv_caches.shape[2])
 
             def attn_of(q, k, v):
                 kept["kv"] = (k, v)
-                return fused_decode_attention(q, k, v, flat_kv,
-                                              md_for_layer(lid), tri,
+                return fused_decode_attention(q, k, v, flat_kv, md_l, tri,
                                               **attn_kwargs)
 
-            x = qkv_mlp(x, lp, lmods, attn_of)
+            x = _layer_compute(x, lp, lmods, onehot, cfg, cos, sin,
+                               attn_of, moe_fn)
             return x, kept["kv"]
 
         x, new_kv = jax.lax.scan(
@@ -618,7 +556,8 @@ def forward(
                     cp_axis=cp_ctx[1])
                 return attn
 
-            x = qkv_mlp(x, lp, lmods, attn_of)
+            x = _layer_compute(x, lp, lmods, onehot, cfg, cos, sin,
+                               attn_of, moe_fn)
             return x, kept["kv"]
 
         x, new_kv = jax.lax.scan(
@@ -626,27 +565,131 @@ def forward(
             (params["layers"], kv_caches, tri_flags, lora_stacks))
     else:
         flat_kv = kv_caches.reshape((L * num_blocks,) + kv_caches.shape[2:])
-
-        def layer_fn(carry, scanned):
-            x, flat = carry
-            lp, tri, lmods, lid = scanned
-            md_l = md_for_layer(lid)
-            kept = {}
-
-            def attn_of(q, k, v):
-                kept["kv"] = write_kv(flat, k, v, md_l, kv_quant=kv_quant)
-                return ragged_paged_attention(q, kept["kv"], md_l, tri,
-                                              **attn_kwargs)
-
-            x = qkv_mlp(x, lp, lmods, attn_of)
-            return (x, kept["kv"]), None
-
-        (x, flat_kv), _ = jax.lax.scan(
-            layer_fn, (x, flat_kv),
-            (params["layers"], tri_flags, lora_stacks, layer_ids))
+        x, flat_kv = scan_layers(
+            params["layers"], cfg, x, flat_kv, md, tri_flags,
+            cos=cos, sin=sin, attn_kwargs=attn_kwargs, kv_quant=kv_quant,
+            moe_fn=moe_fn, lora_stacks=lora_stacks, onehot=onehot)
         new_kv = flat_kv.reshape(kv_caches.shape)
     x = rms_norm(x, params["norm"], eps)
     return x, new_kv
+
+
+def build_attn_kwargs(cfg: DecoderConfig, tri_cfg: TriangleMixConfig,
+                      kv_quant=None) -> dict:
+    """Static attention-kernel arguments shared by forward() and the
+    pipeline-parallel path (parallel/pp.py)."""
+    kw = dict(
+        scale=cfg.head_dim ** -0.5,
+        sink=tri_cfg.num_sink_tokens,
+        window=tri_cfg.sliding_window_size,
+        last=tri_cfg.num_last_tokens,
+        dense_threshold=tri_cfg.dense_threshold,
+        attn_window=cfg.sliding_window,
+        # Static: a dense engine compiles the TriangleMix predicates out
+        # of the attention kernels entirely (3 [rows, cols] VPU compares
+        # per KV tile otherwise spent on an always-false traced flag).
+        tri_enabled=bool(tri_cfg.enabled),
+    )
+    if kv_quant is not None:
+        kw["k_scale"] = kv_quant[0]
+        kw["v_scale"] = kv_quant[1]
+    return kw
+
+
+def offset_md(md: AttentionMetadata, lid, num_blocks: int,
+              page: int) -> AttentionMetadata:
+    """Rebase block tables / slots / update slices onto layer ``lid``'s
+    region of the flat shared page pool."""
+    off_slots = lid * (num_blocks * page)
+    kw = dict(
+        block_tables=md.block_tables + lid * num_blocks,
+        slot_mapping=jnp.where(md.slot_mapping >= 0,
+                               md.slot_mapping + off_slots,
+                               md.slot_mapping),
+    )
+    if md.kv_slices is not None:
+        kw["kv_slices"] = md.kv_slices.at[0].add(off_slots)
+    return md._replace(**kw)
+
+
+def _layer_compute(x, lp, lmods, onehot, cfg: DecoderConfig, cos, sin,
+                   attn_of, moe_fn):
+    """One decoder layer given ``attn_of(q, k, v) -> attention output``:
+    norm -> qkv(+bias/qk-norm/rope) -> attention -> o_proj -> MLP/MoE."""
+    T = x.shape[0]
+    HQ, KH, Dh = (cfg.num_attention_heads, cfg.num_key_value_heads,
+                  cfg.head_dim)
+    eps = cfg.rms_norm_eps
+
+    def proj(h, key):
+        y = apply_linear(h, lp[key])
+        if key in lmods:
+            from vllm_trianglemix_tpu.lora.layers import apply_lora
+
+            A, B = lmods[key]
+            y = apply_lora(h, y, A, B, onehot)
+        return y
+
+    h = rms_norm(x, lp["input_layernorm"], eps)
+    q = proj(h, "q_proj")
+    k = proj(h, "k_proj")
+    v = proj(h, "v_proj")
+    if cfg.use_qkv_bias:
+        q = q + lp["q_bias"]
+        k = k + lp["k_bias"]
+        v = v + lp["v_bias"]
+    q = q.reshape(T, HQ, Dh)
+    k = k.reshape(T, KH, Dh)
+    v = v.reshape(T, KH, Dh)
+    if cfg.use_qk_norm:
+        q = rms_norm(q, lp["q_norm"], eps)
+        k = rms_norm(k, lp["k_norm"], eps)
+    q, k = apply_rope(q, k, cos, sin)
+    attn = attn_of(q, k, v)
+    x = x + proj(attn.reshape(T, HQ * Dh), "o_proj")
+    h2 = rms_norm(x, lp["post_attention_layernorm"], eps)
+    if cfg.num_experts > 0:
+        x = x + (moe_fn or _moe_mlp)(h2, lp, cfg)
+    else:
+        mlp = silu_and_mul(proj(h2, "gate_proj"), proj(h2, "up_proj"))
+        x = x + proj(mlp, "down_proj")
+    return x
+
+
+def scan_layers(layers_params, cfg: DecoderConfig, x, flat_kv, md,
+                tri_flags, *, cos, sin, attn_kwargs, kv_quant=None,
+                moe_fn=None, lora_stacks=None, onehot=None):
+    """Scan a stack of decoder layers over a shared flat KV page pool.
+
+    The core of forward()'s standard path, reused by parallel/pp.py for
+    per-stage layer ranges: ``layers_params`` leaves are [Ls, ...],
+    ``flat_kv`` is [Ls * num_blocks, page, 2KH, D] (this stack's pages),
+    and block tables address it via layer-local offsets.
+    """
+    Ls = tri_flags.shape[0]
+    num_blocks = flat_kv.shape[0] // Ls
+    layer_ids = jnp.arange(Ls, dtype=jnp.int32)
+    lora_stacks = lora_stacks or {}
+
+    def layer_fn(carry, scanned):
+        x, flat = carry
+        lp, tri, lmods, lid = scanned
+        md_l = offset_md(md, lid, num_blocks, flat_kv.shape[1])
+        kept = {}
+
+        def attn_of(q, k, v):
+            kept["kv"] = write_kv(flat, k, v, md_l, kv_quant=kv_quant)
+            return ragged_paged_attention(q, kept["kv"], md_l, tri,
+                                          **attn_kwargs)
+
+        x = _layer_compute(x, lp, lmods, onehot, cfg, cos, sin,
+                           attn_of, moe_fn)
+        return (x, kept["kv"]), None
+
+    (x, flat_kv), _ = jax.lax.scan(
+        layer_fn, (x, flat_kv),
+        (layers_params, tri_flags, lora_stacks, layer_ids))
+    return x, flat_kv
 
 
 def compute_logits(params: dict, cfg: DecoderConfig,

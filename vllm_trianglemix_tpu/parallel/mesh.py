@@ -15,16 +15,16 @@ import jax
 from jax.sharding import Mesh
 
 
-def make_mesh(tp: int = 1, dp: int = 1, cp: int = 1,
+def make_mesh(tp: int = 1, dp: int = 1, cp: int = 1, pp: int = 1,
               devices=None) -> Mesh:
     devices = devices if devices is not None else jax.devices()
-    needed = tp * dp * cp
+    needed = tp * dp * cp * pp
     if len(devices) < needed:
         raise ValueError(
-            f"mesh needs {needed} devices (tp={tp} dp={dp} cp={cp}), "
-            f"have {len(devices)}")
-    grid = np.asarray(devices[:needed]).reshape(dp, cp, tp)
-    return Mesh(grid, axis_names=("dp", "cp", "tp"))
+            f"mesh needs {needed} devices (tp={tp} dp={dp} cp={cp} "
+            f"pp={pp}), have {len(devices)}")
+    grid = np.asarray(devices[:needed]).reshape(dp, cp, pp, tp)
+    return Mesh(grid, axis_names=("dp", "cp", "pp", "tp"))
 
 
 def single_device_mesh() -> Mesh:

@@ -206,6 +206,27 @@ class ModelRunner:
             kv_dtype = jnp.int8
             s_ = float(self.model_config.kv_cache_scale)
             self.kv_quant = (s_, s_)
+        # Pipeline parallelism (parallel/pp.py): layers sharded in
+        # stages over the pp mesh axis.
+        self.pp = (engine_config.parallel.pipeline_parallel_size
+                   if mesh is not None else 1)
+        if self.pp > 1:
+            for flag, why in (
+                (engine_config.parallel.tensor_parallel_size > 1,
+                 "pp currently composes with tp=1 only"),
+                (engine_config.parallel.context_parallel_size > 1,
+                 "pp + cp not implemented"),
+                (engine_config.scheduler.multi_step_decode > 1,
+                 "multi_step_decode unsupported with pp"),
+                (engine_config.speculative.enabled,
+                 "speculative decoding unsupported with pp"),
+                (engine_config.lora.enabled, "LoRA unsupported with pp"),
+                (self.cfg.num_hidden_layers % self.pp != 0,
+                 f"num_hidden_layers={self.cfg.num_hidden_layers} not "
+                 f"divisible by pp={self.pp}"),
+            ):
+                if flag:
+                    raise ValueError(why)
         # Decode context parallelism (parallel/dcp.py engine wiring).
         self.cp = (engine_config.parallel.context_parallel_size
                    if mesh is not None else 1)
@@ -243,6 +264,7 @@ class ModelRunner:
                 (self.model_config.kv_cache_dtype != "auto",
                  "quantized KV cache"),
                 (self.tri_cfg.enabled, "TriangleMix"),
+                (self.pp > 1, "pipeline parallelism"),
             ):
                 if flag:
                     raise ValueError(f"{why} unsupported with hybrid "
@@ -265,6 +287,8 @@ class ModelRunner:
                 raise ValueError(f"LoRA unsupported with {kind}")
             if self.cp > 1:
                 raise ValueError(f"context parallelism unsupported w/ {kind}")
+            if self.pp > 1:
+                raise ValueError(f"pipeline parallelism unsupported w/ {kind}")
             layer_shape = self.model.kv_cache_layer_shape(
                 self.cfg, self.num_kv_blocks, self.block_size)
         else:
@@ -281,7 +305,8 @@ class ModelRunner:
             # global page p on shard p % cp — parallel/dcp.py).
             kv_spec = (P(*([None] * (1 + len(layer_shape))))
                        if custom_cache
-                       else P(None, "cp" if self.cp > 1 else None, None,
+                       else P("pp" if self.pp > 1 else None,
+                              "cp" if self.cp > 1 else None, None,
                               "tp", None))
             self.kv_caches = jax.device_put(
                 self.kv_caches, NamedSharding(self.mesh, kv_spec))
@@ -434,6 +459,12 @@ class ModelRunner:
                 )
 
                 specs["layers"].update(ep_partition_specs("tp"))
+            if self.engine_config.parallel.pipeline_parallel_size > 1:
+                from vllm_trianglemix_tpu.parallel.pp import (
+                    pp_partition_specs,
+                )
+
+                specs = pp_partition_specs(specs)
             params = shard_params(params, self.mesh, specs)
         return params
 
@@ -570,6 +601,7 @@ class ModelRunner:
         kv_quant = self.kv_quant
         moe_fn = self._moe_fn()
         cp_ctx = (self.mesh, "cp") if self.cp > 1 else None
+        pp_mesh = self.mesh if self.pp > 1 else None
         spec_cfg = self.engine_config.speculative
         want_hidden = spec_cfg.enabled and spec_cfg.method == "eagle"
 
@@ -584,12 +616,20 @@ class ModelRunner:
                     prev_sampled[jnp.clip(gather_idx, 0,
                                           prev_sampled.shape[0] - 1)],
                     token_ids)
-            fkw = {}
-            if cp_ctx is not None:
-                fkw["cp_ctx"] = cp_ctx
-            hidden, kv_caches = model.forward(
-                params, cfg, tri_cfg, token_ids, kv_caches, md, tri_flags,
-                lora=lora, kv_quant=kv_quant, moe_fn=moe_fn, **fkw)
+            if pp_mesh is not None:
+                from vllm_trianglemix_tpu.parallel.pp import pp_forward
+
+                hidden, kv_caches = pp_forward(
+                    params, cfg, tri_cfg, token_ids, kv_caches, md,
+                    tri_flags, pp_mesh, kv_quant=kv_quant, moe_fn=moe_fn)
+            else:
+                fkw = {}
+                if cp_ctx is not None:
+                    fkw["cp_ctx"] = cp_ctx
+                hidden, kv_caches = model.forward(
+                    params, cfg, tri_cfg, token_ids, kv_caches, md,
+                    tri_flags, lora=lora, kv_quant=kv_quant, moe_fn=moe_fn,
+                    **fkw)
             sel = hidden[md.logits_indices]            # [R*S, D]
             logits = model.compute_logits(params, cfg, sel)
 

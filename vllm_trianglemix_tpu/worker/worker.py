@@ -39,7 +39,8 @@ class Worker:
         p = engine_config.parallel
         return make_mesh(tp=p.tensor_parallel_size,
                          dp=p.data_parallel_size,
-                         cp=p.context_parallel_size)
+                         cp=p.context_parallel_size,
+                         pp=p.pipeline_parallel_size)
 
     @property
     def num_kv_blocks(self) -> int:
