@@ -153,6 +153,10 @@ class SchedulerConfig:
     # (device-side lax.scan), cutting host<->device round trips per token.
     # 1 disables. Overrun past a stop token within the window is discarded.
     multi_step_decode: int = 1
+    # Multimodal: encoder-output cache budget in encoder tokens (reference
+    # encoder_cache_budget). Bounds both the on-device cache of projected
+    # image embeddings and the per-step encoder compute.
+    encoder_cache_size: int = 8192
 
 
 @dataclass
@@ -201,7 +205,7 @@ class SpeculativeConfig:
     equivalence for temperature=0 requests (sampled requests skip
     speculation)."""
 
-    method: Optional[str] = None  # None | "ngram" | "eagle"
+    method: Optional[str] = None  # None | "ngram" | "eagle" | "medusa"
     num_speculative_tokens: int = 4
     prompt_lookup_max: int = 3
     prompt_lookup_min: int = 1
@@ -216,7 +220,7 @@ class SpeculativeConfig:
         return self.method is not None
 
     def __post_init__(self):
-        if self.method not in (None, "ngram", "eagle"):
+        if self.method not in (None, "ngram", "eagle", "medusa"):
             raise ValueError(f"unsupported speculative method {self.method}")
         if self.enabled and self.num_speculative_tokens < 1:
             raise ValueError("num_speculative_tokens must be >= 1")

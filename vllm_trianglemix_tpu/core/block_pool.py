@@ -122,6 +122,7 @@ class BlockPool:
                 start_block=len(request.block_hashes),
                 parent_hash=parent,
                 salt=request.cache_salt,
+                extra_keys_at=request.mm_extra_keys(block_size),
             )
             request.block_hashes.extend(new_hashes)
 

@@ -106,7 +106,8 @@ class KVCacheManager:
         if not request.block_hashes:
             request.block_hashes = hash_request_tokens(
                 self.block_size, request.prompt_token_ids,
-                salt=request.cache_salt)
+                salt=request.cache_salt,
+                extra_keys_at=request.mm_extra_keys(self.block_size))
 
         # Cap so at least one token must be computed (sampling needs the
         # logits of the final prompt token; reference kv_cache_manager.py:154).

@@ -60,11 +60,15 @@ def hash_request_tokens(block_size: int,
                         start_block: int = 0,
                         parent_hash: Optional[bytes] = None,
                         salt: Optional[str] = None,
+                        extra_keys_at: Optional[dict[int, tuple]] = None,
                         ) -> list[BlockHash]:
     """Hash all *full* blocks of a token list, optionally resuming from an
     existing chain (reference kv_cache_utils.py:562-622). One native call
     hashes the whole span. ``salt`` (e.g. the LoRA adapter name) seeds the
     chain root so differently-adapted requests never share cache entries.
+    ``extra_keys_at`` maps a block index to extra keys (e.g. multimodal
+    content hashes, multimodal.mm_extra_keys) folded into that block's
+    parent digest — chain propagation covers every later block.
     """
     from vllm_trianglemix_tpu.utils.native import hash_blocks
 
@@ -75,12 +79,28 @@ def hash_request_tokens(block_size: int,
     if parent_hash is None and salt:
         parent = hashlib.blake2b(NONE_HASH + salt.encode(),
                                  digest_size=16).digest()
-    span = token_ids[start_block * block_size:n_full * block_size]
-    digests = hash_blocks(span, block_size, parent)
-    return [
-        BlockHash(d, tuple(token_ids[b * block_size:(b + 1) * block_size]))
-        for d, b in zip(digests, range(start_block, n_full))
-    ]
+
+    out: list[BlockHash] = []
+    # Split the native batched call at blocks that fold extra keys.
+    splits = sorted(b for b in (extra_keys_at or {})
+                    if start_block <= b < n_full)
+    seg_start = start_block
+    for b in splits + [n_full]:
+        if b > seg_start:
+            span = token_ids[seg_start * block_size:b * block_size]
+            digests = hash_blocks(span, block_size, parent)
+            out.extend(
+                BlockHash(d, tuple(
+                    token_ids[bb * block_size:(bb + 1) * block_size]))
+                for d, bb in zip(digests, range(seg_start, b)))
+            parent = out[-1].hash_value
+            seg_start = b
+        if b < n_full and extra_keys_at and b in extra_keys_at:
+            payload = pickle.dumps(extra_keys_at[b],
+                                   protocol=pickle.HIGHEST_PROTOCOL)
+            parent = hashlib.blake2b(parent + payload,
+                                     digest_size=16).digest()
+    return out
 
 
 @dataclass

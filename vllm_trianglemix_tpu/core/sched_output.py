@@ -25,6 +25,9 @@ class NewRequestData:
     sampling_params: SamplingParams
     lora_name: Optional[str] = None
     pooling_params: object = None
+    # Multimodal inputs (multimodal.MultiModalItem list; pixel tensors ride
+    # to the worker here, like the reference's mm_kwargs on NewRequestData).
+    mm_items: Optional[list] = None
 
     @classmethod
     def from_request(cls, request: Request,
@@ -37,6 +40,7 @@ class NewRequestData:
             sampling_params=request.sampling_params,
             lora_name=request.lora_name,
             pooling_params=request.pooling_params,
+            mm_items=request.mm_items or None,
         )
 
 
@@ -89,6 +93,13 @@ class SchedulerOutput:
     # are placeholders until the step's results land). None = sync mode
     # (the worker infers sampling from its own token counts).
     sampling_req_ids: Optional[set[str]] = None
+    # Multimodal: req_id -> mm input indices the worker must encode this
+    # step (reference scheduled_encoder_inputs), and encoder-cache entries
+    # (content hashes) evicted by the scheduler's EncoderCacheManager that
+    # the worker must drop from its device cache.
+    scheduled_encoder_inputs: dict[str, list[int]] = field(
+        default_factory=dict)
+    freed_encoder_hashes: list[str] = field(default_factory=list)
 
     @property
     def max_decode_steps(self) -> int:

@@ -79,6 +79,15 @@ class Scheduler:
         )
         self.block_size = self.kv_cache_manager.block_size
 
+        # Multimodal encoder-output accounting (reference
+        # encoder_cache_manager.py); entries shared by content hash.
+        from vllm_trianglemix_tpu.multimodal.encoder_cache import (
+            EncoderCacheManager,
+        )
+
+        self.encoder_cache_manager = EncoderCacheManager(
+            scheduler_config.encoder_cache_size)
+
         self.requests: dict[str, Request] = {}
         self.waiting = create_request_queue(scheduler_config.policy)
         self.running: list[Request] = []
@@ -95,6 +104,12 @@ class Scheduler:
             raise ValueError(
                 f"prompt ({len(request.prompt_token_ids)} tokens) is >= "
                 f"max_model_len ({self.max_model_len})")
+        for item in request.mm_items:
+            if item.length > self.scheduler_config.encoder_cache_size:
+                raise ValueError(
+                    f"multimodal input of {item.length} encoder tokens "
+                    f"exceeds encoder_cache_size "
+                    f"({self.scheduler_config.encoder_cache_size})")
         self.waiting.add_request(request)
         self.requests[request.request_id] = request
 
@@ -113,10 +128,57 @@ class Scheduler:
         if waiting_to_remove:
             self.waiting.remove_requests(waiting_to_remove)
 
+    # --- multimodal encoder scheduling ---------------------------------------
+    def _schedule_mm(self, request: Request, start: int,
+                     num_new_tokens: int, mm_state: dict) -> int:
+        """Decide encoder work for the chunk [start, start+num_new_tokens)
+        (reference scheduler _try_schedule_encoder_inputs): inputs whose
+        placeholder span the chunk touches must have cached encoder output
+        or be encoded this step. Returns the (possibly truncated) chunk
+        length — 0 means the chunk cannot start until encoder budget frees.
+        Consumed inputs (span fully behind ``start``) release their cache
+        reference."""
+        if not request.mm_items:
+            return num_new_tokens
+        ecm = self.encoder_cache_manager
+        for idx, item in enumerate(request.mm_items):
+            s, e = item.span
+            if e <= start:
+                ecm.release_input(request, idx)
+                continue
+            if s >= start + num_new_tokens:
+                break
+            if ecm.has_cache(request, idx):
+                continue
+            if (mm_state["budget"] < item.length
+                    or not ecm.can_allocate(request, idx)):
+                # Truncate the chunk to just before this item's span.
+                num_new_tokens = max(0, s - start)
+                break
+            mm_state["evicted"].extend(ecm.allocate(request, idx))
+            mm_state["budget"] -= item.length
+            mm_state["encode"].setdefault(request.request_id,
+                                          []).append(idx)
+        return num_new_tokens
+
+    def _rollback_mm(self, request: Request, mm_state: dict) -> None:
+        """Undo _schedule_mm's allocations for a request that ultimately
+        was not scheduled this step (KV allocation failed)."""
+        for idx in mm_state["encode"].pop(request.request_id, []):
+            item = request.mm_items[idx]
+            self.encoder_cache_manager.release_input(request, idx)
+            mm_state["budget"] += item.length
+
     # --- the scheduling pass -------------------------------------------------
     def schedule(self) -> SchedulerOutput:
         token_budget = self.max_num_batched_tokens
         num_scheduled_tokens: dict[str, int] = {}
+        # Per-step encoder compute budget + outputs (multimodal).
+        mm_state = {
+            "budget": self.scheduler_config.encoder_cache_size,
+            "encode": {},
+            "evicted": [],
+        }
 
         # Multi-step decode eligibility: whole batch decoding, nothing
         # waiting to admit. KV slots for the lookahead are allocated below.
@@ -226,6 +288,13 @@ class Scheduler:
                     num_new_tokens,
                     self.scheduler_config.long_prefill_token_threshold)
             num_new_tokens = min(num_new_tokens, token_budget)
+            num_new_tokens = self._schedule_mm(
+                request, request.num_computed_tokens, num_new_tokens,
+                mm_state)
+            if num_new_tokens == 0:
+                # Encoder budget blocks this chunk; revisit next step.
+                req_index += 1
+                continue
             assert num_new_tokens > 0, (
                 f"running request {request.request_id} has no new tokens")
             if drafts and num_new_tokens < 1 + len(drafts):
@@ -268,6 +337,7 @@ class Scheduler:
 
             if request in preempted_reqs:
                 # Removed from running (list shrank) — don't advance index.
+                self._rollback_mm(request, mm_state)
                 continue
 
             scheduled_running_reqs.append(request)
@@ -315,6 +385,11 @@ class Scheduler:
                         num_new_tokens,
                         self.scheduler_config.long_prefill_token_threshold)
                 num_new_tokens = min(num_new_tokens, token_budget)
+                num_new_tokens = self._schedule_mm(
+                    request, request.num_computed_tokens, num_new_tokens,
+                    mm_state)
+                if num_new_tokens == 0:
+                    break  # encoder budget exhausted; admit next step
                 assert num_new_tokens > 0
 
                 new_blocks = self.kv_cache_manager.allocate_slots(
@@ -324,6 +399,7 @@ class Scheduler:
                     new_computed_blocks=new_computed_blocks,
                 )
                 if new_blocks is None:
+                    self._rollback_mm(request, mm_state)
                     break  # out of KV space; keep waiting
 
                 if num_external_tokens > 0:
@@ -416,6 +492,8 @@ class Scheduler:
             kv_load_ops=kv_load_ops,
             kv_save_ops=kv_save_ops,
             sampling_req_ids=sampling_req_ids,
+            scheduled_encoder_inputs=mm_state["encode"],
+            freed_encoder_hashes=mm_state["evicted"],
         )
         self.finished_req_ids = set()
         return output
@@ -436,6 +514,8 @@ class Scheduler:
     def _preempt(self, request: Request) -> None:
         self.running.remove(request)
         self.kv_cache_manager.free(request)
+        if request.mm_items:
+            self.encoder_cache_manager.free_request(request)
         request.status = RequestStatus.PREEMPTED
         request.num_computed_tokens = 0
         request.num_preemptions += 1
@@ -565,6 +645,8 @@ class Scheduler:
 
     def _free_request(self, request: Request) -> None:
         self.kv_cache_manager.free(request)
+        if request.mm_items:
+            self.encoder_cache_manager.free_request(request)
         self.finished_req_ids.add(request.request_id)
         del self.requests[request.request_id]
 

@@ -44,6 +44,29 @@ class Processor:
         else:
             # Fall back to the model config's eos (set by the engine).
             self.eos_token_id = None
+        # Multimodal front-end (reference Processor MM feature extraction):
+        # resolved lazily from the model config when the architecture is a
+        # vision-language model.
+        self.mm_config = None
+        try:
+            from vllm_trianglemix_tpu.models.registry import resolve_model
+
+            module, model_cfg = resolve_model(engine_config.model.model)
+            if getattr(module, "IS_MULTIMODAL", False):
+                from vllm_trianglemix_tpu.multimodal.processor import (
+                    ImageProcessor,
+                )
+
+                path = engine_config.model.model
+                self.mm_config = {
+                    "image_token_id": model_cfg.image_token_index,
+                    "tokens_per_image": model_cfg.tokens_per_image,
+                    "image_processor": ImageProcessor(
+                        model_cfg.vision.image_size,
+                        path if isinstance(path, str) else None),
+                }
+        except Exception:  # noqa: BLE001 (no config dir in some tests)
+            pass
 
     def process_inputs(
         self,
@@ -56,6 +79,7 @@ class Processor:
         pooling_params=None,
     ) -> Request:
         prompt_text: Optional[str] = None
+        mm_items = None
         if isinstance(prompt, str):
             if self.tokenizer is None:
                 raise ValueError(
@@ -65,7 +89,28 @@ class Processor:
         elif isinstance(prompt, dict):
             prompt_text = prompt.get("prompt")
             token_ids = prompt.get("prompt_token_ids")
-            if token_ids is None:
+            mm_data = prompt.get("multi_modal_data")
+            if mm_data:
+                if self.mm_config is None:
+                    raise ValueError(
+                        "multi_modal_data passed but the model is not a "
+                        "multimodal architecture")
+                from vllm_trianglemix_tpu.multimodal.processor import (
+                    expand_mm_prompt,
+                )
+
+                images = mm_data.get("image")
+                if images is None:
+                    raise ValueError("multi_modal_data must carry 'image'")
+                if not isinstance(images, (list, tuple)):
+                    images = [images]
+                token_ids, mm_items = expand_mm_prompt(
+                    self.tokenizer, prompt_text, token_ids, list(images),
+                    image_token_id=self.mm_config["image_token_id"],
+                    tokens_per_image=self.mm_config["tokens_per_image"],
+                    image_processor=self.mm_config["image_processor"],
+                )
+            elif token_ids is None:
                 token_ids = self.tokenizer.encode(prompt_text)
         else:
             token_ids = list(prompt)
@@ -103,4 +148,5 @@ class Processor:
             prompt=prompt_text,
             lora_name=lora_name,
             pooling_params=pooling_params,
+            mm_items=mm_items,
         )

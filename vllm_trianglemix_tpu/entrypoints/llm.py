@@ -39,6 +39,7 @@ class LLM:
         max_num_batched_tokens: int = 2048,
         multi_step_decode: int = 1,
         async_scheduling: bool = True,
+        encoder_cache_size: int = 8192,
         num_kv_blocks: Optional[int] = None,
         enable_prefix_caching: bool = True,
         tensor_parallel_size: int = 1,
@@ -77,7 +78,8 @@ class LLM:
                 max_num_seqs=max_num_seqs,
                 max_num_batched_tokens=max_num_batched_tokens,
                 multi_step_decode=multi_step_decode,
-                async_scheduling=async_scheduling),
+                async_scheduling=async_scheduling,
+                encoder_cache_size=encoder_cache_size),
             parallel=ParallelConfig(
                 tensor_parallel_size=tensor_parallel_size,
                 pipeline_parallel_size=pipeline_parallel_size,

@@ -158,6 +158,54 @@ async def create_completion(request: web.Request) -> web.StreamResponse:
         completion_response(request_id, model, choices, usage.as_dict()))
 
 
+def _decode_data_url(url: str):
+    """data:image/...;base64,XXXX → image array. HTTP(S) fetching is
+    deliberately unsupported (no egress from the serving host)."""
+    import base64
+    import io
+
+    if not url.startswith("data:"):
+        raise ValueError(
+            "only data: image URLs are supported (base64-embedded)")
+    try:
+        b64 = url.split(",", 1)[1]
+        raw = base64.b64decode(b64)
+    except Exception as e:  # noqa: BLE001
+        raise ValueError(f"invalid data URL: {e}") from e
+    try:
+        from PIL import Image
+
+        return Image.open(io.BytesIO(raw)).convert("RGB")
+    except ImportError:
+        import numpy as np
+
+        # PIL-free fallback: raw npy payloads.
+        return np.load(io.BytesIO(raw), allow_pickle=False)
+
+
+def _extract_chat_images(messages: list[dict]) -> list:
+    """OpenAI content-part lists → flat text with <image> markers plus the
+    decoded images (reference: chat_utils multimodal content parsing)."""
+    images: list = []
+    for m in messages:
+        content = m.get("content")
+        if not isinstance(content, list):
+            continue
+        text_parts = []
+        for part in content:
+            ptype = part.get("type")
+            if ptype == "text":
+                text_parts.append(part.get("text", ""))
+            elif ptype == "image_url":
+                url = (part.get("image_url") or {}).get("url", "")
+                images.append(_decode_data_url(url))
+                text_parts.append("<image>")
+            else:
+                raise ValueError(f"unsupported content part {ptype!r}")
+        m["content"] = "\n".join(text_parts)
+    return images
+
+
 async def create_chat_completion(request: web.Request) -> web.StreamResponse:
     app = request.app
     engine = app[ENGINE_KEY]
@@ -171,18 +219,27 @@ async def create_chat_completion(request: web.Request) -> web.StreamResponse:
         return _json_error("chat requires a tokenizer with a chat template",
                            501)
     try:
+        messages = [m.model_dump(exclude_none=True) for m in body.messages]
+        images = _extract_chat_images(messages)
         template_kwargs = {}
         if body.tools:
             template_kwargs["tools"] = body.tools
         prompt_ids = tokenizer.apply_chat_template(
-            [m.model_dump(exclude_none=True) for m in body.messages],
+            messages,
             tokenize=True,
             add_generation_prompt=body.add_generation_prompt,
             chat_template=body.chat_template,
             **template_kwargs,
         )
+    except ValueError as e:
+        return _json_error(str(e))
     except Exception as e:  # noqa: BLE001
         return _json_error(f"chat template failed: {e}")
+    if images:
+        # Placeholder <image> tokens in prompt_ids expand to per-image
+        # spans in the engine Processor (multimodal/processor.py).
+        prompt_ids = {"prompt_token_ids": prompt_ids,
+                      "multi_modal_data": {"image": images}}
 
     request_id = f"chatcmpl-{uuid.uuid4().hex}"
     model = body.model or app[MODEL_KEY]

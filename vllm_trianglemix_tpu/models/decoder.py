@@ -483,6 +483,12 @@ def forward(
                                    # fused_decode_attention /
                                    # write_kv_all_layers). md.seq_lens
                                    # must exclude the current token.
+    mm_scatter=None,               # (positions int32[M], vecs [M, D]):
+                                   # multimodal embedding rows replacing
+                                   # the placeholder-token embeddings at
+                                   # the given padded-token positions
+                                   # (pad entries point out of bounds and
+                                   # drop; models/llava.py)
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """One step over a ragged token batch. Returns (hidden[T, D], new_kv) —
     with ``fused_decode``, new_kv is instead the stacked per-layer
@@ -493,6 +499,10 @@ def forward(
     eps = cfg.rms_norm_eps
 
     x = params["embed_tokens"][token_ids]
+    if mm_scatter is not None:
+        mm_pos, mm_vecs = mm_scatter
+        # Pad rows carry an out-of-bounds position; mode="drop" skips them.
+        x = x.at[mm_pos].set(mm_vecs.astype(x.dtype), mode="drop")
     cos, sin = rope_cos_sin(
         md.positions, Dh, cfg.rope_theta, dtype=x.dtype,
         scaling=cfg.rope_scaling,

@@ -51,9 +51,12 @@ class Request:
         prompt: Optional[str] = None,
         lora_name: Optional[str] = None,
         pooling_params=None,
+        mm_items=None,
     ) -> None:
         self.request_id = request_id
         self.lora_name = lora_name
+        # Multimodal inputs (multimodal.MultiModalItem list), prompt order.
+        self.mm_items = mm_items or []
         # Non-None marks an embedding request (finishes at end of prefill,
         # returns a pooled vector instead of sampling).
         self.pooling_params = pooling_params
@@ -100,6 +103,15 @@ class Request:
         adapters must never share cached KV blocks (reference: LoRA extra
         keys in block hashing, kv_cache_utils.py:517-622)."""
         return self.lora_name
+
+    def mm_extra_keys(self, block_size: int) -> Optional[dict]:
+        """Per-block extra hash keys for multimodal prefix caching (None
+        for text-only requests)."""
+        if not self.mm_items:
+            return None
+        from vllm_trianglemix_tpu.multimodal import mm_extra_keys
+
+        return mm_extra_keys(self.mm_items, block_size)
 
     # --- token accounting -------------------------------------------------
     @property

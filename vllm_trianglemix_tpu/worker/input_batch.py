@@ -27,6 +27,8 @@ class CachedRequestState:
     sampling_params: SamplingParams
     lora_name: str = None
     pooling_params: object = None
+    # multimodal items (pixel tensors + placeholder spans), prompt order
+    mm_items: list = None
     # monotonically increasing per-request step counter (sampling seeds)
     step_counter: int = 0
 
@@ -55,6 +57,7 @@ class InputBatch:
                 sampling_params=new_req.sampling_params,
                 lora_name=new_req.lora_name,
                 pooling_params=new_req.pooling_params,
+                mm_items=new_req.mm_items,
             )
 
         cached = so.scheduled_cached_reqs

@@ -333,6 +333,61 @@ class ModelRunner:
                             if isinstance(self.params, dict)
                             and "score" in self.params else None)
 
+        # --- multimodal (models/llava.py): vision-encoder jit + device
+        # pool of projected image embeddings -------------------------------
+        self.is_multimodal = bool(getattr(self.model, "IS_MULTIMODAL",
+                                          False))
+        if self.is_multimodal:
+            for flag, why in (
+                (engine_config.speculative.enabled, "speculative decoding"),
+                (self.pp > 1, "pipeline parallelism"),
+                (self.cp > 1, "context parallelism"),
+                (self.n_kv_groups > 1, "hybrid KV-cache groups"),
+                (self.quant_method is not None, "quantization"),
+            ):
+                if flag:
+                    raise ValueError(f"{why} unsupported with multimodal "
+                                     "models")
+            P_img = self.cfg.tokens_per_image
+            E = engine_config.scheduler.encoder_cache_size
+            self.mm_tokens_per_image = P_img
+            self.mm_num_slots = max(1, E // P_img)
+            # ONE flat device pool [slots*P, D]: encoder outputs write
+            # into fixed slots; the step gathers rows by index — every
+            # shape static, no per-step concat of ragged image tensors.
+            self.encoder_pool = jnp.zeros(
+                (self.mm_num_slots * P_img, self.cfg.hidden_size),
+                self.dtype)
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                self.encoder_pool = jax.device_put(
+                    self.encoder_pool,
+                    NamedSharding(self.mesh, P(None, None)))
+            self.mm_slot_of: dict[str, int] = {}
+            self.mm_free_slots = list(range(self.mm_num_slots))
+            self._img_paddings = req_paddings(self.mm_num_slots)
+            self._img_paddings = sorted(
+                {min(p, self.mm_num_slots)
+                 for p in ([1, 2, 4] + self._img_paddings)})
+            model, cfg = self.model, self.cfg
+
+            @jax.jit
+            def encode_fn(params, px):
+                feats = model.encode_images(params, cfg, px)
+                return feats.reshape(-1, feats.shape[-1])
+
+            @partial(jax.jit, donate_argnums=(0,))
+            def pool_write(pool, idx, vals):
+                return pool.at[idx].set(vals.astype(pool.dtype),
+                                        mode="drop")
+
+            self._jit_encode = encode_fn
+            self._jit_pool_write = pool_write
+            # Fixed mm-row padding: ONE extra graph per (T, R) bucket
+            # instead of a third bucket axis.
+            self._mm_pad = engine_config.scheduler.max_num_batched_tokens
+
         # step key for sampling randomness
         self._rng_key = jax.random.PRNGKey(self.model_config.seed)
         self._step_count = 0
@@ -381,6 +436,23 @@ class ModelRunner:
                                self.cfg.head_dim), dtype=self.dtype)
             self._jit_eagle = build_eagle_fn(
                 self.cfg, spec.num_speculative_tokens, self.block_size)
+        # --- Medusa heads (spec_decode/medusa.py) -----------------------------
+        self._jit_medusa = None
+        if spec.enabled and spec.method == "medusa":
+            from vllm_trianglemix_tpu.spec_decode.medusa import (
+                build_medusa_fn,
+                init_random_medusa,
+                load_medusa_params,
+            )
+
+            K = spec.num_speculative_tokens
+            if spec.model:
+                self.medusa_params = load_medusa_params(spec.model, K,
+                                                        dtype=self.dtype)
+            else:
+                self.medusa_params = init_random_medusa(self.cfg, K,
+                                                        dtype=self.dtype)
+            self._jit_medusa = build_medusa_fn(K)
         self._jit_logprobs = partial(jax.jit, static_argnames=(
             "num_logprobs",))(gather_logprobs)
         self._jit_multi_decode = self._build_multi_decode_fn()
@@ -603,11 +675,13 @@ class ModelRunner:
         cp_ctx = (self.mesh, "cp") if self.cp > 1 else None
         pp_mesh = self.mesh if self.pp > 1 else None
         spec_cfg = self.engine_config.speculative
-        want_hidden = spec_cfg.enabled and spec_cfg.method == "eagle"
+        want_hidden = spec_cfg.enabled and spec_cfg.method in ("eagle",
+                                                               "medusa")
 
         @partial(jax.jit, donate_argnums=(1,))
         def step(params, kv_caches, token_ids, md: AttentionMetadata,
-                 tri_flags, lora, gather_idx=None, prev_sampled=None):
+                 tri_flags, lora, gather_idx=None, prev_sampled=None,
+                 mm=None):
             if gather_idx is not None:
                 # Async scheduling: rows whose input token was sampled by
                 # the still-in-flight previous step read it device-side.
@@ -626,6 +700,13 @@ class ModelRunner:
                 fkw = {}
                 if cp_ctx is not None:
                     fkw["cp_ctx"] = cp_ctx
+                if mm is not None:
+                    # (pool, dst positions, src pool rows): replace the
+                    # image-placeholder embedding rows with projected
+                    # vision features; pad rows are out of bounds and
+                    # drop in the scatter (models/decoder.py mm_scatter).
+                    pool, mm_dst, mm_src = mm
+                    fkw["mm_scatter"] = (mm_dst, pool[mm_src])
                 hidden, kv_caches = model.forward(
                     params, cfg, tri_cfg, token_ids, kv_caches, md,
                     tri_flags, lora=lora, kv_quant=kv_quant, moe_fn=moe_fn,
@@ -981,6 +1062,8 @@ class ModelRunner:
         calling get() on step N)."""
         self.input_batch.update_from_scheduler_output(scheduler_output)
         self._run_kv_connector_ops(scheduler_output)
+        if self.is_multimodal:
+            self._run_mm_encoder(scheduler_output)
         if scheduler_output.total_num_scheduled_tokens == 0:
             return _PendingStep(ModelRunnerOutput)
         if scheduler_output.num_decode_steps and \
@@ -1017,6 +1100,8 @@ class ModelRunner:
         sampled_valid = []  # whether row i produces a real sampled token
         drafts_per_req = []
         lora_idx = np.zeros(T, np.int32)
+        mm_dst_parts: list[np.ndarray] = []
+        mm_src_parts: list[np.ndarray] = []
         offset = 0
         for i, req_id in enumerate(req_ids):
             state = self.input_batch.get(req_id)
@@ -1062,6 +1147,24 @@ class ModelRunner:
                     slot_mapping[offset:offset + n_sched] = (
                         bt[pos // self.block_size] * self.block_size
                         + pos % self.block_size)
+            if self.is_multimodal and state.mm_items:
+                # Placeholder spans this chunk covers: scatter projected
+                # image-embedding rows over the text embeddings.
+                P_img = self.mm_tokens_per_image
+                for item in state.mm_items:
+                    s, e = item.span
+                    lo, hi = max(s, start), min(e, end)
+                    if lo >= hi:
+                        continue
+                    slot = self.mm_slot_of.get(item.hash)
+                    assert slot is not None, (
+                        f"{req_id}: encoder output for {item.hash} not in "
+                        "the device pool (scheduler/worker out of sync)")
+                    ks = np.arange(lo, hi)
+                    mm_dst_parts.append((offset + (ks - start)).astype(
+                        np.int32))
+                    mm_src_parts.append((slot * P_img + (ks - s)).astype(
+                        np.int32))
             seq_lens[i] = end
             prompt_lens[i] = state.prompt_len
             query_start_loc[i + 1] = query_start_loc[i] + n_sched
@@ -1132,13 +1235,27 @@ class ModelRunner:
 
         lora = (None if self.lora_stacks is None else
                 {"stacks": self.lora_stacks, "idx": jnp.asarray(lora_idx)})
+        mm_args = None
+        if self.is_multimodal:
+            # Fixed-size scatter rows (pad rows out of bounds → dropped);
+            # always present so mm models keep one graph per bucket.
+            Mp = self._mm_pad
+            dst = np.full(Mp, 1 << 30, np.int32)
+            src = np.zeros(Mp, np.int32)
+            if mm_dst_parts:
+                d = np.concatenate(mm_dst_parts)
+                dst[:len(d)] = d
+                src[:len(d)] = np.concatenate(mm_src_parts)
+            mm_args = (self.encoder_pool, jnp.asarray(dst),
+                       jnp.asarray(src))
+
         self._maybe_eplb_rebalance()
         self._rng_key, step_key = jax.random.split(self._rng_key)
         tok_dev = jnp.asarray(token_ids)
         self.kv_caches, logits, pooled, hidden = self._jit_step(
             self.params, self.kv_caches, tok_dev, md,
             self.tri_flags, lora, jnp.asarray(tok_gather),
-            self._prev_sampled)
+            self._prev_sampled, mm_args)
         is_spec = S > 1
         if is_spec:
             draft_np = np.full((R, S), -1, np.int32)
@@ -1160,20 +1277,25 @@ class ModelRunner:
         else:
             (tokens, last_full), accept_dev, recovery_dev = result, None, None
 
-        # EAGLE drafting: one extra device dispatch proposes next step's
-        # drafts from the target's hidden states (spec_decode/eagle.py).
+        # Draft-model drafting (EAGLE / Medusa): one extra device dispatch
+        # proposes next step's drafts from the target's hidden states.
         eagle_drafts_dev = None
-        if self._jit_eagle is not None:
+        if self._jit_eagle is not None or self._jit_medusa is not None:
             nd = np.zeros(R, np.int32)
             he = np.zeros(R, bool)
             for i, rid in enumerate(req_ids):
                 nd[i] = len(drafts_per_req[i])
                 he[i] = (sampled_valid[i] and self.input_batch.get(
                     rid).pooling_params is None)
-            self.draft_kv, eagle_drafts_dev, _ = self._jit_eagle(
-                self.eagle_params, self.params, self.draft_kv, hidden,
-                tok_dev, md, tokens, accept_dev, recovery_dev,
-                jnp.asarray(nd), jnp.asarray(he))
+            if self._jit_eagle is not None:
+                self.draft_kv, eagle_drafts_dev, _ = self._jit_eagle(
+                    self.eagle_params, self.params, self.draft_kv, hidden,
+                    tok_dev, md, tokens, accept_dev, recovery_dev,
+                    jnp.asarray(nd), jnp.asarray(he))
+            else:
+                eagle_drafts_dev = self._jit_medusa(
+                    self.medusa_params, hidden, md, tokens, accept_dev,
+                    jnp.asarray(nd), jnp.asarray(he))
 
         self._step_count += 1
         self._prev_sampled = last_full
@@ -1315,6 +1437,18 @@ class ModelRunner:
             for R in self._req_paddings:
                 self._dummy_multi_decode(R)
                 n += 1
+        if self.is_multimodal:
+            # Vision-encoder buckets (image count) + pool write.
+            S_img = self.cfg.vision.image_size
+            P_img = self.mm_tokens_per_image
+            for N in self._img_paddings:
+                feats = self._jit_encode(
+                    self.params,
+                    jnp.zeros((N, 3, S_img, S_img), self.dtype))
+                self.encoder_pool = self._jit_pool_write(
+                    self.encoder_pool,
+                    jnp.full(N * P_img, 1 << 30, jnp.int32), feats)
+                n += 1
         logger.info("precompiled %d buckets in %.1fs", n, time.time() - start)
         self._warmup_graph_count = self._graph_count()
 
@@ -1326,7 +1460,12 @@ class ModelRunner:
                     + self._jit_apply_rep._cache_size()
                     + self._jit_apply_add._cache_size()
                     + (self._jit_eagle._cache_size()
-                       if self._jit_eagle is not None else 0))
+                       if self._jit_eagle is not None else 0)
+                    + (self._jit_medusa._cache_size()
+                       if self._jit_medusa is not None else 0)
+                    + (self._jit_encode._cache_size()
+                       + self._jit_pool_write._cache_size()
+                       if self.is_multimodal else 0))
         except Exception:  # noqa: BLE001 (private jax API moved)
             return -1
 
@@ -1483,6 +1622,41 @@ class ModelRunner:
         except Exception:  # noqa: BLE001
             logger.exception("async KV save failed")
 
+    def _run_mm_encoder(self, scheduler_output: SchedulerOutput) -> None:
+        """Run the vision encoder for this step's scheduled multimodal
+        inputs and write the projected embeddings into the device pool
+        (reference: encoder execution in gpu_model_runner.execute_model,
+        _execute_mm_encoder). Pool slots mirror the scheduler's
+        EncoderCacheManager accounting: evictions arrive as
+        freed_encoder_hashes, allocations as scheduled_encoder_inputs."""
+        for h in scheduler_output.freed_encoder_hashes:
+            slot = self.mm_slot_of.pop(h, None)
+            if slot is not None:
+                self.mm_free_slots.append(slot)
+        items = []
+        for req_id, idxs in scheduler_output.scheduled_encoder_inputs.items():
+            state = self.input_batch.get(req_id)
+            for i in idxs:
+                item = state.mm_items[i]
+                if item.hash not in self.mm_slot_of:
+                    items.append(item)
+        if not items:
+            return
+        P_img = self.mm_tokens_per_image
+        N = pick_padding(self._img_paddings, len(items))
+        px = np.zeros((N, *items[0].data.shape), np.float32)
+        idx = np.full(N * P_img, 1 << 30, np.int32)  # pad images drop
+        for j, item in enumerate(items):
+            px[j] = item.data
+            slot = self.mm_free_slots.pop()
+            self.mm_slot_of[item.hash] = slot
+            idx[j * P_img:(j + 1) * P_img] = np.arange(
+                slot * P_img, (slot + 1) * P_img)
+        feats = self._jit_encode(self.params,
+                                 jnp.asarray(px, self.dtype))
+        self.encoder_pool = self._jit_pool_write(
+            self.encoder_pool, jnp.asarray(idx), feats)
+
     def _sample_rows_per_req(self) -> int:
         """Sampling rows per request: 1 normally; 1+k when speculative
         decoding verifies drafts (fixed-shape like the reference's
@@ -1531,10 +1705,15 @@ class ModelRunner:
         RS = R * self._sample_rows_per_req()
         smd = build_sampling_metadata([], [], RS)
         self._rng_key, step_key = jax.random.split(self._rng_key)
+        mm_args = None
+        if self.is_multimodal:
+            mm_args = (self.encoder_pool,
+                       jnp.full(self._mm_pad, 1 << 30, jnp.int32),
+                       jnp.zeros(self._mm_pad, jnp.int32))
         self.kv_caches, logits, _pooled, hidden = self._jit_step(
             self.params, self.kv_caches, jnp.zeros(T, jnp.int32), md,
             self.tri_flags, self._dummy_lora(T),
-            jnp.full(T, -1, jnp.int32), self._prev_sampled)
+            jnp.full(T, -1, jnp.int32), self._prev_sampled, mm_args)
         mask = jnp.ones((RS, self.cfg.vocab_size), bool)
         placeholder = jnp.ones((1, 1), bool)
         is_spec = self._sample_rows_per_req() > 1
@@ -1564,5 +1743,11 @@ class ModelRunner:
                 jnp.zeros(T, jnp.int32), md,
                 jnp.zeros(RS, jnp.int32), jnp.zeros(RS, bool),
                 jnp.zeros(RS, jnp.int32), jnp.zeros(R, jnp.int32),
+                jnp.zeros(R, bool))
+            jax.block_until_ready(drafts_w)
+        if self._jit_medusa is not None:
+            drafts_w = self._jit_medusa(
+                self.medusa_params, hidden, md, jnp.zeros(RS, jnp.int32),
+                jnp.zeros(RS, bool), jnp.zeros(R, jnp.int32),
                 jnp.zeros(R, bool))
             jax.block_until_ready(drafts_w)
