@@ -121,7 +121,9 @@ def cmd_serve(args) -> int:
     cfg = _engine_config(args)
     if not args.inproc_engine:
         cfg = dataclasses.replace(cfg, multiprocess_engine=True)
-    run_server(cfg, host=args.host, port=args.port)
+    run_server(cfg, host=args.host, port=args.port,
+               tool_call_parser=args.tool_call_parser,
+               reasoning_parser=args.reasoning_parser)
     return 0
 
 
@@ -468,6 +470,13 @@ def main(argv=None) -> int:
                    help="run the engine core in the server process instead "
                    "of its own process (debugging; the default isolates "
                    "the device loop from the API event loop)")
+    p.add_argument("--tool-call-parser", default="hermes",
+                   help="tool-call wire format (see openai/parsers.py "
+                   "TOOL_FORMATS; reference: vllm serve flag of the same "
+                   "name)")
+    p.add_argument("--reasoning-parser", default="qwen3",
+                   help="reasoning wire format (see openai/parsers.py "
+                   "REASONING_FORMATS)")
     p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("chat", help="interactive chat REPL")

@@ -35,6 +35,8 @@ logger = init_logger(__name__)
 
 ENGINE_KEY = web.AppKey("engine", AsyncLLM)
 MODEL_KEY = web.AppKey("model_name", str)
+TOOL_PARSER_KEY = web.AppKey("tool_call_parser", str)
+REASONING_PARSER_KEY = web.AppKey("reasoning_parser", str)
 
 
 def _json_error(message: str, status: int = 400) -> web.Response:
@@ -262,8 +264,10 @@ async def create_chat_completion(request: web.Request) -> web.StreamResponse:
         parse_chat_output,
     )
 
-    message = parse_chat_output(comp.text,
-                                enable_tools=bool(body.tools))
+    message = parse_chat_output(
+        comp.text, enable_tools=bool(body.tools),
+        tool_format=app.get(TOOL_PARSER_KEY, "hermes"),
+        reasoning_format=app.get(REASONING_PARSER_KEY, "qwen3"))
     finish_reason = comp.finish_reason
     if message.get("tool_calls"):
         finish_reason = "tool_calls"
@@ -668,10 +672,25 @@ async def detokenize(request: web.Request) -> web.Response:
         {"prompt": engine.tokenizer.decode(body.tokens)})
 
 
-def build_app(engine: AsyncLLM, model_name: str) -> web.Application:
+def build_app(engine: AsyncLLM, model_name: str,
+              tool_call_parser: str = "hermes",
+              reasoning_parser: str = "qwen3") -> web.Application:
+    from vllm_trianglemix_tpu.entrypoints.openai.parsers import (
+        REASONING_FORMATS,
+        TOOL_FORMATS,
+    )
+
+    if tool_call_parser not in TOOL_FORMATS:
+        raise ValueError(f"unknown --tool-call-parser {tool_call_parser!r}; "
+                         f"choose from {sorted(TOOL_FORMATS)}")
+    if reasoning_parser not in REASONING_FORMATS:
+        raise ValueError(f"unknown --reasoning-parser {reasoning_parser!r}; "
+                         f"choose from {sorted(REASONING_FORMATS)}")
     app = web.Application(client_max_size=64 * 2**20)
     app[ENGINE_KEY] = engine
     app[MODEL_KEY] = model_name
+    app[TOOL_PARSER_KEY] = tool_call_parser
+    app[REASONING_PARSER_KEY] = reasoning_parser
     app.router.add_get("/health", health)
     app.router.add_get("/version", version)
     app.router.add_get("/v1/models", list_models)
@@ -696,7 +715,9 @@ def build_app(engine: AsyncLLM, model_name: str) -> web.Application:
 
 
 def run_server(engine_config, host: str = "0.0.0.0", port: int = 8000,
-               model_name: Optional[str] = None) -> None:
+               model_name: Optional[str] = None,
+               tool_call_parser: str = "hermes",
+               reasoning_parser: str = "qwen3") -> None:
     engine = AsyncLLM.from_engine_config(engine_config)
     model_name = model_name or engine_config.model.model
     try:
@@ -705,6 +726,7 @@ def run_server(engine_config, host: str = "0.0.0.0", port: int = 8000,
         engine.engine.stat_loggers.append(PrometheusStatLogger(model_name))
     except Exception as e:  # noqa: BLE001 (duplicate registry in tests)
         logger.warning("prometheus logger unavailable: %s", e)
-    app = build_app(engine, model_name)
+    app = build_app(engine, model_name, tool_call_parser=tool_call_parser,
+                    reasoning_parser=reasoning_parser)
     logger.info("serving on %s:%d", host, port)
     web.run_app(app, host=host, port=port, print=None)
