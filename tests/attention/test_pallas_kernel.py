@@ -88,7 +88,7 @@ def build_batch(seq_descrs, *, num_kv_heads, num_q_heads, head_dim,
 
 def run_both(seq_descrs, *, use_triangle=False, dense_threshold=2048,
              num_q_heads=8, num_kv_heads=4, head_dim=128, dtype=jnp.float32,
-             soft_cap=0.0, attn_window=0, **kernel_kwargs):
+             soft_cap=0.0, attn_window=0, with_sinks=False, **kernel_kwargs):
     max_blocks = max(-(-kv // PAGE) for _, kv, _ in seq_descrs)
     q, cache, md = build_batch(seq_descrs, num_kv_heads=num_kv_heads,
                                num_q_heads=num_q_heads, head_dim=head_dim,
@@ -97,6 +97,10 @@ def run_both(seq_descrs, *, use_triangle=False, dense_threshold=2048,
     common = dict(scale=scale, sink=4, window=32, last=64,
                   dense_threshold=dense_threshold, soft_cap=soft_cap,
                   attn_window=attn_window)
+    if with_sinks:
+        common["sinks"] = jnp.asarray(
+            np.random.default_rng(7).standard_normal(num_q_heads),
+            jnp.float32)
     ref = ragged_paged_attention_xla(q, cache, md, use_triangle, **common)
     got = ragged_paged_attention_pallas(q, cache, md, use_triangle,
                                         interpret=True, **common,
@@ -237,3 +241,20 @@ def test_sliding_window_block_skip_long_context():
 def test_sliding_window_with_gqa_bf16():
     run_both([(20, 100, 100), (1, 90, 89)], attn_window=25,
              num_q_heads=16, num_kv_heads=4, dtype=jnp.bfloat16)
+
+
+def test_attention_sinks_single_prefill():
+    run_both([(24, 24, 24)], with_sinks=True)
+
+
+def test_attention_sinks_mixed_batch():
+    run_both([(1, 40, 8), (17, 33, 33), (1, 70, 9)], with_sinks=True)
+
+
+def test_attention_sinks_multi_kv_block():
+    run_both([(100, 260, 260)], with_sinks=True)
+
+
+def test_attention_sinks_with_window_gqa_bf16():
+    run_both([(48, 120, 120), (1, 90, 10)], with_sinks=True,
+             attn_window=64, dtype=jnp.bfloat16)

@@ -147,6 +147,11 @@ def ragged_paged_attention_xla(
     v_scale=None,
     attn_window: int = 0,
     tri_enabled: bool = True,
+    sinks=None,                   # f32[HQ] learned attention-sink logits
+                                  # (GPT-OSS): an extra softmax column that
+                                  # absorbs probability mass and is dropped
+                                  # from the value sum (HF modeling_gpt_oss
+                                  # eager_attention_forward).
 ) -> jnp.ndarray:
     """Reference ragged paged attention, O(T × max_ctx) but pure XLA.
 
@@ -199,7 +204,16 @@ def ragged_paged_attention_xla(
         visible &= jnp.where(apply_tri, tri, True)
 
     scores = jnp.where(visible[:, None, None, :], scores, MASK_VALUE)
-    probs = jax.nn.softmax(scores, axis=-1)
+    if sinks is not None:
+        # Softmax over [scores ; sink_logit], then drop the sink column:
+        # equivalently divide by (sum(exp) + exp(sink - m)).
+        s = sinks.reshape(KH, G).astype(jnp.float32)[None]      # [1, KH, G]
+        m = jnp.maximum(scores.max(-1), s)                      # [T, KH, G]
+        p = jnp.exp(scores - m[..., None])
+        denom = p.sum(-1) + jnp.exp(s - m)
+        probs = p / denom[..., None]
+    else:
+        probs = jax.nn.softmax(scores, axis=-1)
     # Fully-masked (padded) rows produce uniform probs; their output is
     # garbage but they are never read (logits_indices skips them).
     v_f = v_t.astype(jnp.float32)

@@ -95,8 +95,10 @@ def scaled_inv_freq(head_dim: int, theta: float, scaling=None,
             return (head_dim * math.log(orig / (num_rot * 2 * math.pi))
                     ) / (2 * math.log(theta))
 
-        low = max(math.floor(find_dim(beta_fast)), 0)
-        high = min(math.ceil(find_dim(beta_slow)), head_dim - 1)
+        low, high = find_dim(beta_fast), find_dim(beta_slow)
+        if bool(getattr(scaling, "truncate", True)):
+            low, high = math.floor(low), math.ceil(high)
+        low, high = max(low, 0), min(high, head_dim - 1)
         ramp = np.clip(
             (np.arange(head_dim // 2, dtype=np.float64) - low)
             / max(high - low, 1e-3), 0, 1)

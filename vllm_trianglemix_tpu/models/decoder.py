@@ -65,6 +65,9 @@ class RopeScalingConfig:
     beta_fast: float = 32.0
     beta_slow: float = 1.0
     attention_factor: float | None = None
+    # yarn only: floor/ceil the correction range bounds (HF
+    # modeling_rope_utils find_correction_range; GPT-OSS sets False).
+    truncate: bool = True
     # dynamic-NTK only: the length the static table is evaluated at
     # (the engine's max_model_len; 0 = config max_position_embeddings).
     eval_len: int = 0
@@ -86,6 +89,7 @@ class RopeScalingConfig:
             beta_fast=float(rs.get("beta_fast", 32.0)),
             beta_slow=float(rs.get("beta_slow", 1.0)),
             attention_factor=rs.get("attention_factor"),
+            truncate=bool(rs.get("truncate", True)),
         )
 
 

@@ -221,9 +221,9 @@ def _kernel(
     prompt_lens_ref,    # i32[R]
     tri_flag_ref,       # i32[1] — this layer uses TriangleMix
     num_seqs_ref,       # i32[1]
-    # inputs
-    q_ref,              # [q_blk, q_heads_blk, head_dim]
-    pages_hbm_ref,      # [num_pages, page, combined_heads, head_dim] (HBM)
+    # inputs ([sinks_ref f32[num_q_heads] when has_sinks, then]
+    # q_ref [q_blk, q_heads_blk, head_dim],
+    # pages_hbm_ref [num_pages, page, combined_heads, head_dim] (HBM))
     *rest,
     scale: float,
     sink: int,
@@ -237,7 +237,17 @@ def _kernel(
     merge_new_kv: bool = False,
     attn_window: int = 0,
     tri_enabled: bool = True,
+    has_sinks: bool = False,
 ):
+    if has_sinks:
+        # Learned attention-sink logits (GPT-OSS): an extra softmax column
+        # per head, applied as a final denominator correction (see the
+        # block past the seq loop). Forces the merge path so l/m scratch
+        # is always populated.
+        sinks_ref, *rest = rest
+    else:
+        sinks_ref = None
+    q_ref, pages_hbm_ref, *rest = rest
     if merge_new_kv:
         # new_ref: [q_blk, combined_heads_blk, head_dim] — the current
         # tokens' K/V, blocked like q (fused decode).
@@ -599,7 +609,7 @@ def _kernel(
             # (seq, q block) => direct softmax, no merge bookkeeping.
             # Fused decode always merges (the new-KV diagonal tile
             # follows), so the fast path is compiled out there.
-            single = (None if merge_new_kv else
+            single = (None if (merge_new_kv or has_sinks) else
                       (kv_blk == 0) & ((kv_blk + 1) * kv_blk_size
                                        >= eff_kv_len))
             packing = _dtype_packing(kv_flat.dtype)
@@ -705,6 +715,30 @@ def _kernel(
                 visibility=diag_visibility,
                 init=False)
 
+    if has_sinks:
+        # Sink correction: softmax-with-extra-sink-column == plain softmax
+        # output scaled by l / (l + exp(sink_logit - m)) per row. l/m live
+        # in scratch (the merge path always stores them when has_sinks).
+        rows = q_blk_size * group
+        row_head = lax.rem(
+            lax.broadcasted_iota(jnp.int32, (rows, 128), 0), group)
+        head0 = heads_blk_idx * q_heads_blk
+        for kv_head in range(kv_heads_blk):
+            s = jnp.zeros((rows, 128), jnp.float32)
+            for g in range(group):
+                s = jnp.where(row_head == g,
+                              sinks_ref[head0 + kv_head * group + g], s)
+            l = l_ref[kv_head]
+            factor = l / (l + jnp.exp(s - m_ref[kv_head]))
+            if head_dim != 128:
+                factor = jnp.concatenate([factor] * (head_dim // 128),
+                                         axis=1)
+            q_head0 = kv_head * group
+            head_acc = acc_ref[:, q_head0:q_head0 + group, :]
+            acc_ref[:, q_head0:q_head0 + group, :] = (
+                head_acc.reshape(rows, head_dim) * factor
+            ).reshape(head_acc.shape)
+
     o_ref[...] = acc_ref[...].astype(q_ref.dtype)
 
 
@@ -733,6 +767,7 @@ def ragged_paged_attention_pallas(
     v_scale: float | None = None,
     attn_window: int = 0,
     tri_enabled: bool = True,
+    sinks: jax.Array | None = None,  # f32[num_q_heads] learned sink logits
     num_kv_pages_per_block: int | None = None,
     num_queries_per_block: int | None = None,
     vmem_limit_bytes: int | None = None,
@@ -784,9 +819,10 @@ def ragged_paged_attention_pallas(
             dense_threshold=dense_threshold, soft_cap=soft_cap,
             k_scale=k_scale, v_scale=v_scale,
             row_offset=row_offset, merge_new_kv=merge_new_kv,
-            attn_window=attn_window, tri_enabled=tri_enabled),
+            attn_window=attn_window, tri_enabled=tri_enabled,
+            has_sinks=sinks is not None),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=6,
+            num_scalar_prefetch=6 + (1 if sinks is not None else 0),
             in_specs=in_specs,
             out_specs=q_spec,
             grid=grid,
@@ -817,12 +853,14 @@ def ragged_paged_attention_pallas(
     )
     tri_flag = jnp.asarray(use_triangle, jnp.int32).reshape(1)
     num_seqs = jnp.asarray(md.num_reqs, jnp.int32).reshape(1)
-    return kernel(
+    scalars = [
         md.seq_lens.astype(jnp.int32),
         md.block_tables.astype(jnp.int32),
         md.query_start_loc.astype(jnp.int32),
         md.prompt_lens.astype(jnp.int32),
         tri_flag,
         num_seqs,
-        *inputs,
-    )
+    ]
+    if sinks is not None:
+        scalars.append(sinks.astype(jnp.float32))
+    return kernel(*scalars, *inputs)
