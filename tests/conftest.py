@@ -21,8 +21,38 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
 import json  # noqa: E402
+import signal  # noqa: E402
+import threading  # noqa: E402
 
 import pytest  # noqa: E402
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "timeout(seconds): fail the test if it runs longer than this "
+        "(minimal SIGALRM implementation; pytest-timeout is not in the "
+        "environment, so without this the marks would be silent no-ops)")
+
+
+@pytest.hookimpl(wrapper=True)
+def pytest_runtest_call(item):
+    mark = item.get_closest_marker("timeout")
+    if (mark is None or not mark.args or not hasattr(signal, "SIGALRM")
+            or threading.current_thread() is not threading.main_thread()):
+        return (yield)
+    seconds = int(mark.args[0])
+
+    def _on_alarm(signum, frame):
+        raise TimeoutError(f"test exceeded {seconds}s timeout")
+
+    old = signal.signal(signal.SIGALRM, _on_alarm)
+    signal.alarm(seconds)
+    try:
+        return (yield)
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
 
 
 @pytest.fixture(scope="session")

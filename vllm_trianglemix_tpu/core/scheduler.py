@@ -166,7 +166,11 @@ class Scheduler:
         was not scheduled this step (KV allocation failed)."""
         for idx in mm_state["encode"].pop(request.request_id, []):
             item = request.mm_items[idx]
-            self.encoder_cache_manager.release_input(request, idx)
+            # Fully remove the entry (not release_input): the encode
+            # request is being dropped, so a lingering cached hash would
+            # be a phantom hit — later passes would skip encoding and the
+            # worker would miss the output in its device pool.
+            self.encoder_cache_manager.deallocate(request, idx)
             mm_state["budget"] += item.length
 
     # --- the scheduling pass -------------------------------------------------

@@ -122,7 +122,12 @@ class EngineCoreClient:
         try:
             import jax
 
-            jax_platforms = jax.config.read("jax_platforms")
+            # Effective value (attribute, not .read() — .read() raises
+            # AttributeError for context-managed flags, which silently
+            # left the child on whatever platform its sitecustomize
+            # picked: test engines ended up compiling through a remote
+            # TPU tunnel instead of CPU).
+            jax_platforms = jax.config.jax_platforms
         except Exception:  # noqa: BLE001
             jax_platforms = None
         mp_ctx = mp.get_context("spawn")

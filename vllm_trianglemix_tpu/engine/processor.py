@@ -48,25 +48,31 @@ class Processor:
         # resolved lazily from the model config when the architecture is a
         # vision-language model.
         self.mm_config = None
+        module = model_cfg = None
         try:
             from vllm_trianglemix_tpu.models.registry import resolve_model
 
             module, model_cfg = resolve_model(engine_config.model.model)
-            if getattr(module, "IS_MULTIMODAL", False):
-                from vllm_trianglemix_tpu.multimodal.processor import (
-                    ImageProcessor,
-                )
-
-                path = engine_config.model.model
-                self.mm_config = {
-                    "image_token_id": model_cfg.image_token_index,
-                    "tokens_per_image": model_cfg.tokens_per_image,
-                    "image_processor": ImageProcessor(
-                        model_cfg.vision.image_size,
-                        path if isinstance(path, str) else None),
-                }
-        except Exception:  # noqa: BLE001 (no config dir in some tests)
+        except (FileNotFoundError, OSError, KeyError, ValueError):
+            # No config dir / unknown arch (common in unit tests that pass
+            # a raw tokenizer or synthetic config) — multimodal stays off.
             pass
+        if module is not None and getattr(module, "IS_MULTIMODAL", False):
+            # The architecture IS multimodal: failures here are real
+            # misconfigurations (malformed preprocessor_config.json,
+            # missing vision section) and must not silently disable MM.
+            from vllm_trianglemix_tpu.multimodal.processor import (
+                ImageProcessor,
+            )
+
+            path = engine_config.model.model
+            self.mm_config = {
+                "image_token_id": model_cfg.image_token_index,
+                "tokens_per_image": model_cfg.tokens_per_image,
+                "image_processor": ImageProcessor(
+                    model_cfg.vision.image_size,
+                    path if isinstance(path, str) else None),
+            }
 
     def process_inputs(
         self,

@@ -105,12 +105,33 @@ def _parse_llama3(text: str):
     body = text.strip()
     if body.startswith("<|python_tag|>"):
         body = body[len("<|python_tag|>"):]
+    # Single object first — a ';' inside a JSON string (e.g. arguments
+    # containing "a; b") must not split the call.
+    got = _json_obj_payload(body)
+    if got is not None:
+        return got, ""
+    # Multi-call form: ';'-separated objects. Walk with raw_decode so
+    # separators inside strings are respected.
     calls = []
-    for part in body.split(";"):
-        got = _json_obj_payload(part)
-        if got is None:
+    pos = 0
+    dec = json.JSONDecoder()
+    while pos < len(body):
+        while pos < len(body) and body[pos] in " \t\r\n;":
+            pos += 1
+        if pos >= len(body):
+            break
+        try:
+            payload, end = dec.raw_decode(body, pos)
+        except ValueError:
             return [], text
-        calls.extend(got)
+        if not isinstance(payload, dict) or "name" not in payload:
+            return [], text
+        calls.append((payload["name"],
+                      payload.get("arguments", payload.get("parameters",
+                                                           {}))))
+        pos = end
+    if not calls:
+        return [], text
     return calls, ""
 
 

@@ -29,9 +29,11 @@ class EncoderCacheManager:
         h = request.mm_items[input_idx].hash
         if h in self.cached:
             self.cached[h].add(request.request_id)
-            if h in self.freeable:
-                # revive a zero-ref entry
-                self.num_free_slots -= self.freeable.pop(h)
+            # Revive a zero-ref entry: it never left `cached`, so its size
+            # was never returned to num_free_slots — only drop it from the
+            # reclaimable set (reference EncoderCacheManager
+            # check_and_update_cache decrements num_freeable_slots only).
+            self.freeable.pop(h, None)
             return True
         return False
 
@@ -54,6 +56,17 @@ class EncoderCacheManager:
         self.num_free_slots -= item.length
         self.cached[item.hash] = {request.request_id}
         return evicted
+
+    def deallocate(self, request: Request, input_idx: int) -> None:
+        """Fully undo an allocate() from the same scheduling pass: the
+        encode request was rolled back, so the worker will never compute
+        this output — the entry must not linger as a phantom cache hit."""
+        item = request.mm_items[input_idx]
+        if item.hash not in self.cached:
+            return
+        del self.cached[item.hash]
+        self.freeable.pop(item.hash, None)
+        self.num_free_slots += item.length
 
     def free_request(self, request: Request) -> None:
         """Drop this request's references; zero-ref entries become

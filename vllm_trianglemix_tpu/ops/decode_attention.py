@@ -253,20 +253,20 @@ def _decode_kernel(
 
 
 def _tile_ladder(pages_per_seq: int, page_bytes: int) -> list[int]:
-    """Static tile-width candidates (in pages), ~25% apart, capped by the
-    per-slot VMEM budget. Dead page slots in a tile cost VPU work (the
-    mask/exp/update passes run over the full tile width), so at decode
-    the best tile hugs the batch's longest live context — measured 37 vs
-    29 us/layer for 5 live pages in an 8- vs 5-page tile
-    (scripts/profile_decode_kernel.py)."""
+    """Static tile-width candidates (in pages), capped by the per-slot
+    VMEM budget. Dead page slots in a tile cost VPU work (the mask/exp/
+    update passes run over the full tile width), so the best tile hugs
+    the batch's longest live context — measured 37 vs 29 us/layer for 5
+    live pages in an 8- vs 5-page tile (scripts/profile_decode_kernel.py).
+    But every ladder entry is a separate Mosaic compile in EVERY jit
+    bucket that embeds the switch: a ~25%-spaced ladder (~15 variants)
+    multiplied warmup into an ~18-minute stall (round-3 bench log). Four
+    factor-2 steps hugging the top of the range bound dead work at <2x on
+    the final tile while keeping warmup tractable; short contexts run the
+    smallest tile over multiple loop iterations."""
     tile_budget = 4 * 1024 * 1024
     cap = max(1, min(pages_per_seq, tile_budget // page_bytes))
-    ladder, p = [], 1
-    while p < cap:
-        ladder.append(p)
-        p += max(1, p // 4)
-    ladder.append(cap)
-    return ladder
+    return sorted({max(1, cap >> s) for s in range(4)})
 
 
 @functools.partial(

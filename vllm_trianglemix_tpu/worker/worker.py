@@ -22,11 +22,41 @@ from vllm_trianglemix_tpu.worker.model_runner import ModelRunner
 
 logger = init_logger(__name__)
 
+_CACHE_WIRED = False
+
+
+def _enable_compilation_cache() -> None:
+    """Point JAX's persistent compilation cache at VTT_XLA_CACHE_PATH so
+    warm restarts skip XLA/Mosaic compiles (reference: VLLM_XLA_CACHE_PATH,
+    vllm/platforms/tpu.py). Empty value disables."""
+    global _CACHE_WIRED
+    if _CACHE_WIRED:
+        return
+    _CACHE_WIRED = True
+    from vllm_trianglemix_tpu import envs
+
+    path = envs.VTT_XLA_CACHE_PATH
+    if not path:
+        return
+    try:
+        import os
+
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        # Cache every compile, even fast ones — decode-kernel Mosaic
+        # compiles are individually cheap but numerous.
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        logger.info("XLA compilation cache at %s", path)
+    except Exception as e:  # pragma: no cover - cache is best-effort
+        logger.warning("compilation cache disabled: %s", e)
+
 
 class Worker:
 
     def __init__(self, engine_config: EngineConfig) -> None:
         self.engine_config = engine_config
+        _enable_compilation_cache()
         self.mesh = None
         if engine_config.parallel.world_size > 1:
             self.mesh = self._make_mesh(engine_config)
