@@ -54,7 +54,8 @@ def run_batch(llm, prompts, params) -> float:
     return dt
 
 
-def run_config(multi_step: int) -> float:
+def run_config(multi_step: int) -> tuple[float, float]:
+    """Returns (mean batch seconds, warmup seconds)."""
     import numpy as np
 
     from vllm_trianglemix_tpu.entrypoints.llm import LLM
@@ -64,6 +65,7 @@ def run_config(multi_step: int) -> float:
         with open(os.path.join(d, "config.json"), "w") as f:
             json.dump(MODEL_CONFIG, f)
 
+        t0 = time.perf_counter()
         llm = LLM(
             model=d,
             dtype="bfloat16",
@@ -82,22 +84,27 @@ def run_config(multi_step: int) -> float:
                                 ignore_eos=True)
 
         run_batch(llm, prompts, params)  # warmup: compiles the used buckets
+        warmup_s = time.perf_counter() - t0
         times = [run_batch(llm, prompts, params) for _ in range(3)]
-    return sum(times) / len(times)
+    return sum(times) / len(times), warmup_s
 
 
 def main() -> None:
+    config = "multi_step=50"
     try:
-        value = run_config(multi_step=50)
+        value, warmup_s = run_config(multi_step=50)
     except Exception as e:  # noqa: BLE001 — never lose the bench number
-        print(f"multi-step bench failed ({type(e).__name__}); "
+        print(f"multi-step bench failed ({type(e).__name__}: {e}); "
               "falling back to single-step", file=sys.stderr)
-        value = run_config(multi_step=1)
+        config = "multi_step=1 (FALLBACK — multi-step path failed)"
+        value, warmup_s = run_config(multi_step=1)
     print(json.dumps({
         "metric": "batch_time_64x(500p+50d)_qwen2.5-1.5b",
         "value": round(value, 3),
         "unit": "s",
         "vs_baseline": round(BASELINE_BATCH_S / value, 3),
+        "config": config,
+        "warmup_s": round(warmup_s, 1),
     }))
 
 

@@ -31,6 +31,9 @@ def main() -> None:
     ap.add_argument("--host-id", type=int, required=True)
     ap.add_argument("--tensor-parallel-size", type=int, default=0,
                     help="0 = all devices in the global mesh")
+    ap.add_argument("--control-port", type=int, default=8576,
+                    help="ZMQ step-broadcast port on host 0 (port+1 is "
+                    "the ack channel)")
     ap.add_argument("--port", type=int, default=8000)
     args = ap.parse_args()
 
@@ -49,23 +52,34 @@ def main() -> None:
         ModelConfig,
         ParallelConfig,
     )
-    from vllm_trianglemix_tpu.entrypoints.openai.api_server import run_server
 
+    host0 = args.coordinator.rsplit(":", 1)[0]
     tp = args.tensor_parallel_size or n_devices
     config = EngineConfig(
         model=ModelConfig(model=args.model),
-        parallel=ParallelConfig(tensor_parallel_size=tp),
+        parallel=ParallelConfig(
+            tensor_parallel_size=tp,
+            num_hosts=args.num_hosts,
+            host_id=args.host_id,
+            control_address=f"tcp://{host0}:{args.control_port}",
+        ),
     )
 
     if args.host_id == 0:
+        # Engine in-process (the MultiHostExecutor broadcasts each step).
+        from vllm_trianglemix_tpu.entrypoints.openai.api_server import (
+            run_server,
+        )
+
         run_server(config, port=args.port)
     else:
-        # Non-zero hosts join every collective through their jitted step
-        # executions; the frontend drives host 0. A per-host input-feed
-        # broadcast loop lands with the multi-host executor (round 2).
-        raise SystemExit(
-            "multi-host engine loop lands in round 2; this script "
-            "documents and validates the jax.distributed bring-up")
+        # Peer hosts execute host 0's SchedulerOutput stream in lockstep
+        # (executor/multihost_executor.py run_worker_loop).
+        from vllm_trianglemix_tpu.executor.multihost_executor import (
+            run_worker_loop,
+        )
+
+        run_worker_loop(config)
 
 
 if __name__ == "__main__":

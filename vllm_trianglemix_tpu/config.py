@@ -188,6 +188,17 @@ class ParallelConfig:
     # measured load; interval is in engine steps.
     enable_eplb: bool = False
     eplb_interval: int = 256
+    # Multi-host serving (reference: multiproc_executor.py:49 rank workers
+    # + tpu_communicator.py PJRT multiprocess init). One process per host
+    # joins jax.distributed; host 0 runs scheduler+frontend and broadcasts
+    # each step's SchedulerOutput over ZMQ (control_address); every host
+    # executes the same jitted step on the global mesh in lockstep
+    # (executor/multihost_executor.py).
+    num_hosts: int = 1
+    host_id: int = 0
+    # ZMQ control plane root, e.g. "tcp://10.0.0.1:8576". Port is the PUB
+    # broadcast; port+1 is the worker->host0 ack/error channel.
+    control_address: str | None = None
 
     @property
     def world_size(self) -> int:

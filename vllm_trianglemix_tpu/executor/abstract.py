@@ -30,6 +30,12 @@ class Executor(ABC):
 
     @staticmethod
     def get_class(engine_config: EngineConfig) -> type["Executor"]:
+        if engine_config.parallel.num_hosts > 1:
+            from vllm_trianglemix_tpu.executor.multihost_executor import (
+                MultiHostExecutor,
+            )
+
+            return MultiHostExecutor
         from vllm_trianglemix_tpu.executor.uniproc_executor import (
             UniProcExecutor,
         )
