@@ -126,6 +126,9 @@ class ModelRunnerOutput:
     # EAGLE draft-model proposals for the NEXT step: req_id -> draft ids
     # (reference spec_token_ids flow via update_from_output).
     draft_tokens: Optional[dict] = None
+    # Prompt logprobs for this step's prompt chunks: req_id ->
+    # (first_token_index, [(target_id, target_lp, topk_ids, topk_lps)]).
+    prompt_logprobs: Optional[dict] = None
 
 
 EMPTY_MODEL_RUNNER_OUTPUT = ModelRunnerOutput()
@@ -144,6 +147,10 @@ class EngineCoreOutput:
     pooled_output: Optional[object] = None
     # Per accepted token: ([sampled_id, topk ids...], [logprobs...]).
     new_logprobs: Optional[list] = None
+    # Prompt logprobs chunk: (first_token_index, [(target_id, target_lp,
+    # topk_ids, topk_lps), ...]) — token index i's entry is the logprob
+    # of prompt token i given tokens < i (index 0 never has one).
+    new_prompt_logprobs: Optional[tuple] = None
 
 
 @dataclass

@@ -356,10 +356,17 @@ class Scheduler:
                    and len(self.running) < self.max_num_seqs):
                 request = self.waiting.peek_request()
 
-                # Prefix-cache lookup (new requests only).
+                # Prefix-cache lookup (new requests only). Requests that
+                # want prompt logprobs must compute every prompt position
+                # (reference kv_cache_manager.get_computed_blocks skips
+                # the lookup for prompt_logprobs requests).
+                wants_prompt_lp = (
+                    request.sampling_params is not None
+                    and request.sampling_params.prompt_logprobs is not None)
                 new_computed_blocks, num_hit_tokens = (
                     self.kv_cache_manager.get_computed_blocks(request)
-                    if request.status == RequestStatus.WAITING else
+                    if request.status == RequestStatus.WAITING
+                    and not wants_prompt_lp else
                     (None, 0))
                 num_external_tokens = 0
                 if request.status == RequestStatus.WAITING:
@@ -605,7 +612,8 @@ class Scheduler:
                 stopped_reqs.append(request)
                 request._was_running_at_stop = was_running
 
-            if new_token_ids or stopped:
+            plp = (model_output.prompt_logprobs or {}).get(req_id)
+            if new_token_ids or stopped or plp:
                 lp = (model_output.logprobs or {}).get(req_id)
                 outputs.append(
                     EngineCoreOutput(
@@ -615,6 +623,7 @@ class Scheduler:
                         finish_reason=request.get_finished_reason(),
                         stop_reason=request.stop_reason,
                         new_logprobs=lp[:accepted] if lp else None,
+                        new_prompt_logprobs=plp,
                     ))
 
         for request in stopped_reqs:

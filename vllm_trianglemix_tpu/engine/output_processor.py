@@ -30,6 +30,10 @@ class RequestState:
     # per-token {token_id: logprob} dicts (sampled + top-k)
     logprobs: list = field(default_factory=list)
     cumulative_logprob: float = 0.0
+    # prompt-token {token_id: logprob} dicts, index-aligned with
+    # prompt_token_ids (index 0 is always None — no prefix to condition
+    # on; reference prompt_logprobs format)
+    prompt_logprobs: list = field(default_factory=list)
 
 
 @dataclass
@@ -79,6 +83,18 @@ class OutputProcessor:
                 for ids, lps in out.new_logprobs:
                     state.logprobs.append(dict(zip(ids, lps)))
                     state.cumulative_logprob += lps[0]
+            if out.new_prompt_logprobs:
+                first_idx, entries = out.new_prompt_logprobs
+                # Preemption-by-recompute re-emits from the restart point:
+                # truncate and re-extend so indices stay aligned.
+                del state.prompt_logprobs[first_idx:]
+                while len(state.prompt_logprobs) < first_idx:
+                    state.prompt_logprobs.append(None)
+                for tid, tlp, ids, lps in entries:
+                    d = {int(tid): float(tlp)}
+                    for i, lp_val in zip(ids, lps):
+                        d.setdefault(int(i), float(lp_val))
+                    state.prompt_logprobs.append(d)
             finish_reason = out.finish_reason
             stop_reason = out.stop_reason
 
@@ -124,6 +140,9 @@ class OutputProcessor:
                         pooled=(list(map(float, out.pooled_output))
                                 if getattr(out, "pooled_output", None)
                                 is not None else None),
+                        prompt_logprobs=(list(state.prompt_logprobs)
+                                         if state.prompt_logprobs
+                                         else None),
                     ))
             if finished:
                 if iteration_stats is not None:

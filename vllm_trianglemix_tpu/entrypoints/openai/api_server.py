@@ -130,29 +130,45 @@ async def create_completion(request: web.Request) -> web.StreamResponse:
         comp = final.outputs[0]
         usage.prompt_tokens += len(final.prompt_token_ids)
         usage.completion_tokens += len(comp.token_ids)
-        lp_block = None
-        if comp.logprobs is not None:
-            # OpenAI legacy logprobs shape.
-            def tok_str(tid):
-                return (tokenizer.decode([tid]) if tokenizer is not None
-                        else str(tid))
 
+        def tok_str(tid):
+            return (tokenizer.decode([tid]) if tokenizer is not None
+                    else str(tid))
+
+        lp_block = None
+        if comp.logprobs is not None or (body.echo
+                                         and final.prompt_logprobs):
+            # OpenAI legacy logprobs shape; echo=true prepends the prompt
+            # tokens with their prompt_logprobs (first token: null).
             k = body.logprobs or 0
             lp_block = {"tokens": [], "token_logprobs": [],
                         "top_logprobs": [], "text_offset": []}
             offset = 0
-            for tid, row in zip(comp.token_ids, comp.logprobs):
+            rows = []
+            if body.echo and final.prompt_logprobs:
+                rows.extend(zip(final.prompt_token_ids,
+                                final.prompt_logprobs))
+            rows.extend(zip(comp.token_ids, comp.logprobs or []))
+            for tid, row in rows:
                 s = tok_str(tid)
                 lp_block["tokens"].append(s)
-                lp_block["token_logprobs"].append(row.get(tid))
-                top = sorted(row.items(), key=lambda kv: -kv[1])[:k]
+                lp_block["token_logprobs"].append(
+                    row.get(tid) if row else None)
+                top = (sorted(row.items(), key=lambda kv: -kv[1])[:k]
+                       if row else [])
                 lp_block["top_logprobs"].append(
-                    {tok_str(t): v for t, v in top})
+                    {tok_str(t): v for t, v in top} if row else None)
                 lp_block["text_offset"].append(offset)
                 offset += len(s)
+        text = comp.text
+        if body.echo:
+            prompt_text = final.prompt
+            if prompt_text is None and tokenizer is not None:
+                prompt_text = tokenizer.decode(final.prompt_token_ids)
+            text = (prompt_text or "") + text
         choices.append({
             "index": i,
-            "text": comp.text,
+            "text": text,
             "finish_reason": comp.finish_reason,
             "logprobs": lp_block,
         })
@@ -247,8 +263,11 @@ async def create_chat_completion(request: web.Request) -> web.StreamResponse:
     model = body.model or app[MODEL_KEY]
 
     if body.stream:
-        return await _stream_completion(request, engine, prompt_ids, params,
-                                        request_id, model, chat=True)
+        return await _stream_completion(
+            request, engine, prompt_ids, params, request_id, model,
+            chat=True, enable_tools=bool(body.tools),
+            tool_format=app.get(TOOL_PARSER_KEY, "hermes"),
+            reasoning_format=app.get(REASONING_PARSER_KEY, "qwen3"))
 
     try:
         final = await engine.generate_once(prompt_ids, params, request_id)
@@ -282,7 +301,10 @@ async def create_chat_completion(request: web.Request) -> web.StreamResponse:
 
 async def _stream_completion(request: web.Request, engine: AsyncLLM, prompt,
                              params, request_id: str, model: str,
-                             chat: bool) -> web.StreamResponse:
+                             chat: bool, enable_tools: bool = False,
+                             tool_format: str = "hermes",
+                             reasoning_format: str = "qwen3",
+                             ) -> web.StreamResponse:
     resp = web.StreamResponse(headers={
         "Content-Type": "text/event-stream",
         "Cache-Control": "no-cache",
@@ -292,7 +314,18 @@ async def _stream_completion(request: web.Request, engine: AsyncLLM, prompt,
     created = int(time.time())
     obj = "chat.completion.chunk" if chat else "text_completion"
 
+    stream_parser = None
     if chat:
+        from vllm_trianglemix_tpu.entrypoints.openai.parsers import (
+            ChatStreamParser,
+        )
+
+        # Incremental tool-call / reasoning extraction (reference:
+        # extract_tool_calls_streaming) — marker-prefix text is held back
+        # and completed calls arrive as tool_calls deltas.
+        stream_parser = ChatStreamParser(enable_tools=enable_tools,
+                                         tool_format=tool_format,
+                                         reasoning_format=reasoning_format)
         first = {
             "id": request_id, "object": obj, "created": created,
             "model": model,
@@ -302,21 +335,40 @@ async def _stream_completion(request: web.Request, engine: AsyncLLM, prompt,
         }
         await resp.write(f"data: {json.dumps(first)}\n\n".encode())
 
+    async def write_chat_delta(delta, finish_reason):
+        choice = {"index": 0, "delta": delta,
+                  "finish_reason": finish_reason}
+        chunk = {"id": request_id, "object": obj, "created": created,
+                 "model": model, "choices": [choice]}
+        await resp.write(f"data: {json.dumps(chunk)}\n\n".encode())
+
     finished = False
     try:
         async for out in engine.generate(prompt, params, request_id):
             comp = out.outputs[0]
+            if chat:
+                deltas = stream_parser.deltas(comp.text,
+                                              finished=out.finished)
+                finish_reason = None
+                if out.finished:
+                    finish_reason = ("tool_calls"
+                                     if stream_parser.emitted_tool_calls
+                                     else comp.finish_reason)
+                if not deltas and out.finished:
+                    deltas = [{}]
+                for i, delta in enumerate(deltas):
+                    last = i == len(deltas) - 1
+                    await write_chat_delta(
+                        delta, finish_reason if last else None)
+                finished = out.finished
+                continue
             delta = comp.text[sent_len:]
             sent_len = len(comp.text)
             if not delta and not out.finished:
                 continue
-            if chat:
-                choice = {"index": 0, "delta": {"content": delta},
-                          "finish_reason": comp.finish_reason}
-            else:
-                choice = {"index": 0, "text": delta,
-                          "finish_reason": comp.finish_reason,
-                          "logprobs": None}
+            choice = {"index": 0, "text": delta,
+                      "finish_reason": comp.finish_reason,
+                      "logprobs": None}
             chunk = {"id": request_id, "object": obj, "created": created,
                      "model": model, "choices": [choice]}
             await resp.write(f"data: {json.dumps(chunk)}\n\n".encode())

@@ -606,3 +606,152 @@ def parse_chat_output(text: str, enable_reasoning: bool = True,
         if not text:
             msg["content"] = None
     return msg
+
+
+# --------------------------------------------------------------------------
+# Streaming (reference: extract_tool_calls_streaming on every tool parser,
+# e.g. hermes_tool_parser.py, and the streaming reasoning parsers).
+#
+# Strategy: re-run the non-streaming parser on the CUMULATIVE text each
+# delta — the single source of truth — and diff against what was already
+# emitted. Content is held back from the earliest (possibly partial)
+# occurrence of a tool-call start marker, so marker text never leaks into
+# content deltas; a completed call is emitted as ONE tool_calls delta the
+# moment the full parser first finds it. Formats without a marker entry
+# buffer and emit everything in the final chunk (safe fallback).
+
+# Markers that may OPEN a tool-call region, per tool format. "{" entries
+# apply only at the very start of the (post-reasoning) text (llama3-json
+# emits a bare JSON object as the whole message).
+STREAM_TOOL_MARKERS: dict[str, list[str]] = {
+    "hermes": ["<tool_call>"],
+    "mistral": ["[TOOL_CALLS]"],
+    "llama3_json": ["<|python_tag|>", "{"],
+    "llama3": ["<|python_tag|>", "{"],
+    "llama4_json": ["<|python_tag|>", "{"],
+}
+
+# (open, close) tags for streamable reasoning blocks. assume-open formats
+# treat the whole message as reasoning until the close tag (DeepSeek-R1
+# templates open the tag inside the prompt — reference
+# deepseek_r1_reasoning_parser streams the same way).
+STREAM_REASONING_TAGS: dict[str, tuple[str, str]] = {
+    "qwen3": ("<think>", "</think>"),
+    "deepseek_r1": ("<think>", "</think>"),
+    "glm4_moe": ("<think>", "</think>"),
+    "step3": ("<think>", "</think>"),
+    "minimax": ("<think>", "</think>"),
+    "mistral": ("[THINK]", "[/THINK]"),
+    "seed_oss": ("<seed:think>", "</seed:think>"),
+}
+_ASSUME_OPEN_REASONING = {"deepseek_r1"}
+
+
+def _partial_suffix_len(text: str, marker: str) -> int:
+    """Length of the longest proper prefix of ``marker`` that ends ``text``."""
+    for n in range(min(len(marker) - 1, len(text)), 0, -1):
+        if text.endswith(marker[:n]):
+            return n
+    return 0
+
+
+class ChatStreamParser:
+    """Incremental chat-output parser for the SSE path: feed the
+    cumulative generated text, get OpenAI ``delta`` dicts back."""
+
+    def __init__(self, enable_tools: bool = False,
+                 tool_format: str = "hermes",
+                 reasoning_format: str = "qwen3",
+                 enable_reasoning: bool = True) -> None:
+        self.enable_tools = enable_tools
+        self.tool_format = tool_format
+        self.reasoning_format = reasoning_format
+        self.enable_reasoning = (enable_reasoning
+                                 and reasoning_format in
+                                 STREAM_REASONING_TAGS)
+        self._sent_reasoning = 0
+        self._sent_content = 0
+        self._sent_calls = 0
+        self.emitted_tool_calls = False
+
+    # -- internals ---------------------------------------------------------
+    def _split_reasoning(self, text: str, finished: bool):
+        """Returns (reasoning_stream_text or None, rest, hold_all)."""
+        if not self.enable_reasoning:
+            return None, text, False
+        open_t, close_t = STREAM_REASONING_TAGS[self.reasoning_format]
+        stripped = text.lstrip()
+        lead = len(text) - len(stripped)
+        if stripped.startswith(open_t):
+            inner_start = lead + len(open_t)
+            close_at = text.find(close_t, inner_start)
+            if close_at < 0:
+                inner = text[inner_start:]
+                if not finished:
+                    inner = inner[:len(inner)
+                                  - _partial_suffix_len(inner, close_t)]
+                return inner, "", False
+            return (text[inner_start:close_at],
+                    text[close_at + len(close_t):], False)
+        if not finished and open_t.startswith(stripped) and stripped:
+            return None, "", False   # partial open tag: hold
+        if self.reasoning_format in _ASSUME_OPEN_REASONING:
+            close_at = text.find(close_t)
+            if close_at < 0:
+                if finished:
+                    return None, text, False
+                safe = len(text) - _partial_suffix_len(text, close_t)
+                return text[:safe], "", False
+            return text[:close_at], text[close_at + len(close_t):], False
+        return None, text, False
+
+    def _safe_content_len(self, rest: str, finished: bool) -> int:
+        if finished:
+            return len(rest)
+        if not self.enable_tools:
+            return len(rest)
+        markers = STREAM_TOOL_MARKERS.get(self.tool_format)
+        if markers is None:
+            return 0   # unknown grammar: buffer until finish
+        safe = len(rest)
+        for m in markers:
+            if m == "{":
+                # whole-message JSON form: hold only when the message IS
+                # a bare object from the start
+                if rest.lstrip().startswith("{"):
+                    safe = min(safe, len(rest) - len(rest.lstrip()))
+                continue
+            at = rest.find(m)
+            if at >= 0:
+                safe = min(safe, at)
+            safe = min(safe, len(rest) - _partial_suffix_len(rest, m))
+        return safe
+
+    # -- public ------------------------------------------------------------
+    def deltas(self, full_text: str, finished: bool = False) -> list[dict]:
+        out: list[dict] = []
+        reasoning, rest, _ = self._split_reasoning(full_text, finished)
+        if reasoning is not None:
+            new = reasoning[self._sent_reasoning:]
+            if new:
+                out.append({"reasoning_content": new})
+                self._sent_reasoning = len(reasoning)
+
+        calls: list[dict] = []
+        if self.enable_tools:
+            calls, rest = parse_tool_calls(rest, self.tool_format)
+
+        safe = self._safe_content_len(rest, finished)
+        new_content = rest[self._sent_content:safe]
+        if new_content:
+            out.append({"content": new_content})
+            self._sent_content = safe
+
+        if len(calls) > self._sent_calls:
+            out.append({"tool_calls": [
+                {"index": i, **call}
+                for i, call in enumerate(calls)
+            ][self._sent_calls:]})
+            self._sent_calls = len(calls)
+            self.emitted_tool_calls = True
+        return out

@@ -33,6 +33,9 @@ class CompletionRequest(BaseModel):
     min_tokens: int = 0
     logprobs: Optional[int] = None
     echo: bool = False
+    # vLLM extension: top-k logprobs per PROMPT token; echo+logprobs
+    # implies it (OpenAI echo semantics return prompt logprobs too).
+    prompt_logprobs: Optional[int] = None
     user: Optional[str] = None
     # guided decoding (vLLM-compatible extension fields)
     guided_json: Optional[Any] = None
@@ -40,6 +43,9 @@ class CompletionRequest(BaseModel):
     guided_choice: Optional[list[str]] = None
 
     def to_sampling_params(self) -> SamplingParams:
+        prompt_lp = self.prompt_logprobs
+        if prompt_lp is None and self.echo and self.logprobs is not None:
+            prompt_lp = self.logprobs
         return SamplingParams(
             n=self.n,
             temperature=self.temperature,
@@ -53,6 +59,7 @@ class CompletionRequest(BaseModel):
             ignore_eos=self.ignore_eos,
             seed=self.seed,
             logprobs=self.logprobs,
+            prompt_logprobs=prompt_lp,
             guided_json=self.guided_json,
             guided_regex=self.guided_regex,
             guided_choice=self.guided_choice,

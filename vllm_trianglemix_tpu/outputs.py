@@ -31,3 +31,6 @@ class RequestOutput:
     metrics: dict[str, Any] = field(default_factory=dict)
     # Embedding requests: the pooled vector (list of floats).
     pooled: Optional[list] = None
+    # SamplingParams.prompt_logprobs: per-prompt-token {token_id: logprob}
+    # dicts, index-aligned with prompt_token_ids (index 0 is None).
+    prompt_logprobs: Optional[list] = None

@@ -33,6 +33,12 @@ class SamplingParams:
     ignore_eos: bool = False
     seed: Optional[int] = None
     logprobs: Optional[int] = None
+    # Top-k logprobs for each PROMPT token (reference sampling_params.py
+    # prompt_logprobs): 0 = just the prompt token's own logprob, N = also
+    # the top-N alternatives. Disables prefix caching for the request
+    # (cached positions are never recomputed, so their logits don't
+    # exist). Powers OpenAI completions echo=true + logprobs.
+    prompt_logprobs: Optional[int] = None
     detokenize: bool = True
     skip_special_tokens: bool = True
     include_stop_str_in_output: bool = False
@@ -75,6 +81,9 @@ class SamplingParams:
             raise ValueError(f"max_tokens must be >= 1, got {self.max_tokens}")
         if self.min_tokens < 0:
             raise ValueError("min_tokens must be >= 0")
+        if self.prompt_logprobs is not None and not (
+                0 <= self.prompt_logprobs <= 20):
+            raise ValueError("prompt_logprobs must be in [0, 20]")
         if isinstance(self.stop, str):
             self.stop = [self.stop]
         elif self.stop is None:

@@ -455,6 +455,7 @@ class ModelRunner:
             self._jit_medusa = build_medusa_fn(K)
         self._jit_logprobs = partial(jax.jit, static_argnames=(
             "num_logprobs",))(gather_logprobs)
+        self._jit_prompt_lp = self._build_prompt_lp_fn()
         self._jit_multi_decode = self._build_multi_decode_fn()
 
     # --- init helpers ------------------------------------------------------
@@ -662,6 +663,28 @@ class ModelRunner:
                     self.block_size, num * per_block_bytes / 2**30)
         return num
 
+    def _build_prompt_lp_fn(self):
+        """Prompt-token logprobs (reference: prompt_logprobs assembly in
+        v1/engine/output_processor.py + the gpu_model_runner prompt
+        logits gather). A separate fixed-shape program over the step's
+        hidden states: gather the prompt rows, run the LM head, and
+        return each next-token target's logprob plus the top-k
+        alternatives. Runs only on steps that schedule prompt chunks of
+        prompt_logprobs requests, so the common path pays nothing."""
+        model, cfg = self.model, self.cfg
+
+        @partial(jax.jit, static_argnames=("k",))
+        def prompt_lp(params, hidden, rows, targets, k):
+            h = hidden[rows]                            # [P, D]
+            logits = model.compute_logits(params, cfg, h).astype(
+                jnp.float32)
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            t_lp = jnp.take_along_axis(logp, targets[:, None], 1)[:, 0]
+            top_lp, top_ids = jax.lax.top_k(logp, k)
+            return t_lp, top_ids, top_lp
+
+        return prompt_lp
+
     # --- the compiled step ----------------------------------------------------
     def _build_step_fn(self):
         """Two stages like the reference TPU runner's precompile pipeline
@@ -678,10 +701,11 @@ class ModelRunner:
         want_hidden = spec_cfg.enabled and spec_cfg.method in ("eagle",
                                                                "medusa")
 
-        @partial(jax.jit, donate_argnums=(1,))
+        @partial(jax.jit, donate_argnums=(1,),
+                 static_argnames=("need_hidden",))
         def step(params, kv_caches, token_ids, md: AttentionMetadata,
                  tri_flags, lora, gather_idx=None, prev_sampled=None,
-                 mm=None):
+                 mm=None, need_hidden=False):
             if gather_idx is not None:
                 # Async scheduling: rows whose input token was sampled by
                 # the still-in-flight previous step read it device-side.
@@ -728,10 +752,13 @@ class ModelRunner:
             cls = hid[md.query_start_loc[:R]]
             pooled = jnp.stack([last, mean, cls])      # [3, R, D]
             # hidden [T, D] feeds the EAGLE draft's catch-up when spec
-            # decoding with a draft model (spec_decode/eagle.py); without
-            # a draft model only a stub row leaves the graph (avoids a
+            # decoding with a draft model (spec_decode/eagle.py) and the
+            # prompt-logprobs gather (need_hidden, set on steps that
+            # schedule prompt chunks of prompt_logprobs requests); when
+            # neither applies only a stub row leaves the graph (avoids a
             # T x D output copy every step).
-            hidden_out = hidden if want_hidden else hidden[:1]
+            hidden_out = (hidden if (want_hidden or need_hidden)
+                          else hidden[:1])
             return kv_caches, logits, pooled, hidden_out
 
         return step
@@ -1249,13 +1276,53 @@ class ModelRunner:
             mm_args = (self.encoder_pool, jnp.asarray(dst),
                        jnp.asarray(src))
 
+        # Prompt logprobs (reference SamplingParams.prompt_logprobs):
+        # collect this step's prompt-chunk rows before dispatch so the
+        # step keeps its full hidden output alive for the gather.
+        plp_meta = []   # (rid, flat_start, n_entries, pos_start, k_req)
+        plp_rows = plp_targets = None
+        plp_k = 1
+        rows_parts, tgt_parts, n_flat = [], [], 0
+        for i, req_id in enumerate(req_ids):
+            state = self.input_batch.get(req_id)
+            sp = state.sampling_params
+            if sp is None or sp.prompt_logprobs is None:
+                continue
+            row0 = int(query_start_loc[i])
+            pos0 = int(positions[row0])
+            n_sched_i = int(query_start_loc[i + 1]) - row0
+            # Row at prompt position p produces the entry for prompt
+            # token p+1; the last prompt row predicts the first sampled
+            # token, which belongs to the generation logprobs instead.
+            n_e = max(0, min(pos0 + n_sched_i, state.prompt_len - 1) - pos0)
+            if n_e == 0:
+                continue
+            rows_parts.append(np.arange(row0, row0 + n_e, dtype=np.int32))
+            tgt_parts.append(np.asarray(
+                state.token_ids[pos0 + 1:pos0 + 1 + n_e], np.int32))
+            plp_meta.append((req_id, n_flat, n_e, pos0,
+                             int(sp.prompt_logprobs)))
+            n_flat += n_e
+            plp_k = max(plp_k, int(sp.prompt_logprobs))
+        if plp_meta:
+            P = pick_padding(self._token_paddings, n_flat)
+            plp_rows = np.full(P, T - 1, np.int32)
+            plp_targets = np.zeros(P, np.int32)
+            plp_rows[:n_flat] = np.concatenate(rows_parts)
+            plp_targets[:n_flat] = np.concatenate(tgt_parts)
+            # Quantize k so distinct requests don't multiply compiles.
+            plp_k = 1 if plp_k <= 1 else (8 if plp_k <= 8 else 20)
+            # The need_hidden step variant and the gather program compile
+            # on first use — legitimate post-warmup growth.
+            self._graph_growth_ok = True
+
         self._maybe_eplb_rebalance()
         self._rng_key, step_key = jax.random.split(self._rng_key)
         tok_dev = jnp.asarray(token_ids)
         self.kv_caches, logits, pooled, hidden = self._jit_step(
             self.params, self.kv_caches, tok_dev, md,
             self.tri_flags, lora, jnp.asarray(tok_gather),
-            self._prev_sampled, mm_args)
+            self._prev_sampled, mm_args, need_hidden=bool(plp_meta))
         is_spec = S > 1
         if is_spec:
             draft_np = np.full((R, S), -1, np.int32)
@@ -1311,6 +1378,16 @@ class ModelRunner:
                 self.input_batch.get(rid).sampling_params.logprobs or 1
                 for _, rid in lp_reqs)))
             lp_devs = self._jit_logprobs(logits, tokens, num_logprobs=k)
+
+        # Prompt logprobs: one extra fixed-shape program over this step's
+        # prompt-chunk rows (built pre-step; runs on the full hidden the
+        # step returned because need_hidden was set).
+        plp_devs = None
+        if plp_meta:
+            plp_devs = self._jit_prompt_lp(self.params, hidden,
+                                           jnp.asarray(plp_rows),
+                                           jnp.asarray(plp_targets),
+                                           k=plp_k)
 
         pooling_reqs = [
             (i, rid) for i, rid in enumerate(req_ids)
@@ -1413,11 +1490,28 @@ class ModelRunner:
                     rid: dnp[i].tolist()
                     for i, rid in enumerate(req_ids) if he[i]
                 }
+            prompt_lp_out = None
+            if plp_meta:
+                t_np, ids_np, lps_np = (np.asarray(a) for a in
+                                        jax.device_get(plp_devs))
+                prompt_lp_out = {}
+                for rid, flat0, n_e, pos0, k_req in plp_meta:
+                    entries = []
+                    for j in range(n_e):
+                        f = flat0 + j
+                        entries.append((
+                            int(plp_targets[f]),
+                            float(t_np[f]),
+                            ids_np[f, :k_req].tolist(),
+                            lps_np[f, :k_req].tolist(),
+                        ))
+                    prompt_lp_out[rid] = (pos0 + 1, entries)
             return ModelRunnerOutput(req_ids=req_ids,
                                      sampled_token_ids=sampled,
                                      pooled=pooled_out,
                                      logprobs=logprobs_out,
-                                     draft_tokens=draft_map)
+                                     draft_tokens=draft_map,
+                                     prompt_logprobs=prompt_lp_out)
 
         return _PendingStep(finalize)
 
@@ -1481,6 +1575,11 @@ class ModelRunner:
         if getattr(self, "_warmup_graph_count", None) in (None, -1):
             return
         now = self._graph_count()
+        if getattr(self, "_graph_growth_ok", False):
+            # A feature that warmup doesn't precompile (prompt logprobs)
+            # legitimately compiled this step — re-snapshot the baseline.
+            self._graph_growth_ok = False
+            self._warmup_graph_count = max(self._warmup_graph_count, now)
         assert now <= self._warmup_graph_count, (
             f"recompilation detected after warmup: {now} graphs vs "
             f"{self._warmup_graph_count} at warmup")

@@ -39,6 +39,15 @@ def _enable_compilation_cache() -> None:
     if not path:
         return
     try:
+        platforms = jax.config.jax_platforms or ""
+    except Exception:  # noqa: BLE001
+        platforms = ""
+    if platforms.split(",")[0] == "cpu":
+        # CPU compiles are cheap, and persisted XLA:CPU AOT artifacts are
+        # machine-feature-pinned (reloading them on a different host
+        # warns about SIGILL risk). Cache only accelerator compiles.
+        return
+    try:
         import os
 
         os.makedirs(path, exist_ok=True)
