@@ -49,7 +49,9 @@ class SamplingParams:
     guided_json: Optional[object] = None
     guided_regex: Optional[str] = None
     guided_choice: Optional[list[str]] = None
-    guided_grammar: Optional[str] = None  # EBNF — not supported yet
+    # Lark/GBNF-style EBNF, compiled to a DFA token mask with bounded
+    # recursion unrolling (structured_output/ebnf.py)
+    guided_grammar: Optional[str] = None
     # hard-restrict sampling to these ids
     allowed_token_ids: Optional[list[int]] = None
     bad_words: Optional[list[str]] = None

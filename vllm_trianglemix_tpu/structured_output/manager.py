@@ -45,8 +45,11 @@ def constraint_to_regex(params) -> Optional[str]:
             schema = _json.loads(schema)
         return schema_to_regex(schema)
     if params.guided_grammar:
-        raise ValueError("EBNF guided_grammar is not supported yet; use "
-                         "guided_json/guided_regex/guided_choice")
+        from vllm_trianglemix_tpu.structured_output.ebnf import (
+            grammar_to_regex,
+        )
+
+        return grammar_to_regex(params.guided_grammar)
     return None
 
 
