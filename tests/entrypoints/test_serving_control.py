@@ -1,0 +1,177 @@
+"""Serving-control endpoint tail (VERDICT r3 missing #7): /pooling,
+/invocations, stored /v1/responses (GET + background + cancel),
+/sleep + /wake_up + /is_sleeping, /v1/(un)load_lora_adapter.
+"""
+
+import asyncio
+
+import pytest
+from aiohttp.test_utils import TestClient, TestServer
+
+from vllm_trianglemix_tpu.config import (
+    CacheConfig,
+    EngineConfig,
+    LoRAConfig,
+    ModelConfig,
+    SchedulerConfig,
+)
+
+
+@pytest.fixture(scope="module")
+def serve(tiny_model_dir, tmp_path_factory):
+    import threading
+
+    from tests.lora.test_lora import write_adapter
+    from vllm_trianglemix_tpu.engine.async_llm import AsyncLLM
+    from vllm_trianglemix_tpu.entrypoints.openai.api_server import build_app
+
+    ad_dir = tmp_path_factory.mktemp("dyn_adapters")
+    write_adapter(ad_dir / "dyn", num_layers=2, hidden=64, heads=4,
+                  head_dim=16, seed=7, modules=("q_proj", "v_proj"),
+                  kv_heads=2)
+
+    loop = asyncio.new_event_loop()
+    thread = threading.Thread(target=loop.run_forever, daemon=True)
+    thread.start()
+    holder = {}
+
+    async def setup():
+        config = EngineConfig(
+            model=ModelConfig(model=tiny_model_dir, dtype="float32",
+                              max_model_len=256),
+            cache=CacheConfig(block_size=16, num_gpu_blocks=64),
+            scheduler=SchedulerConfig(max_num_seqs=8,
+                                      max_num_batched_tokens=128),
+            lora=LoRAConfig(max_loras=2, max_rank=8),
+        )
+        engine = AsyncLLM.from_engine_config(config)
+        client = TestClient(TestServer(build_app(engine, "tiny-qwen3")))
+        await client.start_server()
+        holder["engine"] = engine
+        holder["client"] = client
+        holder["adapter"] = str(ad_dir / "dyn")
+
+    asyncio.run_coroutine_threadsafe(setup(), loop).result(timeout=120)
+
+    def run(coro_fn, timeout=120):
+        return asyncio.run_coroutine_threadsafe(
+            coro_fn(holder["client"], holder), loop).result(timeout=timeout)
+
+    yield run
+
+    async def teardown():
+        await holder["client"].close()
+        holder["engine"].shutdown()
+
+    asyncio.run_coroutine_threadsafe(teardown(), loop).result(timeout=30)
+    loop.call_soon_threadsafe(loop.stop)
+    thread.join(timeout=10)
+
+
+def test_pooling(serve):
+    async def body(client, _):
+        r = await client.post("/pooling", json={"input": "hello world"})
+        assert r.status == 200, await r.text()
+        data = await r.json()
+        assert data["data"][0]["object"] == "pooling"
+        vec = data["data"][0]["data"]
+        assert isinstance(vec, list) and len(vec) == 64  # hidden size
+    serve(body)
+
+
+def test_invocations_dispatch(serve):
+    async def body(client, _):
+        r = await client.post("/invocations", json={
+            "prompt": "hello", "max_tokens": 3, "temperature": 0.0,
+            "ignore_eos": True})
+        assert r.status == 200, await r.text()
+        assert (await r.json())["object"] == "text_completion"
+
+        r = await client.post("/invocations", json={
+            "messages": [{"role": "user", "content": "hello"}],
+            "max_tokens": 3, "temperature": 0.0, "ignore_eos": True})
+        assert r.status == 200, await r.text()
+        assert (await r.json())["object"] == "chat.completion"
+
+        r = await client.post("/invocations", json={"input": "hello"})
+        assert r.status == 200, await r.text()
+        assert (await r.json())["object"] == "list"
+
+        r = await client.post("/invocations", json={"bogus": 1})
+        assert r.status == 400
+    serve(body)
+
+
+def test_responses_store_and_get(serve):
+    async def body(client, _):
+        r = await client.post("/v1/responses", json={
+            "input": "hello", "max_output_tokens": 4})
+        assert r.status == 200, await r.text()
+        data = await r.json()
+        assert data["status"] == "completed"
+        rid = data["id"]
+        r2 = await client.get(f"/v1/responses/{rid}")
+        assert r2.status == 200
+        got = await r2.json()
+        assert got["id"] == rid and got["status"] == "completed"
+        assert got["output"][0]["content"][0]["type"] == "output_text"
+
+        r3 = await client.get("/v1/responses/resp_nonexistent")
+        assert r3.status == 404
+    serve(body)
+
+
+def test_responses_background_and_cancel(serve):
+    async def body(client, _):
+        r = await client.post("/v1/responses", json={
+            "input": "hello", "max_output_tokens": 64,
+            "background": True})
+        assert r.status == 200, await r.text()
+        data = await r.json()
+        rid = data["id"]
+        assert data["status"] in ("in_progress", "completed")
+        r2 = await client.post(f"/v1/responses/{rid}/cancel")
+        assert r2.status == 200
+        got = await r2.json()
+        assert got["status"] in ("cancelled", "completed")
+        # terminal state is stable and queryable
+        r3 = await client.get(f"/v1/responses/{rid}")
+        assert (await r3.json())["status"] == got["status"]
+    serve(body)
+
+
+def test_sleep_wake_cycle(serve):
+    async def body(client, _):
+        r = await client.get("/is_sleeping")
+        assert (await r.json())["is_sleeping"] is False
+        assert (await client.post("/sleep?level=1")).status == 200
+        r = await client.get("/is_sleeping")
+        assert (await r.json())["is_sleeping"] is True
+        assert (await client.post("/wake_up")).status == 200
+        r = await client.get("/is_sleeping")
+        assert (await r.json())["is_sleeping"] is False
+        # the engine still serves after a sleep/wake cycle
+        r = await client.post("/v1/completions", json={
+            "prompt": "hello", "max_tokens": 3, "temperature": 0.0,
+            "ignore_eos": True})
+        assert r.status == 200, await r.text()
+    serve(body)
+
+
+def test_lora_load_unload_endpoints(serve):
+    async def body(client, holder):
+        r = await client.post("/v1/load_lora_adapter", json={
+            "lora_name": "dyn", "lora_path": holder["adapter"]})
+        assert r.status == 200, await r.text()
+        assert "added" in await r.text()
+        # duplicate load fails cleanly
+        r = await client.post("/v1/load_lora_adapter", json={
+            "lora_name": "dyn", "lora_path": holder["adapter"]})
+        assert r.status == 400
+        r = await client.post("/v1/unload_lora_adapter",
+                              json={"lora_name": "dyn"})
+        assert r.status == 200, await r.text()
+        r = await client.post("/v1/unload_lora_adapter",
+                              json={"lora_name": "dyn"})
+        assert r.status == 400
+    serve(body)

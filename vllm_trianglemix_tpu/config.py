@@ -241,13 +241,21 @@ class SpeculativeConfig:
 class LoRAConfig:
     """Multi-LoRA serving (reference vllm/lora/ role): adapters are
     registered at engine build (name -> HF/peft adapter directory) and
-    selected per request."""
+    selected per request. ``max_loras``/``max_rank`` preallocate slot
+    capacity for runtime /v1/load_lora_adapter (reference
+    api_server.py:1217) — stacks keep a fixed shape so hot-swapping an
+    adapter never recompiles."""
 
     modules: dict[str, str] = field(default_factory=dict)
+    # Total adapter slots to preallocate (0 = just the initial modules).
+    max_loras: int = 0
+    # Rank capacity for dynamically loaded adapters (0 = derive from the
+    # initial adapters; 16 if serving starts with none).
+    max_rank: int = 0
 
     @property
     def enabled(self) -> bool:
-        return bool(self.modules)
+        return bool(self.modules) or self.max_loras > 0
 
 
 @dataclass

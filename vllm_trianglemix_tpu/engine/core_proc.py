@@ -89,6 +89,34 @@ def _engine_core_main(engine_config: EngineConfig, input_addr: str,
             elif kind == "reload_weights":
                 engine_core.executor.reload_weights(payload)
                 output_sock.send(pickle.dumps(("reloaded", None)))
+            elif kind == "sleep":
+                try:
+                    engine_core.scheduler.kv_cache_manager \
+                        .reset_prefix_cache()
+                    engine_core.executor.sleep(payload)
+                    output_sock.send(pickle.dumps(("slept", None)))
+                except Exception as e:  # noqa: BLE001
+                    output_sock.send(pickle.dumps(("slept", repr(e))))
+            elif kind == "wake":
+                engine_core.executor.wake_up()
+                output_sock.send(pickle.dumps(("woke", None)))
+            elif kind == "is_sleeping":
+                output_sock.send(pickle.dumps(
+                    ("sleeping", engine_core.executor.is_sleeping())))
+            elif kind == "load_lora":
+                try:
+                    engine_core.executor.load_lora_adapter(*payload)
+                    output_sock.send(pickle.dumps(("lora_loaded", None)))
+                except Exception as e:  # noqa: BLE001
+                    output_sock.send(pickle.dumps(("lora_loaded",
+                                                   repr(e))))
+            elif kind == "unload_lora":
+                try:
+                    engine_core.executor.unload_lora_adapter(payload)
+                    output_sock.send(pickle.dumps(("lora_unloaded", None)))
+                except Exception as e:  # noqa: BLE001
+                    output_sock.send(pickle.dumps(("lora_unloaded",
+                                                   repr(e))))
             elif kind == "shutdown":
                 running = False
                 break
@@ -262,6 +290,32 @@ class EngineCoreClient:
     def reload_weights(self, path: Optional[str] = None) -> None:
         self._send("reload_weights", path)
         self._recv_kind("reloaded", timeout=3600.0)
+
+    def sleep(self, level: int = 1) -> None:
+        self._send("sleep", level)
+        err = self._recv_kind("slept", timeout=600.0)
+        if err is not None:
+            raise ValueError(err)
+
+    def wake_up(self) -> None:
+        self._send("wake", None)
+        self._recv_kind("woke", timeout=3600.0)
+
+    def is_sleeping(self) -> bool:
+        self._send("is_sleeping", None)
+        return bool(self._recv_kind("sleeping", timeout=600.0))
+
+    def load_lora_adapter(self, name: str, path: str) -> None:
+        self._send("load_lora", (name, path))
+        err = self._recv_kind("lora_loaded", timeout=600.0)
+        if err is not None:
+            raise ValueError(err)
+
+    def unload_lora_adapter(self, name: str) -> None:
+        self._send("unload_lora", name)
+        err = self._recv_kind("lora_unloaded", timeout=600.0)
+        if err is not None:
+            raise ValueError(err)
 
     def shutdown(self) -> None:
         if self._dead or self.proc is None:

@@ -140,6 +140,44 @@ class LLMEngine:
             return core.scheduler.kv_cache_manager.reset_prefix_cache()
         return core.reset_prefix_cache()  # MP engine client
 
+    def sleep(self, level: int = 1) -> None:
+        """Release device memory for RLHF colocation (reference sleep
+        mode, api_server.py:1001 + cumem allocator role). The engine
+        must be idle; the prefix cache is flushed because the KV pool is
+        dropped."""
+        if self.has_unfinished_requests():
+            raise ValueError("cannot sleep with unfinished requests")
+        self.reset_prefix_cache()
+        if hasattr(self.engine_core, "executor"):
+            self.engine_core.executor.sleep(level)
+        else:
+            self.engine_core.sleep(level)  # MP engine client
+
+    def wake_up(self) -> None:
+        if hasattr(self.engine_core, "executor"):
+            self.engine_core.executor.wake_up()
+        else:
+            self.engine_core.wake_up()  # MP engine client
+
+    def is_sleeping(self) -> bool:
+        if hasattr(self.engine_core, "executor"):
+            return self.engine_core.executor.is_sleeping()
+        return self.engine_core.is_sleeping()  # MP engine client
+
+    def load_lora_adapter(self, name: str, path: str) -> None:
+        """Runtime adapter registration (reference /v1/load_lora_adapter,
+        api_server.py:1217)."""
+        if hasattr(self.engine_core, "executor"):
+            self.engine_core.executor.load_lora_adapter(name, path)
+        else:
+            self.engine_core.load_lora_adapter(name, path)
+
+    def unload_lora_adapter(self, name: str) -> None:
+        if hasattr(self.engine_core, "executor"):
+            self.engine_core.executor.unload_lora_adapter(name)
+        else:
+            self.engine_core.unload_lora_adapter(name)
+
     def shutdown(self) -> None:
         if hasattr(self.engine_core, "shutdown"):
             self.engine_core.shutdown()

@@ -53,6 +53,8 @@ class LLM:
         trianglemix: Optional[TriangleMixConfig] = None,
         speculative_config: Optional[dict] = None,
         lora_modules: Optional[dict] = None,
+        max_loras: int = 0,
+        max_lora_rank: int = 0,
         seed: int = 0,
         skip_tokenizer_init: bool = False,
         warmup: bool = False,
@@ -96,7 +98,9 @@ class LLM:
             trianglemix=trianglemix or TriangleMixConfig(),
             speculative=(SpeculativeConfig(**speculative_config)
                          if speculative_config else SpeculativeConfig()),
-            lora=LoRAConfig(modules=lora_modules or {}),
+            lora=LoRAConfig(modules=lora_modules or {},
+                            max_loras=max_loras,
+                            max_rank=max_lora_rank),
         )
         self.llm_engine = LLMEngine.from_engine_config(self.engine_config)
         if warmup:

@@ -37,6 +37,7 @@ ENGINE_KEY = web.AppKey("engine", AsyncLLM)
 MODEL_KEY = web.AppKey("model_name", str)
 TOOL_PARSER_KEY = web.AppKey("tool_call_parser", str)
 REASONING_PARSER_KEY = web.AppKey("reasoning_parser", str)
+RESPONSES_KEY = web.AppKey("responses_store", dict)
 
 
 def _json_error(message: str, status: int = 400) -> web.Response:
@@ -599,10 +600,48 @@ async def create_classify(request: web.Request) -> web.Response:
     })
 
 
+def _response_json(entry: dict) -> dict:
+    return {k: v for k, v in entry.items() if not k.startswith("_")}
+
+
+async def _run_response(engine: AsyncLLM, entry: dict, prompt_ids,
+                        params, request_id: str) -> None:
+    try:
+        final = await engine.generate_once(prompt_ids, params, request_id)
+    except asyncio.CancelledError:
+        entry["status"] = "cancelled"
+        await engine.abort(request_id)
+        return
+    except Exception as e:  # noqa: BLE001
+        entry["status"] = "failed"
+        entry["error"] = {"message": str(e)}
+        return
+    comp = final.outputs[0]
+    entry["status"] = "completed"
+    entry["output"] = [{
+        "type": "message",
+        "id": f"msg_{uuid.uuid4().hex}",
+        "role": "assistant",
+        "status": "completed",
+        "content": [{
+            "type": "output_text",
+            "text": comp.text,
+            "annotations": [],
+        }],
+    }]
+    entry["usage"] = {
+        "input_tokens": len(final.prompt_token_ids),
+        "output_tokens": len(comp.token_ids),
+        "total_tokens": (len(final.prompt_token_ids)
+                         + len(comp.token_ids)),
+    }
+
+
 async def create_response(request: web.Request) -> web.Response:
     """/v1/responses (reference serving_responses.py, core subset): the
     OpenAI Responses API over the chat machinery — string or message-list
-    input, optional instructions, non-background, non-streaming."""
+    input, optional instructions, stored responses (GET /v1/responses/{id}),
+    and background mode with cancellation."""
     app = request.app
     engine = app[ENGINE_KEY]
     tokenizer = engine.tokenizer
@@ -641,37 +680,189 @@ async def create_response(request: web.Request) -> web.Response:
         top_p=float(body.get("top_p", 1.0)),
     )
     request_id = f"resp_{uuid.uuid4().hex}"
+    entry = {
+        "id": request_id,
+        "object": "response",
+        "created_at": int(time.time()),
+        "status": "in_progress",
+        "background": bool(body.get("background")),
+        "model": body.get("model") or app[MODEL_KEY],
+        "output": [],
+    }
+    if body.get("store", True):
+        app[RESPONSES_KEY][request_id] = entry
+
+    coro = _run_response(engine, entry, prompt_ids, params, request_id)
+    if body.get("background"):
+        entry["_task"] = asyncio.get_running_loop().create_task(coro)
+        return web.json_response(_response_json(entry))
+    await coro
+    if entry["status"] == "failed":
+        return _json_error(entry["error"]["message"], 500)
+    return web.json_response(_response_json(entry))
+
+
+async def get_response(request: web.Request) -> web.Response:
+    """GET /v1/responses/{id} (reference api_server.py:533)."""
+    entry = request.app[RESPONSES_KEY].get(
+        request.match_info["response_id"])
+    if entry is None:
+        return _json_error("response not found", 404)
+    return web.json_response(_response_json(entry))
+
+
+async def cancel_response(request: web.Request) -> web.Response:
+    """POST /v1/responses/{id}/cancel (reference api_server.py:564):
+    cancel an in-flight background response."""
+    entry = request.app[RESPONSES_KEY].get(
+        request.match_info["response_id"])
+    if entry is None:
+        return _json_error("response not found", 404)
+    task = entry.get("_task")
+    if entry["status"] == "in_progress" and task is not None:
+        task.cancel()
+        try:
+            await task
+        except asyncio.CancelledError:
+            pass
+        entry["status"] = "cancelled"
+    return web.json_response(_response_json(entry))
+
+
+async def create_pooling(request: web.Request) -> web.Response:
+    """/pooling (reference api_server.py:701 serving_pooling): raw pooled
+    hidden-state vectors without the embedding-API normalization."""
+    app = request.app
+    engine = app[ENGINE_KEY]
     try:
-        final = await engine.generate_once(prompt_ids, params, request_id)
+        body = await request.json()
+        inputs = body["input"]
+    except Exception as e:  # noqa: BLE001
+        return _json_error(str(e))
+    if isinstance(inputs, str):
+        inputs = [inputs]
+    elif isinstance(inputs, list) and inputs and isinstance(inputs[0], int):
+        inputs = [inputs]
+
+    request_id = f"pool-{uuid.uuid4().hex}"
+    try:
+        vecs, n_tok = await _embed_texts(engine, inputs, request_id,
+                                         normalize=False)
     except EngineDeadError as e:
         return _json_error(str(e), 500)
     except ValueError as e:
         return _json_error(str(e))
-    comp = final.outputs[0]
     return web.json_response({
         "id": request_id,
-        "object": "response",
-        "created_at": int(time.time()),
-        "status": "completed",
+        "object": "list",
+        "created": int(time.time()),
         "model": body.get("model") or app[MODEL_KEY],
-        "output": [{
-            "type": "message",
-            "id": f"msg_{uuid.uuid4().hex}",
-            "role": "assistant",
-            "status": "completed",
-            "content": [{
-                "type": "output_text",
-                "text": comp.text,
-                "annotations": [],
-            }],
-        }],
-        "usage": {
-            "input_tokens": len(final.prompt_token_ids),
-            "output_tokens": len(comp.token_ids),
-            "total_tokens": (len(final.prompt_token_ids)
-                             + len(comp.token_ids)),
-        },
+        "data": [{"object": "pooling", "index": i, "data": v}
+                 for i, v in enumerate(vecs)],
+        "usage": {"prompt_tokens": n_tok, "total_tokens": n_tok},
     })
+
+
+async def invocations(request: web.Request) -> web.StreamResponse:
+    """/invocations (reference api_server.py:1148, SageMaker entry):
+    dispatch on the payload shape to chat / completions / embeddings."""
+    try:
+        body = await request.json()
+    except Exception as e:  # noqa: BLE001
+        return _json_error(str(e))
+    if "messages" in body:
+        return await create_chat_completion(_Rewound(request, body))
+    if "prompt" in body:
+        return await create_completion(_Rewound(request, body))
+    if "input" in body:
+        return await create_embeddings(_Rewound(request, body))
+    return _json_error(
+        "cannot infer task: provide 'messages', 'prompt', or 'input'")
+
+
+class _Rewound:
+    """Minimal request proxy that re-serves an already-read JSON body."""
+
+    def __init__(self, request: web.Request, body: dict) -> None:
+        self._request = request
+        self._body = body
+
+    def __getattr__(self, name):
+        return getattr(self._request, name)
+
+    async def json(self):
+        return self._body
+
+
+async def sleep_engine(request: web.Request) -> web.Response:
+    """/sleep?level=1|2 (reference api_server.py:1001): release device
+    memory for RLHF colocation. Level 1 keeps weights on host for a fast
+    wake; level 2 drops them (wake reloads from the checkpoint)."""
+    engine = request.app[ENGINE_KEY]
+    try:
+        level = int(request.query.get("level", "1"))
+    except ValueError:
+        return _json_error("level must be an integer")
+    try:
+        await asyncio.get_running_loop().run_in_executor(
+            None, engine.engine.sleep, level)
+    except Exception as e:  # noqa: BLE001
+        return _json_error(str(e), 500)
+    return web.Response(status=200)
+
+
+async def wake_engine(request: web.Request) -> web.Response:
+    engine = request.app[ENGINE_KEY]
+    try:
+        await asyncio.get_running_loop().run_in_executor(
+            None, engine.engine.wake_up)
+    except Exception as e:  # noqa: BLE001
+        return _json_error(str(e), 500)
+    return web.Response(status=200)
+
+
+async def is_sleeping(request: web.Request) -> web.Response:
+    engine = request.app[ENGINE_KEY]
+    return web.json_response(
+        {"is_sleeping": bool(engine.engine.is_sleeping())})
+
+
+async def load_lora_adapter(request: web.Request) -> web.Response:
+    """/v1/load_lora_adapter (reference api_server.py:1217): hot-load a
+    peft adapter into a preallocated slot."""
+    engine = request.app[ENGINE_KEY]
+    try:
+        body = await request.json()
+        name, path = body["lora_name"], body["lora_path"]
+    except Exception as e:  # noqa: BLE001
+        return _json_error(str(e))
+    try:
+        await asyncio.get_running_loop().run_in_executor(
+            None, engine.engine.load_lora_adapter, name, path)
+    except ValueError as e:
+        return _json_error(str(e))
+    except Exception as e:  # noqa: BLE001
+        return _json_error(str(e), 500)
+    return web.Response(
+        text=f"Success: LoRA adapter '{name}' added successfully.")
+
+
+async def unload_lora_adapter(request: web.Request) -> web.Response:
+    engine = request.app[ENGINE_KEY]
+    try:
+        body = await request.json()
+        name = body["lora_name"]
+    except Exception as e:  # noqa: BLE001
+        return _json_error(str(e))
+    try:
+        await asyncio.get_running_loop().run_in_executor(
+            None, engine.engine.unload_lora_adapter, name)
+    except ValueError as e:
+        return _json_error(str(e))
+    except Exception as e:  # noqa: BLE001
+        return _json_error(str(e), 500)
+    return web.Response(
+        text=f"Success: LoRA adapter '{name}' removed successfully.")
 
 
 async def start_profile(request: web.Request) -> web.Response:
@@ -750,7 +941,18 @@ def build_app(engine: AsyncLLM, model_name: str,
     app.router.add_post("/v1/completions", create_completion)
     app.router.add_post("/v1/chat/completions", create_chat_completion)
     app.router.add_post("/v1/embeddings", create_embeddings)
+    app[RESPONSES_KEY] = {}
     app.router.add_post("/v1/responses", create_response)
+    app.router.add_get("/v1/responses/{response_id}", get_response)
+    app.router.add_post("/v1/responses/{response_id}/cancel",
+                        cancel_response)
+    app.router.add_post("/pooling", create_pooling)
+    app.router.add_post("/invocations", invocations)
+    app.router.add_post("/sleep", sleep_engine)
+    app.router.add_post("/wake_up", wake_engine)
+    app.router.add_get("/is_sleeping", is_sleeping)
+    app.router.add_post("/v1/load_lora_adapter", load_lora_adapter)
+    app.router.add_post("/v1/unload_lora_adapter", unload_lora_adapter)
     app.router.add_post("/classify", create_classify)
     app.router.add_post("/v1/classify", create_classify)
     app.router.add_post("/v1/score", create_score)

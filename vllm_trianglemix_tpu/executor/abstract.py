@@ -70,4 +70,22 @@ class Executor(ABC):
 
     def profile_stop(self) -> None: ...
 
+    def sleep(self, level: int = 1) -> None:
+        raise NotImplementedError
+
+    def wake_up(self) -> None:
+        raise NotImplementedError
+
+    def is_sleeping(self) -> bool:
+        return False
+
+    def load_lora_adapter(self, name: str, path: str) -> None:
+        raise NotImplementedError
+
+    def unload_lora_adapter(self, name: str) -> None:
+        raise NotImplementedError
+
+    def list_lora_adapters(self) -> list:
+        return []
+
     def shutdown(self) -> None: ...

@@ -146,6 +146,19 @@ class MultiHostExecutor(Executor):
     def profile_stop(self) -> None:
         self.worker.profile_stop()
 
+    def load_lora_adapter(self, name: str, path: str) -> None:
+        # Every host updates its shard of the slot stacks in lockstep
+        # (the path must be visible on all hosts, like the checkpoint).
+        self._bcast("load_lora", (name, path))
+        self.worker.load_lora_adapter(name, path)
+
+    def unload_lora_adapter(self, name: str) -> None:
+        self._bcast("unload_lora", name)
+        self.worker.unload_lora_adapter(name)
+
+    def list_lora_adapters(self) -> list:
+        return self.worker.list_lora_adapters()
+
     def shutdown(self) -> None:
         try:
             self.pub.send(pickle.dumps(("shutdown", None)))
@@ -197,6 +210,10 @@ def run_worker_loop(engine_config: EngineConfig) -> None:
                 worker.compile_or_warm_up_model()
             elif kind == "reload_weights":
                 worker.reload_weights(payload)
+            elif kind == "load_lora":
+                worker.load_lora_adapter(*payload)
+            elif kind == "unload_lora":
+                worker.unload_lora_adapter(payload)
             elif kind == "shutdown":
                 logger.info("host %d: shutdown", p.host_id)
                 return

@@ -46,3 +46,21 @@ class UniProcExecutor(Executor):
 
     def profile_stop(self) -> None:
         self.worker.profile_stop()
+
+    def sleep(self, level: int = 1) -> None:
+        self.worker.sleep(level)
+
+    def wake_up(self) -> None:
+        self.worker.wake_up()
+
+    def is_sleeping(self) -> bool:
+        return self.worker.is_sleeping()
+
+    def load_lora_adapter(self, name: str, path: str) -> None:
+        self.worker.load_lora_adapter(name, path)
+
+    def unload_lora_adapter(self, name: str) -> None:
+        self.worker.unload_lora_adapter(name)
+
+    def list_lora_adapters(self) -> list:
+        return self.worker.list_lora_adapters()

@@ -88,29 +88,62 @@ class LoRAAdapter:
                     break
 
 
+def adapter_slot_arrays(path: str, num_layers: int,
+                        shapes: dict[str, tuple[int, int]],
+                        max_rank: int) -> dict:
+    """One adapter's per-module slot tensors (numpy), rank-padded to
+    ``max_rank``: mod -> (A [L, D_in, r_max], B [L, r_max, D_out]).
+    Used by dynamic adapter loading (reference /v1/load_lora_adapter)."""
+    ad = LoRAAdapter(path)
+    if ad.rank > max_rank:
+        raise ValueError(
+            f"adapter rank {ad.rank} exceeds the serving max_rank "
+            f"{max_rank}; raise LoRAConfig.max_rank")
+    out = {}
+    for mod, (din, dout) in shapes.items():
+        A = np.zeros((num_layers, din, max_rank), np.float32)
+        B = np.zeros((num_layers, max_rank, dout), np.float32)
+        for li, (a, b) in ad.weights.get(mod, {}).items():
+            if a is None or b is None or li >= num_layers:
+                continue
+            r = a.shape[0]
+            A[li, :, :r] = a.T                     # [D_in, r]
+            B[li, :r, :] = b.T * ad.scaling        # [r, D_out]
+        out[mod] = (A, B)
+    return out
+
+
 def load_lora_stacks(module_paths: dict[str, str], num_layers: int,
                      shapes: dict[str, tuple[int, int]],
-                     dtype=jnp.bfloat16):
+                     dtype=jnp.bfloat16, n_slots: int = 0,
+                     max_rank: int = 0):
     """Load adapters into slot-stacked tensors.
 
     module_paths: adapter name -> directory. shapes: module key ->
-    (D_in, D_out) of the base projection. Returns (stacks, slot_map,
-    max_rank) where stacks[m] = (A, B) jnp arrays and slot_map maps
-    adapter name -> slot index (0 reserved for no-LoRA).
+    (D_in, D_out) of the base projection. ``n_slots``/``max_rank`` grow
+    the capacity beyond the initial adapters (free slots for dynamic
+    /v1/load_lora_adapter). Returns (stacks, slot_map, max_rank) where
+    stacks[m] = (A, B) jnp arrays and slot_map maps adapter name -> slot
+    index (0 reserved for no-LoRA).
     """
     adapters = {name: LoRAAdapter(path)
                 for name, path in module_paths.items()}
-    if not adapters:
+    if not adapters and n_slots <= 1:
         return None, {}, 0
-    max_rank = max(a.rank for a in adapters.values())
-    n_slots = len(adapters) + 1
+    max_rank = max([a.rank for a in adapters.values()] + [max_rank or 0])
+    if max_rank <= 0:
+        max_rank = 16   # dynamic-only serving with no rank hint
+    n_slots = max(len(adapters) + 1, n_slots)
     slot_map = {name: i + 1 for i, name in enumerate(sorted(adapters))}
 
+    # With dynamic capacity every module keeps a stack (a later adapter
+    # may touch modules the initial set doesn't).
+    keep_all = n_slots > len(adapters) + 1
     stacks = {}
     for mod, (din, dout) in shapes.items():
         A = np.zeros((num_layers, n_slots, din, max_rank), np.float32)
         B = np.zeros((num_layers, n_slots, max_rank, dout), np.float32)
-        used = False
+        used = keep_all
         for name, ad in adapters.items():
             slot = slot_map[name]
             per_layer = ad.weights.get(mod, {})
@@ -124,6 +157,7 @@ def load_lora_stacks(module_paths: dict[str, str], num_layers: int,
                 used = True
         if used:
             stacks[mod] = (jnp.asarray(A, dtype), jnp.asarray(B, dtype))
-    logger.info("loaded %d LoRA adapter(s), max rank %d, modules: %s",
-                len(adapters), max_rank, sorted(stacks))
+    logger.info("loaded %d LoRA adapter(s), %d slots, max rank %d, "
+                "modules: %s", len(adapters), n_slots, max_rank,
+                sorted(stacks))
     return stacks, slot_map, max_rank

@@ -161,6 +161,7 @@ class ModelRunner:
         # --- LoRA adapter stacks ---------------------------------------------
         self.lora_stacks = None
         self.lora_slot_map: dict[str, int] = {}
+        self._jit_lora_slot_set = None
         if engine_config.lora.enabled:
             from vllm_trianglemix_tpu.lora.loader import load_lora_stacks
 
@@ -178,9 +179,13 @@ class ModelRunner:
                 "up_proj": (c.hidden_size, c.intermediate_size),
                 "down_proj": (c.intermediate_size, c.hidden_size),
             }
-            self.lora_stacks, self.lora_slot_map, _ = load_lora_stacks(
-                engine_config.lora.modules, c.num_hidden_layers, shapes,
-                dtype=self.dtype)
+            self._lora_shapes = shapes
+            self.lora_stacks, self.lora_slot_map, self._lora_max_rank = \
+                load_lora_stacks(
+                    engine_config.lora.modules, c.num_hidden_layers,
+                    shapes, dtype=self.dtype,
+                    n_slots=engine_config.lora.max_loras + 1,
+                    max_rank=engine_config.lora.max_rank)
 
         # --- TriangleMix per-layer flags -------------------------------------
         tri = np.zeros(self.cfg.num_hidden_layers, dtype=bool)
@@ -1637,6 +1642,113 @@ class ModelRunner:
                 self.model_config.model = old
         else:
             self.params = self._load_params()
+
+    # --- sleep / wake (RLHF colocation) ------------------------------------
+    def sleep(self, level: int = 1) -> None:
+        """Release device memory (reference sleep mode, core.py:377 +
+        cumem allocator role — on TPU simply dropping the array refs
+        frees HBM). Level 1 keeps weights host-side for a fast wake;
+        level 2 drops them (wake reloads from the checkpoint)."""
+        if getattr(self, "_sleep_level", 0):
+            return
+        if self.engine_config.parallel.num_hosts > 1:
+            raise ValueError("sleep mode is unsupported with multi-host "
+                             "serving")
+        self._wake_kv = (self.kv_caches.shape, self.kv_caches.dtype,
+                         self.kv_caches.sharding)
+        self._wake_param_shardings = jax.tree_util.tree_map(
+            lambda x: x.sharding, self.params)
+        if level < 2:
+            self._host_params = jax.device_get(self.params)
+        else:
+            self._host_params = None
+        self.params = None
+        self.kv_caches = None
+        self._prev_sampled = None
+        self._sleep_level = level
+        logger.info("engine asleep (level %d)", level)
+
+    def wake_up(self) -> None:
+        if not getattr(self, "_sleep_level", 0):
+            return
+        if self._host_params is not None:
+            self.params = jax.tree_util.tree_map(
+                jax.device_put, self._host_params,
+                self._wake_param_shardings)
+            self._host_params = None
+        else:
+            self.params = self._load_params()
+        shape, dtype, sharding = self._wake_kv
+        self.kv_caches = jax.jit(
+            lambda: jnp.zeros(shape, dtype), out_shardings=sharding)()
+        self._prev_sampled = jnp.zeros(self._req_pad_max, jnp.int32)
+        self._sleep_level = 0
+        logger.info("engine awake")
+
+    def is_sleeping(self) -> bool:
+        return bool(getattr(self, "_sleep_level", 0))
+
+    # --- dynamic LoRA (reference /v1/load_lora_adapter) --------------------
+    def load_lora_adapter(self, name: str, path: str) -> None:
+        """Hot-load a peft adapter into a free preallocated slot. Stack
+        shapes never change, so no recompilation happens. Note: prefix
+        caching salts block hashes with the adapter NAME — reusing a
+        name for different weights within one engine lifetime could hit
+        stale cached KV; use fresh names."""
+        if self.lora_stacks is None:
+            raise ValueError(
+                "LoRA serving is not enabled; start with --lora-modules "
+                "or LoRAConfig.max_loras > 0")
+        if name in self.lora_slot_map:
+            raise ValueError(f"LoRA adapter {name!r} is already loaded")
+        from vllm_trianglemix_tpu.lora.loader import adapter_slot_arrays
+
+        any_a, _ = next(iter(self.lora_stacks.values()))
+        n_slots = any_a.shape[1]
+        used = set(self.lora_slot_map.values())
+        free = next((s for s in range(1, n_slots) if s not in used), None)
+        if free is None:
+            raise ValueError(
+                f"no free LoRA slots ({n_slots - 1} in use); raise "
+                "LoRAConfig.max_loras")
+        arrs = adapter_slot_arrays(path, self.cfg.num_hidden_layers,
+                                   self._lora_shapes, self._lora_max_rank)
+        if self._jit_lora_slot_set is None:
+            self._jit_lora_slot_set = jax.jit(
+                lambda S, slot, val: S.at[:, slot].set(
+                    val.astype(S.dtype)), donate_argnums=(0,))
+        for mod in list(self.lora_stacks):
+            A, B = self.lora_stacks[mod]
+            a_new, b_new = arrs[mod]
+            self.lora_stacks[mod] = (
+                self._jit_lora_slot_set(A, free, a_new),
+                self._jit_lora_slot_set(B, free, b_new),
+            )
+        self.lora_slot_map[name] = free
+        logger.info("loaded LoRA adapter %r into slot %d", name, free)
+
+    def unload_lora_adapter(self, name: str) -> None:
+        if name not in self.lora_slot_map:
+            raise ValueError(f"LoRA adapter {name!r} is not loaded")
+        slot = self.lora_slot_map.pop(name)
+        if self._jit_lora_slot_set is None:
+            self._jit_lora_slot_set = jax.jit(
+                lambda S, slot, val: S.at[:, slot].set(
+                    val.astype(S.dtype)), donate_argnums=(0,))
+        # Zero the slot so a request racing with the unload applies a
+        # no-op delta rather than the dead adapter.
+        for mod in list(self.lora_stacks):
+            A, B = self.lora_stacks[mod]
+            zero_a = jnp.zeros(A.shape[:1] + A.shape[2:], A.dtype)
+            zero_b = jnp.zeros(B.shape[:1] + B.shape[2:], B.dtype)
+            self.lora_stacks[mod] = (
+                self._jit_lora_slot_set(A, slot, zero_a),
+                self._jit_lora_slot_set(B, slot, zero_b),
+            )
+        logger.info("unloaded LoRA adapter %r (slot %d)", name, slot)
+
+    def list_lora_adapters(self) -> list[str]:
+        return sorted(self.lora_slot_map)
 
     def _run_kv_connector_ops(self, scheduler_output) -> None:
         """Execute the step's external-KV transfers (reference

@@ -106,3 +106,21 @@ class Worker:
 
     def profile_stop(self) -> None:
         jax.profiler.stop_trace()
+
+    def sleep(self, level: int = 1) -> None:
+        self.model_runner.sleep(level)
+
+    def wake_up(self) -> None:
+        self.model_runner.wake_up()
+
+    def is_sleeping(self) -> bool:
+        return self.model_runner.is_sleeping()
+
+    def load_lora_adapter(self, name: str, path: str) -> None:
+        self.model_runner.load_lora_adapter(name, path)
+
+    def unload_lora_adapter(self, name: str) -> None:
+        self.model_runner.unload_lora_adapter(name)
+
+    def list_lora_adapters(self) -> list[str]:
+        return self.model_runner.list_lora_adapters()
