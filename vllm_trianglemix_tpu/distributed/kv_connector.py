@@ -148,7 +148,154 @@ class CPUOffloadConnector(KVConnectorBase):
             self.stats_evicted += 1
 
 
+class P2PProducerConnector(CPUOffloadConnector):
+    """Prefill-side of engine-to-engine KV transfer (reference
+    NixlConnector / P2P connector role, kv_transfer/kv_connector/v1/
+    nixl_connector.py — RDMA replaced by ZMQ over DCN/host network).
+
+    Blocks the prefill engine fills are kept in a host-RAM LRU (the
+    CPUOffloadConnector store) and served to decode engines from a ZMQ
+    ROUTER: ("has", [hashes]) -> [bool], ("get", hash) -> block bytes.
+    """
+
+    def __init__(self, address: str, max_bytes: int = 4 << 30) -> None:
+        super().__init__(max_bytes)
+        import threading
+
+        import zmq
+
+        self.address = address
+        self._ctx = zmq.Context()
+        self._sock = self._ctx.socket(zmq.ROUTER)
+        self._sock.bind(address)
+        self._lock = threading.Lock()
+        self._stop = False
+        self._thread = threading.Thread(target=self._serve, daemon=True,
+                                        name="kv-p2p-server")
+        self._thread.start()
+        logger.info("P2P KV producer serving at %s", address)
+
+    # LRU mutations come from the engine thread; serving from the server
+    # thread — guard the shared store.
+    def save_block(self, h: str, kv: np.ndarray) -> None:
+        with self._lock:
+            super().save_block(h, kv)
+
+    def load_block(self, h: str):
+        with self._lock:
+            return super().load_block(h)
+
+    def _serve(self) -> None:
+        import pickle
+
+        import zmq
+
+        while not self._stop:
+            try:
+                if not self._sock.poll(200):
+                    continue
+                ident, _, raw = self._sock.recv_multipart()
+                kind, payload = pickle.loads(raw)
+                if kind == "has":
+                    with self._lock:
+                        reply = [h in self._store for h in payload]
+                elif kind == "get":
+                    with self._lock:
+                        kv = self._store.get(payload)
+                        if kv is not None:
+                            self._store.move_to_end(payload)
+                    reply = kv
+                else:
+                    reply = None
+                self._sock.send_multipart(
+                    [ident, b"", pickle.dumps(reply, protocol=5)])
+            except zmq.ZMQError:
+                if self._stop:
+                    return
+            except Exception:  # noqa: BLE001
+                logger.exception("P2P KV server error")
+
+    def close(self) -> None:
+        self._stop = True
+        self._thread.join(timeout=2)
+        self._sock.close(0)
+        self._ctx.term()
+
+
+class P2PConsumerConnector(KVConnectorBase):
+    """Decode-side: pull KV blocks from a prefill engine's producer over
+    ZMQ. Misses and timeouts degrade to recompute (return 0 / None) —
+    a dead producer must never wedge the decode engine."""
+
+    def __init__(self, address: str, timeout_ms: int = 5000) -> None:
+        import threading
+
+        import zmq
+
+        self.address = address
+        self.timeout_ms = timeout_ms
+        self._ctx = zmq.Context()
+        self._lock = threading.Lock()
+        self._sock = None
+        self.stats_loaded = 0
+
+    def _request(self, kind: str, payload):
+        import pickle
+
+        import zmq
+
+        with self._lock:
+            if self._sock is None:
+                self._sock = self._ctx.socket(zmq.REQ)
+                self._sock.connect(self.address)
+            try:
+                self._sock.send(pickle.dumps((kind, payload), protocol=5))
+                if not self._sock.poll(self.timeout_ms):
+                    # REQ is now stuck mid-conversation; replace it.
+                    self._sock.close(0)
+                    self._sock = None
+                    logger.warning("P2P KV producer timeout (%s)", kind)
+                    return None
+                return pickle.loads(self._sock.recv())
+            except zmq.ZMQError as e:
+                logger.warning("P2P KV producer error: %s", e)
+                self._sock.close(0)
+                self._sock = None
+                return None
+
+    def get_num_new_matched_tokens(self, block_hashes, num_computed_tokens,
+                                   block_size) -> int:
+        start_block = num_computed_tokens // block_size
+        hashes = [bh.hash_value.hex() for bh in block_hashes[start_block:]]
+        if not hashes:
+            return 0
+        have = self._request("has", hashes)
+        if not have:
+            return 0
+        n = 0
+        for ok in have:
+            if not ok:
+                break
+            n += 1
+        return n * block_size
+
+    def exists(self, h: str) -> bool:
+        have = self._request("has", [h])
+        return bool(have and have[0])
+
+    def load_block(self, h: str):
+        kv = self._request("get", h)
+        if kv is not None:
+            self.stats_loaded += 1
+        return kv
+
+    def save_block(self, h: str, kv: np.ndarray) -> None:
+        # Decode-side blocks stay local; producers own the store.
+        pass
+
+
 _CPU_OFFLOAD_INSTANCES: dict = {}
+_P2P_PRODUCER_INSTANCES: dict = {}
 
 
 def create_connector(config: Optional[dict]) -> Optional[KVConnectorBase]:
@@ -165,4 +312,22 @@ def create_connector(config: Optional[dict]) -> Optional[KVConnectorBase]:
         if key not in _CPU_OFFLOAD_INSTANCES:
             _CPU_OFFLOAD_INSTANCES[key] = CPUOffloadConnector(key)
         return _CPU_OFFLOAD_INSTANCES[key]
+    if kind == "p2p":
+        # Prefill/decode disaggregation (reference nixl/p2p connectors):
+        # role "producer" serves filled blocks over ZMQ; role "consumer"
+        # pulls them instead of recomputing the prefill.
+        role = config.get("role")
+        addr = config["address"]
+        if role == "producer":
+            # One server per address per process (scheduler- and
+            # worker-side instances share the store, like cpu_offload).
+            if addr not in _P2P_PRODUCER_INSTANCES:
+                _P2P_PRODUCER_INSTANCES[addr] = P2PProducerConnector(
+                    addr, int(config.get("max_bytes", 4 << 30)))
+            return _P2P_PRODUCER_INSTANCES[addr]
+        if role == "consumer":
+            return P2PConsumerConnector(
+                addr, int(config.get("timeout_ms", 5000)))
+        raise ValueError(f"p2p connector role must be producer/consumer, "
+                         f"got {role!r}")
     raise ValueError(f"unknown kv connector type {kind!r}")
