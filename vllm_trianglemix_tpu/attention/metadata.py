@@ -39,6 +39,13 @@ class AttentionMetadata(NamedTuple):
     #     flat fields above. ---
     block_tables_g: Optional[jnp.ndarray] = None  # int32[G, R, max_blocks]
     slot_mapping_g: Optional[jnp.ndarray] = None  # int32[G, T]
+    # --- pipeline-parallel microbatches (parallel/pp.py): per-token
+    #     fields re-sliced into M stacked microbatches so all pp stages
+    #     compute concurrently. Dict of int32 arrays with leading M axis:
+    #     positions/req_idx/slot_mapping [M, T/M], query_start_loc
+    #     [M, R+1], kv_slices [M, 3, S'], num_kv_slices [M]. None when
+    #     pp is off or the batch doesn't split. ---
+    pp_mb: Optional[dict] = None
 
     @property
     def num_tokens_padded(self) -> int:

@@ -217,8 +217,6 @@ class ModelRunner:
                    if mesh is not None else 1)
         if self.pp > 1:
             for flag, why in (
-                (engine_config.parallel.tensor_parallel_size > 1,
-                 "pp currently composes with tp=1 only"),
                 (engine_config.parallel.context_parallel_size > 1,
                  "pp + cp not implemented"),
                 (engine_config.scheduler.multi_step_decode > 1,
@@ -1241,6 +1239,8 @@ class ModelRunner:
             num_reqs=jnp.asarray(num_reqs, jnp.int32),
             kv_slices=jnp.asarray(kv_slices),
             num_kv_slices=jnp.asarray(num_slices, jnp.int32),
+            pp_mb=self._build_pp_mb(positions, req_idx, slot_mapping,
+                                    query_start_loc, T, R),
             block_tables_g=(jnp.asarray(block_tables_g)
                             if self.n_kv_groups > 1 else None),
             slot_mapping_g=(jnp.asarray(slot_mapping_g)
@@ -1888,6 +1888,44 @@ class ModelRunner:
         n = min(T, R + cdiv(T, self.block_size) + R)
         return cdiv(n, 8) * 8
 
+    def _build_pp_mb(self, positions, req_idx, slot_mapping,
+                     query_start_loc, T: int, R: int):
+        """Per-microbatch metadata stacks for pipeline parallelism
+        (parallel/pp.py): re-slice the step's per-token arrays into
+        M = pp token-contiguous microbatches so every stage computes
+        each tick. Correct at any split point: a request's earlier rows
+        pass each stage before its later rows, so their KV writes land
+        first, and in-kernel causal masking handles rows that share a
+        microbatch. Returns None when the batch doesn't split."""
+        pp = self.pp
+        if pp <= 1 or T % pp != 0 or T < pp:
+            return None
+        from vllm_trianglemix_tpu.ops.kv_cache_update import (
+            build_kv_update_slices,
+        )
+
+        M = pp
+        mb = T // M
+        S = self._padded_num_slices(mb, R)
+        pos = np.asarray(positions).reshape(M, mb)
+        ridx = np.asarray(req_idx).reshape(M, mb)
+        slots = np.asarray(slot_mapping).reshape(M, mb)
+        qsl = np.clip(np.asarray(query_start_loc)[None, :]
+                      - (np.arange(M) * mb)[:, None], 0, mb)
+        kv_s = np.zeros((M, 3, S), np.int32)
+        kv_n = np.zeros(M, np.int32)
+        for m in range(M):
+            kv_s[m], kv_n[m] = build_kv_update_slices(
+                slots[m], self.block_size, S)
+        return {
+            "positions": jnp.asarray(pos),
+            "req_idx": jnp.asarray(ridx),
+            "slot_mapping": jnp.asarray(slots),
+            "query_start_loc": jnp.asarray(qsl.astype(np.int32)),
+            "kv_slices": jnp.asarray(kv_s),
+            "num_kv_slices": jnp.asarray(kv_n),
+        }
+
     def _dummy_run(self, T: int, R: int) -> None:
         S = self._padded_num_slices(T, R)
         # Shapes must look like a real batch: every scheduled sequence has
@@ -1907,6 +1945,11 @@ class ModelRunner:
             num_reqs=jnp.asarray(R, jnp.int32),
             kv_slices=jnp.zeros((3, S), jnp.int32),
             num_kv_slices=jnp.asarray(0, jnp.int32),
+            pp_mb=self._build_pp_mb(
+                np.zeros(T, np.int32),
+                np.minimum(np.arange(T, dtype=np.int32), R - 1),
+                np.full(T, -1, np.int32),
+                np.minimum(np.arange(R + 1, dtype=np.int32), T), T, R),
             block_tables_g=(jnp.zeros(
                 (self.n_kv_groups, R, self.max_blocks_per_req), jnp.int32)
                 if self.n_kv_groups > 1 else None),
