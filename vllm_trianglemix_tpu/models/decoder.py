@@ -124,6 +124,26 @@ class DecoderConfig:
     num_experts_per_tok: int = 0
     moe_intermediate_size: int = 0
     norm_topk_prob: bool = True
+    # Shared expert alongside the routed ones (Qwen2-MoE): a dense MLP of
+    # this width added to the routed output, optionally scaled by a
+    # sigmoid gate (reference qwen2_moe.py Qwen2MoeSparseMoeBlock).
+    shared_expert_intermediate_size: int = 0
+    use_shared_expert_gate: bool = False
+    # --- generic family knobs ---------------------------------------------
+    # Gated-MLP activation: "silu" (SwiGLU), "gelu_tanh" (GeGLU,
+    # gelu_pytorch_tanh), or "gelu" (exact).
+    hidden_act: str = "silu"
+    # Gemma RMSNorm: weight applied as (1 + w) in fp32 (zeros-init).
+    gemma_norm: bool = False
+    # Embedding scale (Gemma sqrt(hidden); Granite embedding_multiplier).
+    embedding_multiplier: float = 1.0
+    # Residual-branch scale (Granite residual_multiplier).
+    residual_multiplier: float = 1.0
+    # Attention scale override; None = head_dim ** -0.5
+    # (Granite attention_multiplier, Gemma query_pre_attn_scalar role).
+    attention_multiplier: float | None = None
+    # Final-logits divisor (Granite logits_scaling).
+    logits_scaling: float = 1.0
 
     @classmethod
     def from_hf_config(cls, cfg: dict[str, Any]) -> "DecoderConfig":
@@ -185,6 +205,13 @@ def shape_tree(cfg: DecoderConfig) -> dict:
         layers["gate_proj"] = (L, E, D, Im)
         layers["up_proj"] = (L, E, D, Im)
         layers["down_proj"] = (L, E, Im, D)
+        if cfg.shared_expert_intermediate_size > 0:
+            Is = cfg.shared_expert_intermediate_size
+            layers["shared_gate_proj"] = (L, D, Is)
+            layers["shared_up_proj"] = (L, D, Is)
+            layers["shared_down_proj"] = (L, Is, D)
+            if cfg.use_shared_expert_gate:
+                layers["shared_expert_gate"] = (L, D, 1)
     else:
         layers["gate_proj"] = (L, D, I)
         layers["up_proj"] = (L, D, I)
@@ -220,6 +247,12 @@ def partition_specs(cfg: DecoderConfig, quantized: str | None = None) -> dict:
         # experts tensor-sharded on the ffn axis (true expert parallelism
         # = shard the E axis instead; both are one spec change here)
         layers["moe_gate"] = P(None, None, None)
+        if cfg.shared_expert_intermediate_size > 0:
+            layers["shared_gate_proj"] = P(None, None, "tp")
+            layers["shared_up_proj"] = P(None, None, "tp")
+            layers["shared_down_proj"] = P(None, "tp", None)
+            if cfg.use_shared_expert_gate:
+                layers["shared_expert_gate"] = P(None, None, None)
         layers["gate_proj"] = P(None, None, None, "tp")
         layers["up_proj"] = P(None, None, None, "tp")
         layers["down_proj"] = P(None, None, "tp", None)
@@ -294,6 +327,10 @@ def init_random(cfg: DecoderConfig, seed: int = 0, dtype=jnp.bfloat16) -> dict:
 _HF_LAYER_MAP = {
     "input_layernorm": "model.layers.{i}.input_layernorm.weight",
     "moe_gate": "model.layers.{i}.mlp.gate.weight",
+    "shared_gate_proj": "model.layers.{i}.mlp.shared_expert.gate_proj.weight",
+    "shared_up_proj": "model.layers.{i}.mlp.shared_expert.up_proj.weight",
+    "shared_down_proj": "model.layers.{i}.mlp.shared_expert.down_proj.weight",
+    "shared_expert_gate": "model.layers.{i}.mlp.shared_expert_gate.weight",
     "q_proj": "model.layers.{i}.self_attn.q_proj.weight",
     "k_proj": "model.layers.{i}.self_attn.k_proj.weight",
     "v_proj": "model.layers.{i}.self_attn.v_proj.weight",
@@ -311,6 +348,8 @@ _HF_LAYER_MAP = {
 }
 # HF nn.Linear stores [out_features, in_features]; we store [in, out].
 _TRANSPOSED = {"q_proj", "k_proj", "v_proj", "o_proj", "gate_proj",
+               "shared_gate_proj", "shared_up_proj", "shared_down_proj",
+               "shared_expert_gate",
                "up_proj", "down_proj", "moe_gate"}
 
 
@@ -427,6 +466,30 @@ def params_from_hf_state_dict(cfg: DecoderConfig, get_tensor,
 
 # --- forward ------------------------------------------------------------------
 
+def decoder_norm(x: jnp.ndarray, w: jnp.ndarray,
+                 cfg: DecoderConfig) -> jnp.ndarray:
+    """Family-selected RMSNorm: standard, or Gemma's (1 + w) with the
+    weight multiply kept in fp32 (HF GemmaRMSNorm numerics)."""
+    if not cfg.gemma_norm:
+        return rms_norm(x, w, cfg.rms_norm_eps)
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
+    xf = xf * jax.lax.rsqrt(var + cfg.rms_norm_eps)
+    return (xf * (1.0 + w.astype(jnp.float32))).astype(x.dtype)
+
+
+def act_and_mul(cfg: DecoderConfig, gate: jnp.ndarray,
+                up: jnp.ndarray) -> jnp.ndarray:
+    """Gated-MLP activation by family (reference activation.py registry)."""
+    if cfg.hidden_act == "silu":
+        return silu_and_mul(gate, up)
+    if cfg.hidden_act == "gelu_tanh":
+        return jax.nn.gelu(gate, approximate=True) * up
+    if cfg.hidden_act == "gelu":
+        return jax.nn.gelu(gate, approximate=False) * up
+    raise ValueError(f"unsupported hidden_act {cfg.hidden_act!r}")
+
+
 def _moe_mlp(h: jnp.ndarray, lp: dict, cfg: DecoderConfig) -> jnp.ndarray:
     """Sparse-MoE MLP via routed grouped GEMM (reference
     fused_moe/moe_pallas.py role, megablox-style): flatten
@@ -457,7 +520,21 @@ def _moe_mlp(h: jnp.ndarray, lp: dict, cfg: DecoderConfig) -> jnp.ndarray:
     w = topv.reshape(-1)[order]                             # [T*K]
     acc = jax.ops.segment_sum(ys.astype(jnp.float32) * w[:, None],
                               token_of, num_segments=T)
-    return acc.astype(h.dtype)
+    out = acc.astype(h.dtype)
+    if cfg.shared_expert_intermediate_size > 0:
+        # Qwen2-MoE shared expert: a dense SwiGLU MLP added to the
+        # routed output, sigmoid-gated per token when configured
+        # (reference qwen2_moe.py:Qwen2MoeSparseMoeBlock.forward).
+        shared = apply_linear(
+            act_and_mul(cfg, apply_linear(h, lp["shared_gate_proj"]),
+                        apply_linear(h, lp["shared_up_proj"])),
+            lp["shared_down_proj"])
+        if cfg.use_shared_expert_gate:
+            g = jax.nn.sigmoid(
+                (h @ lp["shared_expert_gate"]).astype(jnp.float32))
+            shared = (shared.astype(jnp.float32) * g).astype(h.dtype)
+        out = out + shared
+    return out
 
 
 def forward(
@@ -503,6 +580,10 @@ def forward(
     eps = cfg.rms_norm_eps
 
     x = params["embed_tokens"][token_ids]
+    if cfg.embedding_multiplier != 1.0:
+        # Gemma sqrt(hidden) / Granite embedding_multiplier, applied in
+        # the model dtype (HF casts the scale to the embedding dtype).
+        x = x * jnp.asarray(cfg.embedding_multiplier, x.dtype)
     if mm_scatter is not None:
         mm_pos, mm_vecs = mm_scatter
         # Pad rows carry an out-of-bounds position; mode="drop" skips them.
@@ -584,7 +665,7 @@ def forward(
             cos=cos, sin=sin, attn_kwargs=attn_kwargs, kv_quant=kv_quant,
             moe_fn=moe_fn, lora_stacks=lora_stacks, onehot=onehot)
         new_kv = flat_kv.reshape(kv_caches.shape)
-    x = rms_norm(x, params["norm"], eps)
+    x = decoder_norm(x, params["norm"], cfg)
     return x, new_kv
 
 
@@ -593,7 +674,9 @@ def build_attn_kwargs(cfg: DecoderConfig, tri_cfg: TriangleMixConfig,
     """Static attention-kernel arguments shared by forward() and the
     pipeline-parallel path (parallel/pp.py)."""
     kw = dict(
-        scale=cfg.head_dim ** -0.5,
+        scale=(cfg.attention_multiplier
+               if cfg.attention_multiplier is not None
+               else cfg.head_dim ** -0.5),
         sink=tri_cfg.num_sink_tokens,
         window=tri_cfg.sliding_window_size,
         last=tri_cfg.num_last_tokens,
@@ -644,7 +727,9 @@ def _layer_compute(x, lp, lmods, onehot, cfg: DecoderConfig, cos, sin,
             y = apply_lora(h, y, A, B, onehot)
         return y
 
-    h = rms_norm(x, lp["input_layernorm"], eps)
+    rmul = cfg.residual_multiplier
+
+    h = decoder_norm(x, lp["input_layernorm"], cfg)
     q = proj(h, "q_proj")
     k = proj(h, "k_proj")
     v = proj(h, "v_proj")
@@ -660,13 +745,13 @@ def _layer_compute(x, lp, lmods, onehot, cfg: DecoderConfig, cos, sin,
         k = rms_norm(k, lp["k_norm"], eps)
     q, k = apply_rope(q, k, cos, sin)
     attn = attn_of(q, k, v)
-    x = x + proj(attn.reshape(T, HQ * Dh), "o_proj")
-    h2 = rms_norm(x, lp["post_attention_layernorm"], eps)
+    x = x + rmul * proj(attn.reshape(T, HQ * Dh), "o_proj")
+    h2 = decoder_norm(x, lp["post_attention_layernorm"], cfg)
     if cfg.num_experts > 0:
-        x = x + (moe_fn or _moe_mlp)(h2, lp, cfg)
+        x = x + rmul * (moe_fn or _moe_mlp)(h2, lp, cfg)
     else:
-        mlp = silu_and_mul(proj(h2, "gate_proj"), proj(h2, "up_proj"))
-        x = x + proj(mlp, "down_proj")
+        mlp = act_and_mul(cfg, proj(h2, "gate_proj"), proj(h2, "up_proj"))
+        x = x + rmul * proj(mlp, "down_proj")
     return x
 
 
@@ -713,7 +798,10 @@ def compute_logits(params: dict, cfg: DecoderConfig,
         w = params["embed_tokens"].T
     else:
         w = params["lm_head"]
-    return jnp.dot(hidden, w, preferred_element_type=jnp.float32)
+    logits = jnp.dot(hidden, w, preferred_element_type=jnp.float32)
+    if cfg.logits_scaling != 1.0:
+        logits = logits / cfg.logits_scaling
+    return logits
 
 
 def kv_cache_spec(cfg: DecoderConfig, block_size: int, dtype_bytes: int = 2):

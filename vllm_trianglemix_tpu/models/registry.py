@@ -41,6 +41,13 @@ _REGISTRY: dict[str, tuple[str, str]] = {
                          "MambaConfig"),
     "LlavaForConditionalGeneration": ("vllm_trianglemix_tpu.models.llava",
                                       "LlavaConfig"),
+    "GemmaForCausalLM": ("vllm_trianglemix_tpu.models.gemma",
+                         "GemmaConfig"),
+    "Phi3ForCausalLM": ("vllm_trianglemix_tpu.models.phi3", "Phi3Config"),
+    "Qwen2MoeForCausalLM": ("vllm_trianglemix_tpu.models.qwen2_moe",
+                            "Qwen2MoeConfig"),
+    "GraniteForCausalLM": ("vllm_trianglemix_tpu.models.granite",
+                           "GraniteConfig"),
 }
 
 

@@ -48,6 +48,7 @@ except ImportError:  # older jax
 from vllm_trianglemix_tpu.layers.common import rms_norm, rope_cos_sin
 from vllm_trianglemix_tpu.models.decoder import (
     build_attn_kwargs,
+    decoder_norm,
     scan_layers,
 )
 
@@ -217,5 +218,5 @@ def pp_forward(params, cfg, tri_cfg, token_ids, kv_caches, md, tri_flags,
         out_specs=(P(), P("pp")),
         **kw,
     )(params["layers"], x0, kv_caches, md, tri_flags, cos, sin)
-    hidden = rms_norm(hidden, params["norm"], eps)
+    hidden = decoder_norm(hidden, params["norm"], cfg)
     return hidden, new_kv
