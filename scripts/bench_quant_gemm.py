@@ -29,8 +29,11 @@ from vllm_trianglemix_tpu.quantization.linear import (
     apply_linear,
 )
 
-# Qwen2.5-1.5B MLP shapes (the headline bench model).
-DIN, DOUT = 1536, 8960
+# Qwen2.5-1.5B down_proj shape (the headline bench model): the wide-in
+# narrow-out direction keeps the per-iteration feedback pass (O(B*DOUT))
+# tiny relative to the weight stream (O(DIN*DOUT)), so decode latency
+# actually tracks HBM weight bytes.
+DIN, DOUT = 8960, 1536
 ITERS = 100
 
 

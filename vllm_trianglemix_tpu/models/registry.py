@@ -39,6 +39,8 @@ _REGISTRY: dict[str, tuple[str, str]] = {
         "vllm_trianglemix_tpu.models.qwen2_cls", "Qwen2ClsConfig"),
     "MambaForCausalLM": ("vllm_trianglemix_tpu.models.mamba",
                          "MambaConfig"),
+    "Mamba2ForCausalLM": ("vllm_trianglemix_tpu.models.mamba2",
+                          "Mamba2Config"),
     "LlavaForConditionalGeneration": ("vllm_trianglemix_tpu.models.llava",
                                       "LlavaConfig"),
     "GemmaForCausalLM": ("vllm_trianglemix_tpu.models.gemma",
