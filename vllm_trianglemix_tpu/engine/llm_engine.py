@@ -20,6 +20,9 @@ logger = init_logger(__name__)
 class LLMEngine:
 
     def __init__(self, engine_config: EngineConfig) -> None:
+        from vllm_trianglemix_tpu.plugins import load_general_plugins
+
+        load_general_plugins()
         self.engine_config = engine_config
 
         tokenizer = None
@@ -58,6 +61,22 @@ class LLMEngine:
             except Exception:  # noqa: BLE001
                 pass
         self.output_processor = OutputProcessor(tokenizer)
+
+        # Local-only usage record (usage.py; reference usage_lib.py).
+        try:
+            from vllm_trianglemix_tpu.models.registry import resolve_model
+            from vllm_trianglemix_tpu.usage import report_usage
+
+            _, _model_cfg = resolve_model(engine_config.model.model)
+            report_usage(
+                type(_model_cfg).__name__, "LLM_ENGINE",
+                {"dtype": engine_config.model.dtype,
+                 "tensor_parallel_size":
+                     engine_config.parallel.tensor_parallel_size,
+                 "num_hosts": engine_config.parallel.num_hosts,
+                 "multiprocess_engine": engine_config.multiprocess_engine})
+        except Exception:  # noqa: BLE001 - telemetry is best-effort
+            pass
 
         self.stat_loggers: list = []
         if engine_config.observability.collect_stats:

@@ -45,6 +45,14 @@ environment_variables: dict[str, Callable[[], Any]] = {
     ),
     # Logging level for the engine's loggers.
     "VTT_LOGGING_LEVEL": lambda: os.getenv("VTT_LOGGING_LEVEL", "INFO"),
+    # Plugin allow-list (plugins.py; reference VLLM_PLUGINS): unset =
+    # load all registered vtt.general_plugins entry points, "" = none.
+    "VTT_PLUGINS": lambda: os.getenv("VTT_PLUGINS"),
+    # Opt out of LOCAL usage-stats records (usage.py; reference
+    # VLLM_NO_USAGE_STATS — nothing is transmitted either way).
+    "VTT_NO_USAGE_STATS": lambda: bool(
+        int(os.getenv("VTT_NO_USAGE_STATS", "0"))
+    ),
     # Use the C++ host runtime extension (block pool index) when built.
     "VTT_USE_NATIVE_RUNTIME": lambda: bool(
         int(os.getenv("VTT_USE_NATIVE_RUNTIME", "1"))
