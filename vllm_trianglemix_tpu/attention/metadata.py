@@ -46,6 +46,9 @@ class AttentionMetadata(NamedTuple):
     #     [M, R+1], kv_slices [M, 3, S'], num_kv_slices [M]. None when
     #     pp is off or the batch doesn't split. ---
     pp_mb: Optional[dict] = None
+    # --- multimodal rotary (Qwen2-VL mrope): (temporal, height, width)
+    #     position ids per token; None for 1-D rope models ---
+    mrope_positions: Optional[jnp.ndarray] = None  # int32[3, T]
 
     @property
     def num_tokens_padded(self) -> int:

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def rms_norm(x: jnp.ndarray, weight: jnp.ndarray,
@@ -140,6 +141,31 @@ def rope_cos_sin(positions: jnp.ndarray, head_dim: int, theta: float,
     emb = jnp.concatenate([freqs, freqs], axis=-1)
     return (jnp.cos(emb).astype(dtype) * attn_factor,
             jnp.sin(emb).astype(dtype) * attn_factor)
+
+
+def mrope_cos_sin(positions_3d: jnp.ndarray, head_dim: int, theta: float,
+                  mrope_section: tuple, dtype=jnp.float32
+                  ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Multimodal rotary (Qwen2-VL mrope; reference
+    rotary_embedding/mrope.py + HF Qwen2VLRotaryEmbedding numerics).
+
+    ``positions_3d`` int32[3, T] carries (temporal, height, width)
+    position ids; ``mrope_section`` splits the head_dim/2 frequency axis
+    into three chunks, each reading its own position axis. Text tokens
+    set all three axes equal, which makes mrope identical to standard
+    rope for pure-text content."""
+    assert sum(mrope_section) * 2 == head_dim, (mrope_section, head_dim)
+    inv_freq = 1.0 / (theta ** (
+        jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim))
+    # freqs[a, t, i] = pos[a, t] * inv_freq[i]
+    freqs = positions_3d.astype(jnp.float32)[:, :, None] * inv_freq[None,
+                                                                    None, :]
+    sel = jnp.asarray(np.repeat(np.arange(3), mrope_section), jnp.int32)
+    half = jnp.take_along_axis(
+        freqs, jnp.broadcast_to(sel[None, None, :], (1,) + freqs.shape[1:]),
+        axis=0)[0]                                   # [T, head_dim/2]
+    emb = jnp.concatenate([half, half], axis=-1)
+    return jnp.cos(emb).astype(dtype), jnp.sin(emb).astype(dtype)
 
 
 def _rotate_half(x: jnp.ndarray) -> jnp.ndarray:

@@ -39,6 +39,7 @@ from vllm_trianglemix_tpu.attention.metadata import AttentionMetadata
 from vllm_trianglemix_tpu.config import TriangleMixConfig
 from vllm_trianglemix_tpu.layers.common import (
     apply_rope,
+    mrope_cos_sin,
     rms_norm,
     rope_cos_sin,
     silu_and_mul,
@@ -144,6 +145,10 @@ class DecoderConfig:
     attention_multiplier: float | None = None
     # Final-logits divisor (Granite logits_scaling).
     logits_scaling: float = 1.0
+    # Multimodal rotary sections (Qwen2-VL mrope): three frequency-chunk
+    # widths summing to head_dim/2; None = standard 1-D rope. Needs
+    # AttentionMetadata.mrope_positions [3, T] from the runner.
+    mrope_section: "tuple[int, ...] | None" = None
 
     @classmethod
     def from_hf_config(cls, cfg: dict[str, Any]) -> "DecoderConfig":
@@ -588,10 +593,14 @@ def forward(
         mm_pos, mm_vecs = mm_scatter
         # Pad rows carry an out-of-bounds position; mode="drop" skips them.
         x = x.at[mm_pos].set(mm_vecs.astype(x.dtype), mode="drop")
-    cos, sin = rope_cos_sin(
-        md.positions, Dh, cfg.rope_theta, dtype=x.dtype,
-        scaling=cfg.rope_scaling,
-        max_position_embeddings=cfg.max_position_embeddings)
+    if cfg.mrope_section is not None and md.mrope_positions is not None:
+        cos, sin = mrope_cos_sin(md.mrope_positions, Dh, cfg.rope_theta,
+                                 cfg.mrope_section, dtype=x.dtype)
+    else:
+        cos, sin = rope_cos_sin(
+            md.positions, Dh, cfg.rope_theta, dtype=x.dtype,
+            scaling=cfg.rope_scaling,
+            max_position_embeddings=cfg.max_position_embeddings)
 
     attn_kwargs = build_attn_kwargs(cfg, tri_cfg, kv_quant)
 

@@ -50,6 +50,8 @@ _REGISTRY: dict[str, tuple[str, str]] = {
                             "Qwen2MoeConfig"),
     "GraniteForCausalLM": ("vllm_trianglemix_tpu.models.granite",
                            "GraniteConfig"),
+    "Qwen2VLForConditionalGeneration": (
+        "vllm_trianglemix_tpu.models.qwen2_vl", "Qwen2VLConfig"),
 }
 
 

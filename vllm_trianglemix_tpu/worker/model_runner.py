@@ -340,6 +340,12 @@ class ModelRunner:
         # pool of projected image embeddings -------------------------------
         self.is_multimodal = bool(getattr(self.model, "IS_MULTIMODAL",
                                           False))
+        # mrope (Qwen2-VL): 3-D rotary position ids built host-side per
+        # request (models/qwen2_vl.py mrope_position_table).
+        self.is_mrope = bool(getattr(self.model, "IS_MROPE", False))
+        if self.is_mrope and engine_config.scheduler.multi_step_decode > 1:
+            raise ValueError("multi_step_decode unsupported with mrope "
+                             "models")
         if self.is_multimodal:
             for flag, why in (
                 (engine_config.speculative.enabled, "speculative decoding"),
@@ -1241,6 +1247,9 @@ class ModelRunner:
             num_kv_slices=jnp.asarray(num_slices, jnp.int32),
             pp_mb=self._build_pp_mb(positions, req_idx, slot_mapping,
                                     query_start_loc, T, R),
+            mrope_positions=(jnp.asarray(self._build_mrope_positions(
+                req_ids, positions, query_start_loc, T))
+                if self.is_mrope else None),
             block_tables_g=(jnp.asarray(block_tables_g)
                             if self.n_kv_groups > 1 else None),
             slot_mapping_g=(jnp.asarray(slot_mapping_g)
@@ -1926,6 +1935,40 @@ class ModelRunner:
             "num_kv_slices": jnp.asarray(kv_n),
         }
 
+    def _build_mrope_positions(self, req_ids, positions, query_start_loc,
+                               T: int) -> np.ndarray:
+        """[3, T] (temporal, height, width) rotary position ids (HF
+        get_rope_index semantics via models/qwen2_vl.py
+        mrope_position_table; tables cached per request). Decode rows
+        resume at max(table) + 1 on all axes; pure-text requests reduce
+        to the 1-D positions."""
+        from vllm_trianglemix_tpu.models.qwen2_vl import (
+            mrope_position_table,
+        )
+
+        out = np.zeros((3, T), np.int32)
+        out[:] = positions[None, :]
+        for i, req_id in enumerate(req_ids):
+            state = self.input_batch.get(req_id)
+            if getattr(state, "_mrope_table", None) is None:
+                table, nxt = mrope_position_table(
+                    state.token_ids[:state.prompt_len],
+                    self.cfg.image_token_index, self.cfg.vision.llm_grid)
+                state._mrope_table = table.astype(np.int32)
+                state._mrope_delta = nxt - state.prompt_len
+            row0 = int(query_start_loc[i])
+            n = int(query_start_loc[i + 1]) - row0
+            if n <= 0:
+                continue
+            pos = positions[row0:row0 + n]
+            in_prompt = pos < state.prompt_len
+            idx = np.clip(pos, 0, state.prompt_len - 1)
+            vals = np.where(in_prompt[None, :],
+                            state._mrope_table[:, idx],
+                            (pos + state._mrope_delta)[None, :])
+            out[:, row0:row0 + n] = vals
+        return out
+
     def _dummy_run(self, T: int, R: int) -> None:
         S = self._padded_num_slices(T, R)
         # Shapes must look like a real batch: every scheduled sequence has
@@ -1950,6 +1993,8 @@ class ModelRunner:
                 np.minimum(np.arange(T, dtype=np.int32), R - 1),
                 np.full(T, -1, np.int32),
                 np.minimum(np.arange(R + 1, dtype=np.int32), T), T, R),
+            mrope_positions=(jnp.zeros((3, T), jnp.int32)
+                             if self.is_mrope else None),
             block_tables_g=(jnp.zeros(
                 (self.n_kv_groups, R, self.max_blocks_per_req), jnp.int32)
                 if self.n_kv_groups > 1 else None),
