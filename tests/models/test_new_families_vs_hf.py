@@ -124,3 +124,34 @@ def test_new_families_registered():
         module, cfg_cls = resolve_architecture(arch)
         assert hasattr(module, "forward") and hasattr(module,
                                                       "kv_cache_spec")
+
+
+def test_starcoder2_prefill_matches_hf():
+    from transformers import Starcoder2Config as HFCfg
+    from transformers import Starcoder2ForCausalLM
+
+    from vllm_trianglemix_tpu.models import starcoder2
+
+    hf_kw = dict(COMMON, rope_theta=100_000.0, use_bias=True,
+                 hidden_act="gelu_pytorch_tanh", norm_epsilon=1e-5,
+                 tie_word_embeddings=True, sliding_window=None)
+    torch.manual_seed(4)
+    hf = Starcoder2ForCausalLM(HFCfg(**hf_kw)).eval().float()
+    cfg = starcoder2.Starcoder2Config.from_hf_config(hf_kw)
+    assert cfg.norm_type == "layernorm" and not cfg.gated_mlp
+    assert cfg.use_o_bias and cfg.use_mlp_bias
+    check(starcoder2, cfg, hf)
+
+
+def test_olmo2_prefill_matches_hf():
+    from transformers import Olmo2Config as HFCfg
+    from transformers import Olmo2ForCausalLM
+
+    from vllm_trianglemix_tpu.models import olmo2
+
+    hf_kw = dict(COMMON, rope_theta=500_000.0, tie_word_embeddings=False)
+    torch.manual_seed(5)
+    hf = Olmo2ForCausalLM(HFCfg(**hf_kw)).eval().float()
+    cfg = olmo2.Olmo2Config.from_hf_config(hf_kw)
+    assert cfg.postnorm and cfg.qk_norm_flat
+    check(olmo2, cfg, hf)

@@ -145,6 +145,21 @@ class DecoderConfig:
     attention_multiplier: float | None = None
     # Final-logits divisor (Granite logits_scaling).
     logits_scaling: float = 1.0
+    # Norm family: "rmsnorm" or "layernorm" (StarCoder2/GPT-style; adds
+    # bias weights to every norm).
+    norm_type: str = "rmsnorm"
+    # False = non-gated MLP: up_proj -> hidden_act -> down_proj
+    # (StarCoder2 c_fc/c_proj).
+    gated_mlp: bool = True
+    # Bias on the attention OUTPUT projection / the MLP linears.
+    use_o_bias: bool = False
+    use_mlp_bias: bool = False
+    # OLMo-2 post-norm: NO input norm; norms apply to the attention and
+    # MLP OUTPUTS before their residual adds (post_feedforward norm).
+    postnorm: bool = False
+    # OLMo-2 q/k norm over the FLAT projection (HQ*Dh / KH*Dh) instead
+    # of per-head head_dim.
+    qk_norm_flat: bool = False
     # Multimodal rotary sections (Qwen2-VL mrope): three frequency-chunk
     # widths summing to head_dim/2; None = standard 1-D rope. Needs
     # AttentionMetadata.mrope_positions [3, T] from the runner.
@@ -217,18 +232,39 @@ def shape_tree(cfg: DecoderConfig) -> dict:
             layers["shared_down_proj"] = (L, Is, D)
             if cfg.use_shared_expert_gate:
                 layers["shared_expert_gate"] = (L, D, 1)
-    else:
+    elif cfg.gated_mlp:
         layers["gate_proj"] = (L, D, I)
         layers["up_proj"] = (L, D, I)
         layers["down_proj"] = (L, I, D)
+    else:
+        # non-gated MLP (StarCoder2 c_fc/c_proj)
+        layers["up_proj"] = (L, D, I)
+        layers["down_proj"] = (L, I, D)
     if cfg.use_qk_norm:
-        layers["q_norm"] = (L, Dh)
-        layers["k_norm"] = (L, Dh)
+        qn = HQ * Dh if cfg.qk_norm_flat else Dh
+        kn = KH * Dh if cfg.qk_norm_flat else Dh
+        layers["q_norm"] = (L, qn)
+        layers["k_norm"] = (L, kn)
     if cfg.use_qkv_bias:
         layers["q_bias"] = (L, HQ * Dh)
         layers["k_bias"] = (L, KH * Dh)
         layers["v_bias"] = (L, KH * Dh)
+    if cfg.use_o_bias:
+        layers["o_bias"] = (L, D)
+    if cfg.use_mlp_bias:
+        layers["up_bias"] = (L, I)
+        layers["down_bias"] = (L, D)
+    if cfg.postnorm:
+        # OLMo-2: no input norm; an extra post-feedforward norm instead
+        del layers["input_layernorm"]
+        layers["post_feedforward_layernorm"] = (L, D)
+    if cfg.norm_type == "layernorm":
+        if "input_layernorm" in layers:
+            layers["input_layernorm_bias"] = (L, D)
+        layers["post_attention_layernorm_bias"] = (L, D)
     tree = {"embed_tokens": (V, D), "layers": layers, "norm": (D,)}
+    if cfg.norm_type == "layernorm":
+        tree["norm_bias"] = (D,)
     if not cfg.tie_word_embeddings:
         tree["lm_head"] = (D, V)
     return tree
@@ -261,8 +297,11 @@ def partition_specs(cfg: DecoderConfig, quantized: str | None = None) -> dict:
         layers["gate_proj"] = P(None, None, None, "tp")
         layers["up_proj"] = P(None, None, None, "tp")
         layers["down_proj"] = P(None, None, "tp", None)
-    else:
+    elif cfg.gated_mlp:
         layers["gate_proj"] = P(None, None, "tp")
+        layers["up_proj"] = P(None, None, "tp")
+        layers["down_proj"] = P(None, "tp", None)
+    else:
         layers["up_proj"] = P(None, None, "tp")
         layers["down_proj"] = P(None, "tp", None)
     if cfg.use_qk_norm:
@@ -272,6 +311,18 @@ def partition_specs(cfg: DecoderConfig, quantized: str | None = None) -> dict:
         layers["q_bias"] = P(None, "tp")
         layers["k_bias"] = P(None, "tp")
         layers["v_bias"] = P(None, "tp")
+    if cfg.use_o_bias:
+        layers["o_bias"] = P(None, None)
+    if cfg.use_mlp_bias:
+        layers["up_bias"] = P(None, "tp")
+        layers["down_bias"] = P(None, None)
+    if cfg.postnorm:
+        del layers["input_layernorm"]
+        layers["post_feedforward_layernorm"] = P(None, None)
+    if cfg.norm_type == "layernorm":
+        if "input_layernorm" in layers:
+            layers["input_layernorm_bias"] = P(None, None)
+        layers["post_attention_layernorm_bias"] = P(None, None)
     if quantized:
         # QuantLinear leaves: qweight keeps the dense mat's spec; scale/
         # zero [L, G, Dout] follow the output axis for column-parallel
@@ -306,6 +357,8 @@ def partition_specs(cfg: DecoderConfig, quantized: str | None = None) -> dict:
         for k in ("o_proj", "down_proj"):
             layers[k] = row_spec()
     specs = {"embed_tokens": P("tp", None), "layers": layers, "norm": P(None)}
+    if cfg.norm_type == "layernorm":
+        specs["norm_bias"] = P(None)
     if not cfg.tie_word_embeddings:
         specs["lm_head"] = P(None, "tp")
     return specs
@@ -336,6 +389,14 @@ _HF_LAYER_MAP = {
     "shared_up_proj": "model.layers.{i}.mlp.shared_expert.up_proj.weight",
     "shared_down_proj": "model.layers.{i}.mlp.shared_expert.down_proj.weight",
     "shared_expert_gate": "model.layers.{i}.mlp.shared_expert_gate.weight",
+    "o_bias": "model.layers.{i}.self_attn.o_proj.bias",
+    "up_bias": "model.layers.{i}.mlp.up_proj.bias",
+    "down_bias": "model.layers.{i}.mlp.down_proj.bias",
+    "input_layernorm_bias": "model.layers.{i}.input_layernorm.bias",
+    "post_attention_layernorm_bias":
+        "model.layers.{i}.post_attention_layernorm.bias",
+    "post_feedforward_layernorm":
+        "model.layers.{i}.post_feedforward_layernorm.weight",
     "q_proj": "model.layers.{i}.self_attn.q_proj.weight",
     "k_proj": "model.layers.{i}.self_attn.k_proj.weight",
     "v_proj": "model.layers.{i}.self_attn.v_proj.weight",
@@ -463,6 +524,9 @@ def params_from_hf_state_dict(cfg: DecoderConfig, get_tensor,
         "norm": jnp.asarray(np.asarray(get_tensor("model.norm.weight")),
                             dtype=dtype),
     }
+    if cfg.norm_type == "layernorm":
+        params["norm_bias"] = jnp.asarray(
+            np.asarray(get_tensor("model.norm.bias")), dtype=dtype)
     if not cfg.tie_word_embeddings:
         params["lm_head"] = jnp.asarray(
             np.asarray(get_tensor("lm_head.weight")).T, dtype=dtype)
@@ -472,15 +536,35 @@ def params_from_hf_state_dict(cfg: DecoderConfig, get_tensor,
 # --- forward ------------------------------------------------------------------
 
 def decoder_norm(x: jnp.ndarray, w: jnp.ndarray,
-                 cfg: DecoderConfig) -> jnp.ndarray:
-    """Family-selected RMSNorm: standard, or Gemma's (1 + w) with the
-    weight multiply kept in fp32 (HF GemmaRMSNorm numerics)."""
+                 cfg: DecoderConfig, b=None) -> jnp.ndarray:
+    """Family-selected norm: RMSNorm (default), Gemma's (1 + w) RMSNorm
+    with the weight multiply kept in fp32, or LayerNorm with bias
+    (StarCoder2)."""
+    if cfg.norm_type == "layernorm":
+        xf = x.astype(jnp.float32)
+        mu = xf.mean(-1, keepdims=True)
+        var = ((xf - mu) ** 2).mean(-1, keepdims=True)
+        y = (xf - mu) * jax.lax.rsqrt(var + cfg.rms_norm_eps)
+        y = y * w.astype(jnp.float32)
+        if b is not None:
+            y = y + b.astype(jnp.float32)
+        return y.astype(x.dtype)
     if not cfg.gemma_norm:
         return rms_norm(x, w, cfg.rms_norm_eps)
     xf = x.astype(jnp.float32)
     var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
     xf = xf * jax.lax.rsqrt(var + cfg.rms_norm_eps)
     return (xf * (1.0 + w.astype(jnp.float32))).astype(x.dtype)
+
+
+def _act_only(cfg: DecoderConfig, x: jnp.ndarray) -> jnp.ndarray:
+    if cfg.hidden_act == "silu":
+        return jax.nn.silu(x)
+    if cfg.hidden_act == "gelu_tanh":
+        return jax.nn.gelu(x, approximate=True)
+    if cfg.hidden_act == "gelu":
+        return jax.nn.gelu(x, approximate=False)
+    raise ValueError(f"unsupported hidden_act {cfg.hidden_act!r}")
 
 
 def act_and_mul(cfg: DecoderConfig, gate: jnp.ndarray,
@@ -674,7 +758,7 @@ def forward(
             cos=cos, sin=sin, attn_kwargs=attn_kwargs, kv_quant=kv_quant,
             moe_fn=moe_fn, lora_stacks=lora_stacks, onehot=onehot)
         new_kv = flat_kv.reshape(kv_caches.shape)
-    x = decoder_norm(x, params["norm"], cfg)
+    x = decoder_norm(x, params["norm"], cfg, params.get("norm_bias"))
     return x, new_kv
 
 
@@ -738,7 +822,11 @@ def _layer_compute(x, lp, lmods, onehot, cfg: DecoderConfig, cos, sin,
 
     rmul = cfg.residual_multiplier
 
-    h = decoder_norm(x, lp["input_layernorm"], cfg)
+    if cfg.postnorm:
+        h = x                     # OLMo-2: attention reads the raw input
+    else:
+        h = decoder_norm(x, lp["input_layernorm"], cfg,
+                         lp.get("input_layernorm_bias"))
     q = proj(h, "q_proj")
     k = proj(h, "k_proj")
     v = proj(h, "v_proj")
@@ -746,21 +834,44 @@ def _layer_compute(x, lp, lmods, onehot, cfg: DecoderConfig, cos, sin,
         q = q + lp["q_bias"]
         k = k + lp["k_bias"]
         v = v + lp["v_bias"]
+    if cfg.use_qk_norm and cfg.qk_norm_flat:
+        # OLMo-2: RMSNorm over the flat projection before head split
+        q = rms_norm(q, lp["q_norm"], eps)
+        k = rms_norm(k, lp["k_norm"], eps)
     q = q.reshape(T, HQ, Dh)
     k = k.reshape(T, KH, Dh)
     v = v.reshape(T, KH, Dh)
-    if cfg.use_qk_norm:
+    if cfg.use_qk_norm and not cfg.qk_norm_flat:
         q = rms_norm(q, lp["q_norm"], eps)
         k = rms_norm(k, lp["k_norm"], eps)
     q, k = apply_rope(q, k, cos, sin)
     attn = attn_of(q, k, v)
-    x = x + rmul * proj(attn.reshape(T, HQ * Dh), "o_proj")
-    h2 = decoder_norm(x, lp["post_attention_layernorm"], cfg)
+    attn_out = proj(attn.reshape(T, HQ * Dh), "o_proj")
+    if cfg.use_o_bias:
+        attn_out = attn_out + lp["o_bias"]
+    if cfg.postnorm:
+        attn_out = decoder_norm(attn_out, lp["post_attention_layernorm"],
+                                cfg)
+    x = x + rmul * attn_out
+    h2 = (x if cfg.postnorm
+          else decoder_norm(x, lp["post_attention_layernorm"], cfg,
+                            lp.get("post_attention_layernorm_bias")))
     if cfg.num_experts > 0:
-        x = x + rmul * (moe_fn or _moe_mlp)(h2, lp, cfg)
+        mlp_out = (moe_fn or _moe_mlp)(h2, lp, cfg)
+    elif not cfg.gated_mlp:
+        up = proj(h2, "up_proj")
+        if cfg.use_mlp_bias:
+            up = up + lp["up_bias"]
+        mlp_out = proj(_act_only(cfg, up), "down_proj")
+        if cfg.use_mlp_bias:
+            mlp_out = mlp_out + lp["down_bias"]
     else:
         mlp = act_and_mul(cfg, proj(h2, "gate_proj"), proj(h2, "up_proj"))
-        x = x + rmul * proj(mlp, "down_proj")
+        mlp_out = proj(mlp, "down_proj")
+    if cfg.postnorm:
+        mlp_out = decoder_norm(mlp_out, lp["post_feedforward_layernorm"],
+                               cfg)
+    x = x + rmul * mlp_out
     return x
 
 

@@ -52,6 +52,10 @@ _REGISTRY: dict[str, tuple[str, str]] = {
                            "GraniteConfig"),
     "Qwen2VLForConditionalGeneration": (
         "vllm_trianglemix_tpu.models.qwen2_vl", "Qwen2VLConfig"),
+    "Starcoder2ForCausalLM": ("vllm_trianglemix_tpu.models.starcoder2",
+                              "Starcoder2Config"),
+    "Olmo2ForCausalLM": ("vllm_trianglemix_tpu.models.olmo2",
+                         "Olmo2Config"),
 }
 
 
