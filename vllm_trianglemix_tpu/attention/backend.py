@@ -129,7 +129,7 @@ def write_kv(kv_cache: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 @partial(jax.jit, static_argnames=("sink", "window", "last",
                                    "dense_threshold", "soft_cap", "scale",
                                    "k_scale", "v_scale", "attn_window",
-                                   "tri_enabled"))
+                                   "attn_chunk", "tri_enabled"))
 def ragged_paged_attention_xla(
     q: jnp.ndarray,               # [T, HQ, D]
     kv_cache: jnp.ndarray,        # [num_blocks, page, 2*KH, D]
@@ -146,6 +146,7 @@ def ragged_paged_attention_xla(
     k_scale=None,
     v_scale=None,
     attn_window: int = 0,
+    attn_chunk: int = 0,
     tri_enabled: bool = True,
     sinks=None,                   # f32[HQ] learned attention-sink logits
                                   # (GPT-OSS): an extra softmax column that
@@ -193,6 +194,11 @@ def ragged_paged_attention_xla(
         # Sliding-window attention (Mistral): every token sees at most the
         # previous attn_window positions (itself included).
         visible &= (q_pos - key_pos) < attn_window
+    if attn_chunk > 0:
+        # Chunked-local attention (Llama-4 style; reference
+        # ChunkedLocalAttentionSpec): token p attends only within its
+        # aligned chunk [floor(p/C)*C, p].
+        visible &= key_pos >= (q_pos // attn_chunk) * attn_chunk
 
     if tri_enabled:
         n = md.prompt_lens[md.req_idx][:, None]                 # [T, 1]
@@ -232,6 +238,14 @@ def ragged_paged_attention(q, kv_cache, md, use_triangle=False, **kwargs):
     D = q.shape[-1]
     Dc = kv_cache.shape[-1]
     q = _pad_heads(q, Dc)
+    if kwargs.get("attn_chunk"):
+        # Chunked-local masking runs the XLA reference path (the Pallas
+        # kernel's chunk predicate is future work; no in-tree model uses
+        # chunked-local yet).
+        out = ragged_paged_attention_xla(q, kv_cache, md, use_triangle,
+                                         **kwargs)
+        return out[..., :D] if Dc != D else out
+    kwargs.pop("attn_chunk", None)
     if not envs.VTT_DISABLE_PALLAS and _pallas_supported(q):
         from vllm_trianglemix_tpu.ops.ragged_paged_attention import (
             ragged_paged_attention_pallas,
@@ -274,9 +288,12 @@ def fused_decode_attention(q, k_new, v_new, kv_cache, md,
                                      interpret=interpret, **kwargs)
         return out[..., :D]
 
-    if envs.VTT_DISABLE_PALLAS or not _pallas_supported(q):
+    if (envs.VTT_DISABLE_PALLAS or not _pallas_supported(q)
+            or kwargs.get("attn_chunk")):
         # Semantics reference: write this layer's K/V, then plain
         # attention over kv_len = pos + 1 (the pre-fusion decode path).
+        # Chunked-local masking always takes this path (the decode
+        # kernel has no chunk predicate yet).
         cache = write_to_kv_cache(kv_cache, k_new, v_new, md.slot_mapping)
         md_inc = md._replace(seq_lens=md.seq_lens + 1)
         return ragged_paged_attention_xla(

@@ -63,6 +63,21 @@ class MambaSpec(KVCacheSpec):
 
 
 @dataclass(frozen=True)
+class ChunkedLocalAttentionSpec(KVCacheSpec):
+    """Chunked-local attention (reference ChunkedLocalAttentionSpec,
+    vllm/v1/kv_cache_interface.py:174, Llama-4 style): token p attends
+    within its aligned chunk [floor(p/C)*C, p], so at most one chunk of
+    KV is ever live per request."""
+
+    attention_chunk_size: int = 0
+
+    def max_memory_usage_bytes(self, max_model_len: int) -> int:
+        num_tokens = min(self.attention_chunk_size + self.block_size,
+                         max_model_len)
+        return ceil(num_tokens / self.block_size) * self.page_size_bytes
+
+
+@dataclass(frozen=True)
 class SlidingWindowSpec(KVCacheSpec):
     sliding_window: int = 0
 

@@ -14,6 +14,7 @@ from collections import defaultdict
 from vllm_trianglemix_tpu.core.block_pool import BlockPool
 from vllm_trianglemix_tpu.core.kv_cache_utils import BlockHash, KVCacheBlock
 from vllm_trianglemix_tpu.core.kv_cache_interface import (
+    ChunkedLocalAttentionSpec,
     FullAttentionSpec,
     KVCacheSpec,
     SlidingWindowSpec,
@@ -149,6 +150,43 @@ class SlidingWindowManager(SingleTypeKVCacheManager):
         self.block_pool.free_blocks(removed)
 
 
+class ChunkedLocalAttentionManager(SingleTypeKVCacheManager):
+    """Chunked-local block lifecycle (reference
+    ChunkedLocalAttentionManager, single_type_kv_cache_manager.py:404):
+    blocks entirely before the current chunk's start are dead — no later
+    token can ever attend to them — and return to the pool as null."""
+
+    def __init__(self, kv_cache_spec, block_pool: BlockPool) -> None:
+        super().__init__(kv_cache_spec, block_pool)
+        self.chunk = kv_cache_spec.attention_chunk_size
+        self._null_block = block_pool.null_block
+
+    def find_longest_cache_hit(self, block_hashes: list[BlockHash],
+                               max_num_blocks: int) -> list[KVCacheBlock]:
+        # Conservative contiguous-prefix policy (same rationale as the
+        # sliding-window manager).
+        return FullAttentionManager.find_longest_cache_hit(
+            self, block_hashes, max_num_blocks)
+
+    def remove_skipped_blocks(self, request_id: str,
+                              num_computed_tokens: int) -> None:
+        # The NEXT token to compute sits at position num_computed_tokens;
+        # its chunk starts at floor(pos / C) * C — everything before is
+        # invisible to every present and future token.
+        last_useful_token = (num_computed_tokens // self.chunk) * self.chunk
+        if last_useful_token <= 0:
+            return
+        last_useful_block = last_useful_token // self.block_size
+        blocks = self.req_to_blocks[request_id]
+        removed: list[KVCacheBlock] = []
+        for i in range(min(last_useful_block, len(blocks)) - 1, -1, -1):
+            if blocks[i].is_null:
+                break
+            removed.append(blocks[i])
+            blocks[i] = self._null_block
+        self.block_pool.free_blocks(removed)
+
+
 class MambaManager(FullAttentionManager):
     """Constant-size state slots (reference MambaManager,
     single_type_kv_cache_manager.py:529): one block per request for its
@@ -163,6 +201,8 @@ def get_manager_for_kv_cache_spec(kv_cache_spec: KVCacheSpec,
                                   ) -> SingleTypeKVCacheManager:
     if isinstance(kv_cache_spec, SlidingWindowSpec):
         return SlidingWindowManager(kv_cache_spec, block_pool)
+    if isinstance(kv_cache_spec, ChunkedLocalAttentionSpec):
+        return ChunkedLocalAttentionManager(kv_cache_spec, block_pool)
     if isinstance(kv_cache_spec, MambaSpec):
         return MambaManager(kv_cache_spec, block_pool)
     if isinstance(kv_cache_spec, (FullAttentionSpec, MLAAttentionSpec)):

@@ -120,6 +120,11 @@ class DecoderConfig:
     # kernels, and the scheduler reclaims out-of-window KV blocks
     # (core/single_type_kv_cache_manager.py:SlidingWindowManager).
     sliding_window: int = 0
+    # Chunked-local attention (Llama-4 style; reference
+    # ChunkedLocalAttentionSpec): token p attends within its aligned
+    # chunk [floor(p/C)*C, p]. 0 = off. Mutually exclusive with
+    # sliding_window.
+    attention_chunk_size: int = 0
     # Mixture-of-experts (Qwen3-MoE): 0 experts = dense MLP
     num_experts: int = 0
     num_experts_per_tok: int = 0
@@ -196,6 +201,7 @@ class DecoderConfig:
             # use_sliding_window=False; Mistral may set it to null.
             sliding_window=(cfg.get("sliding_window") or 0
                             if cfg.get("use_sliding_window", True) else 0),
+            attention_chunk_size=cfg.get("attention_chunk_size") or 0,
         )
 
     @classmethod
@@ -775,6 +781,7 @@ def build_attn_kwargs(cfg: DecoderConfig, tri_cfg: TriangleMixConfig,
         last=tri_cfg.num_last_tokens,
         dense_threshold=tri_cfg.dense_threshold,
         attn_window=cfg.sliding_window,
+        attn_chunk=cfg.attention_chunk_size,
         # Static: a dense engine compiles the TriangleMix predicates out
         # of the attention kernels entirely (3 [rows, cols] VPU compares
         # per KV tile otherwise spent on an always-false traced flag).
@@ -927,9 +934,18 @@ def compute_logits(params: dict, cfg: DecoderConfig,
 def kv_cache_spec(cfg: DecoderConfig, block_size: int, dtype_bytes: int = 2):
     from vllm_trianglemix_tpu.attention.backend import padded_head_dim
     from vllm_trianglemix_tpu.core.kv_cache_interface import (
+        ChunkedLocalAttentionSpec,
         FullAttentionSpec,
         SlidingWindowSpec,
     )
+    if cfg.attention_chunk_size > 0:
+        return ChunkedLocalAttentionSpec(
+            block_size=block_size,
+            num_kv_heads=cfg.num_key_value_heads,
+            head_size=padded_head_dim(cfg.head_dim),
+            dtype_bytes=dtype_bytes,
+            attention_chunk_size=cfg.attention_chunk_size,
+        )
     if cfg.sliding_window > 0:
         # Scheduler side: SlidingWindowManager reclaims out-of-window
         # blocks (reference single_type_kv_cache_manager.py:304).
