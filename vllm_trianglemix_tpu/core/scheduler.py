@@ -395,6 +395,11 @@ class Scheduler:
                     num_new_tokens = min(
                         num_new_tokens,
                         self.scheduler_config.long_prefill_token_threshold)
+                if (getattr(request, "no_chunking", False)
+                        and num_new_tokens > token_budget):
+                    # Encoder-only models (bidirectional attention) must
+                    # prefill in ONE shot — wait for a fresher budget.
+                    break
                 num_new_tokens = min(num_new_tokens, token_budget)
                 num_new_tokens = self._schedule_mm(
                     request, request.num_computed_tokens, num_new_tokens,

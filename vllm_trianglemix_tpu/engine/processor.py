@@ -48,6 +48,8 @@ class Processor:
         # resolved lazily from the model config when the architecture is a
         # vision-language model.
         self.mm_config = None
+        self.encoder_only = False
+        self.default_pooling_type = None
         module = model_cfg = None
         try:
             from vllm_trianglemix_tpu.models.registry import resolve_model
@@ -57,6 +59,12 @@ class Processor:
             # No config dir / unknown arch (common in unit tests that pass
             # a raw tokenizer or synthetic config) — multimodal stays off.
             pass
+        if module is not None:
+            self.encoder_only = bool(getattr(module, "IS_ENCODER_ONLY",
+                                             False))
+            self.default_pooling_type = getattr(module,
+                                                "DEFAULT_POOLING_TYPE",
+                                                None)
         if module is not None and getattr(module, "IS_MULTIMODAL", False):
             # The architecture IS multimodal: failures here are real
             # misconfigurations (malformed preprocessor_config.json,
@@ -142,9 +150,29 @@ class Processor:
                         seqs.append(list(ids))
             params.bad_words_token_ids = seqs
 
+        if self.encoder_only:
+            # Bidirectional attention prefills in one shot: the prompt
+            # must fit a single step's token budget (models/bert_embed.py).
+            budget = self.engine_config.scheduler.max_num_batched_tokens
+            if len(token_ids) > budget:
+                raise ValueError(
+                    f"encoder-only prompt length {len(token_ids)} exceeds "
+                    f"max_num_batched_tokens {budget} (bidirectional "
+                    "attention cannot chunk)")
+            if pooling_params is None:
+                raise ValueError(
+                    "encoder-only models serve embeddings; pass "
+                    "pooling_params (LLM.encode / /v1/embeddings)")
+        if (pooling_params is not None
+                and self.default_pooling_type is not None
+                and pooling_params.pooling_type == "last"):
+            # The model family's pooling convention (e.g. CLS for BERT
+            # embedders) replaces the decoder-style default.
+            pooling_params.pooling_type = self.default_pooling_type
+
         # Encode stop strings' token ids are NOT precomputed (stop strings are
         # matched on detokenized text by the output processor).
-        return Request(
+        request = Request(
             request_id=request_id,
             prompt_token_ids=token_ids,
             sampling_params=params,
@@ -156,3 +184,6 @@ class Processor:
             pooling_params=pooling_params,
             mm_items=mm_items,
         )
+        if self.encoder_only:
+            request.no_chunking = True
+        return request

@@ -56,6 +56,10 @@ _REGISTRY: dict[str, tuple[str, str]] = {
                               "Starcoder2Config"),
     "Olmo2ForCausalLM": ("vllm_trianglemix_tpu.models.olmo2",
                          "Olmo2Config"),
+    "BertModel": ("vllm_trianglemix_tpu.models.bert_embed",
+                  "BertEmbedConfig"),
+    "XLMRobertaModel": ("vllm_trianglemix_tpu.models.bert_embed",
+                        "BertEmbedConfig"),
 }
 
 

@@ -273,12 +273,16 @@ class ModelRunner:
                     raise ValueError(f"{why} unsupported with hybrid "
                                      "KV-cache groups")
         self.is_mamba = bool(getattr(self.model, "IS_MAMBA", False))
-        custom_cache = self.is_mla or self.is_mamba
+        self.is_encoder_only = bool(getattr(self.model, "IS_ENCODER_ONLY",
+                                            False))
+        custom_cache = self.is_mla or self.is_mamba or self.is_encoder_only
         if custom_cache:
-            # Non-GQA cache layouts: MLA latent rows (attention/mla.py)
-            # or Mamba state rows (models/mamba.py). The fast paths below
+            # Non-GQA cache layouts: MLA latent rows (attention/mla.py),
+            # Mamba state rows (models/mamba.py), or the encoder-only
+            # dummy rows (models/bert_embed.py). The fast paths below
             # assume the GQA layout:
-            kind = "MLA" if self.is_mla else "Mamba"
+            kind = ("MLA" if self.is_mla
+                    else "Mamba" if self.is_mamba else "encoder-only")
             if engine_config.scheduler.multi_step_decode > 1:
                 raise ValueError(f"multi_step_decode unsupported w/ {kind}")
             if engine_config.speculative.enabled:
