@@ -60,6 +60,8 @@ _REGISTRY: dict[str, tuple[str, str]] = {
                   "BertEmbedConfig"),
     "XLMRobertaModel": ("vllm_trianglemix_tpu.models.bert_embed",
                         "BertEmbedConfig"),
+    "GptOssForCausalLM": ("vllm_trianglemix_tpu.models.gpt_oss",
+                          "GptOssConfig"),
 }
 
 
