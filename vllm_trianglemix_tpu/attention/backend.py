@@ -238,6 +238,17 @@ def ragged_paged_attention(q, kv_cache, md, use_triangle=False, **kwargs):
     D = q.shape[-1]
     Dc = kv_cache.shape[-1]
     q = _pad_heads(q, Dc)
+    if md.shared_prefix_len is not None:
+        # Cascade attention (attention/cascade.py): the runner only sets
+        # the shared fields when TriangleMix / windows / sinks are off.
+        from vllm_trianglemix_tpu.attention.cascade import (
+            cascade_ragged_attention,
+        )
+
+        out = cascade_ragged_attention(
+            q, kv_cache, md, scale=kwargs.get("scale", 1.0),
+            soft_cap=kwargs.get("soft_cap", 0.0))
+        return out[..., :D] if Dc != D else out
     if kwargs.get("attn_chunk"):
         # Chunked-local masking runs the XLA reference path (the Pallas
         # kernel's chunk predicate is future work; no in-tree model uses

@@ -49,6 +49,11 @@ class AttentionMetadata(NamedTuple):
     # --- multimodal rotary (Qwen2-VL mrope): (temporal, height, width)
     #     position ids per token; None for 1-D rope models ---
     mrope_positions: Optional[jnp.ndarray] = None  # int32[3, T]
+    # --- cascade attention (attention/cascade.py): block ids of the
+    #     batch-wide shared prefix (padded; -1 beyond) and its token
+    #     length. None = no cascade this step. ---
+    shared_block_tables: Optional[jnp.ndarray] = None  # int32[K]
+    shared_prefix_len: Optional[jnp.ndarray] = None    # int32[]
 
     @property
     def num_tokens_padded(self) -> int:

@@ -126,6 +126,12 @@ class CacheConfig:
     num_gpu_blocks: Optional[int] = None
     memory_utilization: float = 0.9
     enable_prefix_caching: bool = True
+    # Cascade attention (reference gpu_model_runner.py:1268 +
+    # flash_attn cascade): when every scheduled request shares leading
+    # KV blocks, attend the shared prefix ONCE for the whole batch.
+    enable_cascade_attention: bool = False
+    # Minimum shared blocks before cascading pays for itself.
+    cascade_min_shared_blocks: int = 2
     # dtype handled by ModelConfig.kv_cache_dtype
 
 

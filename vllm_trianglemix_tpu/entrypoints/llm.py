@@ -42,6 +42,7 @@ class LLM:
         encoder_cache_size: int = 8192,
         num_kv_blocks: Optional[int] = None,
         enable_prefix_caching: bool = True,
+        enable_cascade_attention: bool = False,
         tensor_parallel_size: int = 1,
         pipeline_parallel_size: int = 1,
         data_parallel_size: int = 1,
@@ -73,9 +74,11 @@ class LLM:
                               load_format=load_format,
                               kv_cache_dtype=kv_cache_dtype,
                               kv_cache_scale=kv_cache_scale),
-            cache=CacheConfig(block_size=block_size,
-                              num_gpu_blocks=num_kv_blocks,
-                              enable_prefix_caching=enable_prefix_caching),
+            cache=CacheConfig(
+                block_size=block_size,
+                num_gpu_blocks=num_kv_blocks,
+                enable_prefix_caching=enable_prefix_caching,
+                enable_cascade_attention=enable_cascade_attention),
             scheduler=SchedulerConfig(
                 max_num_seqs=max_num_seqs,
                 max_num_batched_tokens=max_num_batched_tokens,

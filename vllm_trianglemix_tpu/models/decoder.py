@@ -806,6 +806,11 @@ def offset_md(md: AttentionMetadata, lid, num_blocks: int,
     )
     if md.kv_slices is not None:
         kw["kv_slices"] = md.kv_slices.at[0].add(off_slots)
+    if md.shared_block_tables is not None:
+        kw["shared_block_tables"] = jnp.where(
+            md.shared_block_tables >= 0,
+            md.shared_block_tables + lid * num_blocks,
+            md.shared_block_tables)
     return md._replace(**kw)
 
 

@@ -1233,6 +1233,8 @@ class ModelRunner:
         kv_slices, num_slices = build_kv_update_slices(
             slot_mapping, self.block_size, n_slices_padded)
 
+        shared_bt, shared_len = self._detect_cascade(req_ids, bool(spec))
+
         md = AttentionMetadata(
             positions=jnp.asarray(positions),
             req_idx=jnp.asarray(req_idx),
@@ -1254,6 +1256,10 @@ class ModelRunner:
             mrope_positions=(jnp.asarray(self._build_mrope_positions(
                 req_ids, positions, query_start_loc, T))
                 if self.is_mrope else None),
+            shared_block_tables=(jnp.asarray(shared_bt)
+                                 if shared_bt is not None else None),
+            shared_prefix_len=(jnp.asarray(shared_len, jnp.int32)
+                               if shared_bt is not None else None),
             block_tables_g=(jnp.asarray(block_tables_g)
                             if self.n_kv_groups > 1 else None),
             slot_mapping_g=(jnp.asarray(slot_mapping_g)
@@ -1938,6 +1944,51 @@ class ModelRunner:
             "kv_slices": jnp.asarray(kv_s),
             "num_kv_slices": jnp.asarray(kv_n),
         }
+
+    def _detect_cascade(self, req_ids, has_spec: bool):
+        """Batch-wide shared-prefix detection (reference
+        _compute_cascade_attn_prefix_len, gpu_model_runner.py:1268):
+        when every scheduled request's block table starts with the SAME
+        block ids (prefix-cache hits on a common prompt) and everyone
+        has computed past that region, the shared prefix is attended
+        once for the whole batch (attention/cascade.py). Returns
+        (padded shared block ids | None, shared token length)."""
+        cc = self.engine_config.cache
+        if (not cc.enable_cascade_attention or len(req_ids) < 2
+                or has_spec or self.n_kv_groups > 1 or self.is_mamba
+                or self.is_mla or self.is_encoder_only
+                or self.tri_cfg.enabled
+                or getattr(self.cfg, "sliding_window", 0) > 0
+                or getattr(self.cfg, "attention_chunk_size", 0) > 0
+                or self.kv_quant is not None):
+            return None, 0
+        states = [self.input_batch.get(r) for r in req_ids]
+        first = states[0].block_ids
+        k = len(first)
+        for st in states[1:]:
+            ids = st.block_ids
+            n = 0
+            for a, b in zip(first, ids):
+                if a != b:
+                    break
+                n += 1
+            k = min(k, n)
+            if k < cc.cascade_min_shared_blocks:
+                return None, 0
+        # every scheduled token must sit past the shared region
+        k = min(k, min(st.num_computed_tokens
+                       for st in states) // self.block_size)
+        if k < cc.cascade_min_shared_blocks:
+            return None, 0
+        # bucket the padded table so shared-size changes don't recompile
+        k_pad = min(self.max_blocks_per_req,
+                    1 << (k - 1).bit_length() if k > 1 else 1)
+        shared = np.full(k_pad, -1, np.int32)
+        shared[:k] = first[:k]
+        # the cascade graph compiles on first trigger (warmup skips it)
+        self._graph_growth_ok = True
+        self._cascade_steps = getattr(self, "_cascade_steps", 0) + 1
+        return shared, k * self.block_size
 
     def _build_mrope_positions(self, req_ids, positions, query_start_loc,
                                T: int) -> np.ndarray:
