@@ -57,12 +57,28 @@ def _add_engine_args(p: argparse.ArgumentParser) -> None:
                    help="number of triangle layers (first-N policy)")
     p.add_argument("--warmup", action="store_true",
                    help="precompile all (token, request) buckets at startup")
+    p.add_argument("--enable-cascade-attention", action="store_true",
+                   help="attend batch-shared prefixes once "
+                        "(attention/cascade.py)")
+    p.add_argument("--max-loras", type=int, default=0,
+                   help="preallocate LoRA slots for runtime "
+                        "/v1/load_lora_adapter")
+    p.add_argument("--max-lora-rank", type=int, default=0,
+                   help="rank capacity for dynamically loaded adapters")
+    p.add_argument("--num-hosts", type=int, default=1,
+                   help="multi-host serving: total host processes "
+                        "(scripts/launch_multihost.py)")
+    p.add_argument("--host-id", type=int, default=0)
+    p.add_argument("--control-address", default=None,
+                   help="multi-host ZMQ step-broadcast root, "
+                        "e.g. tcp://host0:8576")
 
 
 def _engine_config(args):
     from vllm_trianglemix_tpu.config import (
         CacheConfig,
         EngineConfig,
+        LoRAConfig,
         ModelConfig,
         ParallelConfig,
         SchedulerConfig,
@@ -93,7 +109,8 @@ def _engine_config(args):
                           kv_cache_dtype=args.kv_cache_dtype),
         cache=CacheConfig(
             block_size=args.block_size,
-            enable_prefix_caching=not args.no_enable_prefix_caching),
+            enable_prefix_caching=not args.no_enable_prefix_caching,
+            enable_cascade_attention=args.enable_cascade_attention),
         scheduler=SchedulerConfig(
             max_num_seqs=args.max_num_seqs,
             max_num_batched_tokens=args.max_num_batched_tokens,
@@ -105,8 +122,13 @@ def _engine_config(args):
             context_parallel_size=args.context_parallel_size,
             enable_expert_parallel=args.enable_expert_parallel,
             enable_eplb=args.enable_eplb,
-            eplb_interval=args.eplb_interval),
+            eplb_interval=args.eplb_interval,
+            num_hosts=args.num_hosts,
+            host_id=args.host_id,
+            control_address=args.control_address),
         trianglemix=tri,
+        lora=LoRAConfig(max_loras=args.max_loras,
+                        max_rank=args.max_lora_rank),
     )
 
 
@@ -119,7 +141,20 @@ def cmd_serve(args) -> int:
     # AsyncMPClient, core_client.py:597) so API-server hiccups can't
     # stall the device loop.
     cfg = _engine_config(args)
-    if not args.inproc_engine:
+    if args.num_hosts > 1:
+        # Multi-host serving: the engine must stay in the process that
+        # joined jax.distributed (executor/multihost_executor.py); peer
+        # hosts run the lockstep worker loop. The launcher
+        # (scripts/launch_multihost.py) handles jax.distributed
+        # bring-up; reaching here assumes it already ran.
+        if args.host_id > 0:
+            from vllm_trianglemix_tpu.executor.multihost_executor import (
+                run_worker_loop,
+            )
+
+            run_worker_loop(cfg)
+            return 0
+    elif not args.inproc_engine:
         cfg = dataclasses.replace(cfg, multiprocess_engine=True)
     run_server(cfg, host=args.host, port=args.port,
                tool_call_parser=args.tool_call_parser,
