@@ -175,11 +175,37 @@ def _rotate_half(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def apply_rope(q: jnp.ndarray, k: jnp.ndarray, cos: jnp.ndarray,
-               sin: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+               sin: jnp.ndarray, interleaved: bool = False
+               ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Apply rotary embedding; q/k are [..., tokens, heads, head_dim],
-    cos/sin [tokens, head_dim] broadcast over heads."""
+    cos/sin [tokens, rotary_dim] broadcast over heads. When
+    rotary_dim < head_dim (GPT-NeoX rotary_pct / Phi
+    partial_rotary_factor) the trailing slice passes through unrotated.
+    ``interleaved`` selects the GPT-J/Cohere rotate-every-two pairing
+    (even/odd lanes) instead of the Llama rotate-half layout."""
+    rd = cos.shape[-1]
+    Dh = q.shape[-1]
+    if rd < Dh:
+        q, q_pass = q[..., :rd], q[..., rd:]
+        k, k_pass = k[..., :rd], k[..., rd:]
     cos = cos[..., :, None, :]
     sin = sin[..., :, None, :]
-    q_rot = q * cos + _rotate_half(q) * sin
-    k_rot = k * cos + _rotate_half(k) * sin
+    if interleaved:
+        # pairs are (x[2i], x[2i+1]); cos/sin first half carries the
+        # per-frequency tables (concat([f, f]) layout)
+        ch, sh = cos[..., :rd // 2], sin[..., :rd // 2]
+
+        def rot(x):
+            x1, x2 = x[..., 0::2], x[..., 1::2]
+            even = x1 * ch - x2 * sh
+            odd = x2 * ch + x1 * sh
+            return jnp.stack([even, odd], axis=-1).reshape(x.shape)
+
+        q_rot, k_rot = rot(q), rot(k)
+    else:
+        q_rot = q * cos + _rotate_half(q) * sin
+        k_rot = k * cos + _rotate_half(k) * sin
+    if rd < Dh:
+        q_rot = jnp.concatenate([q_rot, q_pass], axis=-1)
+        k_rot = jnp.concatenate([k_rot, k_pass], axis=-1)
     return q_rot.astype(q.dtype), k_rot.astype(k.dtype)

@@ -169,6 +169,34 @@ class DecoderConfig:
     # widths summing to head_dim/2; None = standard 1-D rope. Needs
     # AttentionMetadata.mrope_positions [3, T] from the runner.
     mrope_section: "tuple[int, ...] | None" = None
+    # --- pre-rope-era / parallel-block family knobs -----------------------
+    # False = no rotary at all (GPT-2/OPT: learned absolute positions).
+    use_rope: bool = True
+    # Learned absolute position embeddings added to the token embedding
+    # (GPT-2 wpe, OPT embed_positions). Adds an ``embed_positions``
+    # [max_position_embeddings + offset, D] parameter indexed by
+    # md.positions + pos_embedding_offset (OPT stores rows 0-1 as pad).
+    learned_pos_embeddings: bool = False
+    pos_embedding_offset: int = 0
+    # Fraction of head_dim that rotates (GPT-NeoX rotary_pct, Phi/GLM/
+    # Nemotron partial_rotary_factor); the rest passes through.
+    partial_rotary_factor: float = 1.0
+    # GPT-J-style interleaved rotary (rotate_every_two: even/odd pairs)
+    # instead of the Llama rotate_half layout (Cohere, GLM).
+    rope_interleaved: bool = False
+    # Parallel attention+MLP block: x + attn(norm(x)) + mlp(norm'(x))
+    # (GPT-NeoX use_parallel_residual, Phi, Cohere, Falcon). With
+    # ``parallel_block_shared_norm`` the MLP reads the SAME normed input
+    # as attention (Phi/Cohere/Falcon-7B — no post_attention_layernorm
+    # parameter exists); otherwise a second norm of x feeds the MLP
+    # (GPT-NeoX's two-norm variant).
+    parallel_block: bool = False
+    parallel_block_shared_norm: bool = False
+    # LayerNorm families: bias on the norms (Cohere's LayerNorm has no
+    # bias; set False). Ignored for rmsnorm.
+    norm_bias: bool = True
+    # Bias on the lm_head projection (Phi).
+    lm_head_bias: bool = False
 
     @classmethod
     def from_hf_config(cls, cfg: dict[str, Any]) -> "DecoderConfig":
@@ -264,15 +292,24 @@ def shape_tree(cfg: DecoderConfig) -> dict:
         # OLMo-2: no input norm; an extra post-feedforward norm instead
         del layers["input_layernorm"]
         layers["post_feedforward_layernorm"] = (L, D)
-    if cfg.norm_type == "layernorm":
-        if "input_layernorm" in layers:
-            layers["input_layernorm_bias"] = (L, D)
-        layers["post_attention_layernorm_bias"] = (L, D)
+    if cfg.parallel_block and cfg.parallel_block_shared_norm:
+        # Phi/Cohere: the single input norm feeds both branches
+        del layers["post_attention_layernorm"]
+    if cfg.norm_type in ("layernorm", "layernorm1p") and cfg.norm_bias:
+        for nk in ("input_layernorm", "post_attention_layernorm",
+                   "post_feedforward_layernorm"):
+            if nk in layers:
+                layers[nk + "_bias"] = (L, D)
     tree = {"embed_tokens": (V, D), "layers": layers, "norm": (D,)}
-    if cfg.norm_type == "layernorm":
+    if cfg.learned_pos_embeddings:
+        tree["embed_positions"] = (
+            cfg.max_position_embeddings + cfg.pos_embedding_offset, D)
+    if cfg.norm_type in ("layernorm", "layernorm1p") and cfg.norm_bias:
         tree["norm_bias"] = (D,)
     if not cfg.tie_word_embeddings:
         tree["lm_head"] = (D, V)
+        if cfg.lm_head_bias:
+            tree["lm_head_bias"] = (V,)
     return tree
 
 
@@ -325,10 +362,13 @@ def partition_specs(cfg: DecoderConfig, quantized: str | None = None) -> dict:
     if cfg.postnorm:
         del layers["input_layernorm"]
         layers["post_feedforward_layernorm"] = P(None, None)
-    if cfg.norm_type == "layernorm":
-        if "input_layernorm" in layers:
-            layers["input_layernorm_bias"] = P(None, None)
-        layers["post_attention_layernorm_bias"] = P(None, None)
+    if cfg.parallel_block and cfg.parallel_block_shared_norm:
+        del layers["post_attention_layernorm"]
+    if cfg.norm_type in ("layernorm", "layernorm1p") and cfg.norm_bias:
+        for nk in ("input_layernorm", "post_attention_layernorm",
+                   "post_feedforward_layernorm"):
+            if nk in layers:
+                layers[nk + "_bias"] = P(None, None)
     if quantized:
         # QuantLinear leaves: qweight keeps the dense mat's spec; scale/
         # zero [L, G, Dout] follow the output axis for column-parallel
@@ -363,10 +403,14 @@ def partition_specs(cfg: DecoderConfig, quantized: str | None = None) -> dict:
         for k in ("o_proj", "down_proj"):
             layers[k] = row_spec()
     specs = {"embed_tokens": P("tp", None), "layers": layers, "norm": P(None)}
-    if cfg.norm_type == "layernorm":
+    if cfg.learned_pos_embeddings:
+        specs["embed_positions"] = P(None, None)
+    if cfg.norm_type in ("layernorm", "layernorm1p") and cfg.norm_bias:
         specs["norm_bias"] = P(None)
     if not cfg.tie_word_embeddings:
         specs["lm_head"] = P(None, "tp")
+        if cfg.lm_head_bias:
+            specs["lm_head_bias"] = P("tp")
     return specs
 
 
@@ -530,12 +574,19 @@ def params_from_hf_state_dict(cfg: DecoderConfig, get_tensor,
         "norm": jnp.asarray(np.asarray(get_tensor("model.norm.weight")),
                             dtype=dtype),
     }
-    if cfg.norm_type == "layernorm":
+    if cfg.learned_pos_embeddings:
+        params["embed_positions"] = jnp.asarray(
+            np.asarray(get_tensor("model.embed_positions.weight")),
+            dtype=dtype)
+    if cfg.norm_type in ("layernorm", "layernorm1p") and cfg.norm_bias:
         params["norm_bias"] = jnp.asarray(
             np.asarray(get_tensor("model.norm.bias")), dtype=dtype)
     if not cfg.tie_word_embeddings:
         params["lm_head"] = jnp.asarray(
             np.asarray(get_tensor("lm_head.weight")).T, dtype=dtype)
+        if cfg.lm_head_bias:
+            params["lm_head_bias"] = jnp.asarray(
+                np.asarray(get_tensor("lm_head.bias")), dtype=dtype)
     return params
 
 
@@ -544,14 +595,16 @@ def params_from_hf_state_dict(cfg: DecoderConfig, get_tensor,
 def decoder_norm(x: jnp.ndarray, w: jnp.ndarray,
                  cfg: DecoderConfig, b=None) -> jnp.ndarray:
     """Family-selected norm: RMSNorm (default), Gemma's (1 + w) RMSNorm
-    with the weight multiply kept in fp32, or LayerNorm with bias
-    (StarCoder2)."""
-    if cfg.norm_type == "layernorm":
+    with the weight multiply kept in fp32, LayerNorm with bias
+    (StarCoder2), or Nemotron's zero-centered LayerNorm1P ((1 + w)
+    weight)."""
+    if cfg.norm_type in ("layernorm", "layernorm1p"):
         xf = x.astype(jnp.float32)
         mu = xf.mean(-1, keepdims=True)
         var = ((xf - mu) ** 2).mean(-1, keepdims=True)
         y = (xf - mu) * jax.lax.rsqrt(var + cfg.rms_norm_eps)
-        y = y * w.astype(jnp.float32)
+        wf = w.astype(jnp.float32)
+        y = y * (1.0 + wf if cfg.norm_type == "layernorm1p" else wf)
         if b is not None:
             y = y + b.astype(jnp.float32)
         return y.astype(x.dtype)
@@ -570,6 +623,11 @@ def _act_only(cfg: DecoderConfig, x: jnp.ndarray) -> jnp.ndarray:
         return jax.nn.gelu(x, approximate=True)
     if cfg.hidden_act == "gelu":
         return jax.nn.gelu(x, approximate=False)
+    if cfg.hidden_act == "relu":
+        return jax.nn.relu(x)
+    if cfg.hidden_act == "relu2":
+        # Nemotron relu^2 (reference nemotron.py ReLUSquaredActivation)
+        return jnp.square(jax.nn.relu(x))
     raise ValueError(f"unsupported hidden_act {cfg.hidden_act!r}")
 
 
@@ -578,11 +636,7 @@ def act_and_mul(cfg: DecoderConfig, gate: jnp.ndarray,
     """Gated-MLP activation by family (reference activation.py registry)."""
     if cfg.hidden_act == "silu":
         return silu_and_mul(gate, up)
-    if cfg.hidden_act == "gelu_tanh":
-        return jax.nn.gelu(gate, approximate=True) * up
-    if cfg.hidden_act == "gelu":
-        return jax.nn.gelu(gate, approximate=False) * up
-    raise ValueError(f"unsupported hidden_act {cfg.hidden_act!r}")
+    return _act_only(cfg, gate) * up
 
 
 def _moe_mlp(h: jnp.ndarray, lp: dict, cfg: DecoderConfig) -> jnp.ndarray:
@@ -683,12 +737,23 @@ def forward(
         mm_pos, mm_vecs = mm_scatter
         # Pad rows carry an out-of-bounds position; mode="drop" skips them.
         x = x.at[mm_pos].set(mm_vecs.astype(x.dtype), mode="drop")
-    if cfg.mrope_section is not None and md.mrope_positions is not None:
+    if cfg.learned_pos_embeddings:
+        # GPT-2 wpe / OPT embed_positions (+2 pad offset); JAX gather
+        # clamps padded out-of-range positions to the last row.
+        x = x + params["embed_positions"][
+            md.positions + cfg.pos_embedding_offset].astype(x.dtype)
+    if not cfg.use_rope:
+        cos = sin = None
+    elif cfg.mrope_section is not None and md.mrope_positions is not None:
         cos, sin = mrope_cos_sin(md.mrope_positions, Dh, cfg.rope_theta,
                                  cfg.mrope_section, dtype=x.dtype)
     else:
+        # Partial rotary (GPT-NeoX rotary_pct / Phi partial_rotary_factor):
+        # inv_freq runs over rotary_dim, not head_dim; apply_rope leaves
+        # the trailing head_dim - rotary_dim slice unrotated.
+        rot_dim = int(Dh * cfg.partial_rotary_factor) // 2 * 2
         cos, sin = rope_cos_sin(
-            md.positions, Dh, cfg.rope_theta, dtype=x.dtype,
+            md.positions, rot_dim, cfg.rope_theta, dtype=x.dtype,
             scaling=cfg.rope_scaling,
             max_position_embeddings=cfg.max_position_embeddings)
 
@@ -856,7 +921,9 @@ def _layer_compute(x, lp, lmods, onehot, cfg: DecoderConfig, cos, sin,
     if cfg.use_qk_norm and not cfg.qk_norm_flat:
         q = rms_norm(q, lp["q_norm"], eps)
         k = rms_norm(k, lp["k_norm"], eps)
-    q, k = apply_rope(q, k, cos, sin)
+    if cos is not None:
+        q, k = apply_rope(q, k, cos, sin,
+                          interleaved=cfg.rope_interleaved)
     attn = attn_of(q, k, v)
     attn_out = proj(attn.reshape(T, HQ * Dh), "o_proj")
     if cfg.use_o_bias:
@@ -864,10 +931,17 @@ def _layer_compute(x, lp, lmods, onehot, cfg: DecoderConfig, cos, sin,
     if cfg.postnorm:
         attn_out = decoder_norm(attn_out, lp["post_attention_layernorm"],
                                 cfg)
-    x = x + rmul * attn_out
-    h2 = (x if cfg.postnorm
-          else decoder_norm(x, lp["post_attention_layernorm"], cfg,
-                            lp.get("post_attention_layernorm_bias")))
+    if cfg.parallel_block:
+        # x + attn(norm(x)) + mlp(norm'(x)); the MLP reads either the
+        # same normed input (Phi/Cohere) or a second norm of x (GPT-NeoX)
+        h2 = (h if cfg.parallel_block_shared_norm
+              else decoder_norm(x, lp["post_attention_layernorm"], cfg,
+                                lp.get("post_attention_layernorm_bias")))
+    else:
+        x = x + rmul * attn_out
+        h2 = (x if cfg.postnorm
+              else decoder_norm(x, lp["post_attention_layernorm"], cfg,
+                                lp.get("post_attention_layernorm_bias")))
     if cfg.num_experts > 0:
         mlp_out = (moe_fn or _moe_mlp)(h2, lp, cfg)
     elif not cfg.gated_mlp:
@@ -883,7 +957,10 @@ def _layer_compute(x, lp, lmods, onehot, cfg: DecoderConfig, cos, sin,
     if cfg.postnorm:
         mlp_out = decoder_norm(mlp_out, lp["post_feedforward_layernorm"],
                                cfg)
-    x = x + rmul * mlp_out
+    if cfg.parallel_block:
+        x = x + rmul * (attn_out + mlp_out)
+    else:
+        x = x + rmul * mlp_out
     return x
 
 
@@ -931,6 +1008,8 @@ def compute_logits(params: dict, cfg: DecoderConfig,
     else:
         w = params["lm_head"]
     logits = jnp.dot(hidden, w, preferred_element_type=jnp.float32)
+    if cfg.lm_head_bias:
+        logits = logits + params["lm_head_bias"].astype(jnp.float32)
     if cfg.logits_scaling != 1.0:
         logits = logits / cfg.logits_scaling
     return logits

@@ -62,6 +62,20 @@ _REGISTRY: dict[str, tuple[str, str]] = {
                         "BertEmbedConfig"),
     "GptOssForCausalLM": ("vllm_trianglemix_tpu.models.gpt_oss",
                           "GptOssConfig"),
+    "GPT2LMHeadModel": ("vllm_trianglemix_tpu.models.gpt2", "Gpt2Config"),
+    "OPTForCausalLM": ("vllm_trianglemix_tpu.models.opt", "OPTConfig"),
+    "GPTNeoXForCausalLM": ("vllm_trianglemix_tpu.models.gpt_neox",
+                           "GptNeoXConfig"),
+    "PhiForCausalLM": ("vllm_trianglemix_tpu.models.phi", "PhiConfig"),
+    "StableLmForCausalLM": ("vllm_trianglemix_tpu.models.stablelm",
+                            "StableLmConfig"),
+    "CohereForCausalLM": ("vllm_trianglemix_tpu.models.cohere",
+                          "CohereConfig"),
+    "NemotronForCausalLM": ("vllm_trianglemix_tpu.models.nemotron",
+                            "NemotronConfig"),
+    "GlmForCausalLM": ("vllm_trianglemix_tpu.models.glm", "GlmConfig"),
+    "FalconForCausalLM": ("vllm_trianglemix_tpu.models.falcon",
+                          "FalconConfig"),
 }
 
 
