@@ -1,8 +1,14 @@
 #!/usr/bin/env python
 """Standalone Pallas attention-kernel timing at the bench prefill shape.
 
-Sweeps (num_kv_pages_per_block, num_queries_per_block) to find where the
-27.8 ms/step prefill attention cost comes from.
+Sweeps (num_kv_pages_per_block, num_queries_per_block). Measured truth
+(v5e, single-dispatch slope method): the default (4, 128) runs
+~0.66 ms/layer (~18.5 ms across the 28-layer step); (2, 256) and
+(2, 128) are ~1.0 ms — the (512-col, 128-row) default stands. The
+per-element floor is ~0.13 ms (matmul) + ~0.45 ms of VPU softmax
+passes, so the kernel sits near its VPU-bound roofline; further gains
+need structurally fewer live columns (intra-tile causal pruning), not
+tile-size tuning.
 
 Run on TPU:  python scripts/profile_attn_kernel.py
 """
@@ -53,25 +59,41 @@ def main() -> None:
         num_reqs=jnp.asarray(R, jnp.int32),
     )
 
-    L = 28
+    def bench(kv_pages, q_blk, L1=2, L2=30, iters=5):
+        """Slope of two SINGLE-DISPATCH jitted chains (L2 - L1 kernels).
 
-    def bench(kv_pages, q_blk, iters=5):
-        """Amortized: dispatch L chained calls, sync once — a single
-        dispatch+fetch costs ~25 ms over the axon tunnel and would
-        swamp a ~1 ms kernel."""
-        try:
-            times = []
-            for _ in range(iters):
-                t0 = time.perf_counter()
-                x = q
+        Two traps this avoids (both produced garbage sweeps earlier):
+        - jax.block_until_ready does NOT synchronize over the axon
+          tunnel — a scalar fetch (float(out[0,0,0])) is the only
+          reliable barrier (see .claude/skills/verify gotchas);
+        - Python-level chained dispatch measures the tunnel's per-call
+          dispatch rate, not device time — the chain must live inside
+          ONE jit so the device runs back-to-back kernels.
+        Inputs vary per iteration to dodge any result cache.
+        """
+        def make(L):
+            @jax.jit
+            def chain(x):
                 for _ in range(L):
                     x = ragged_paged_attention_pallas(
                         x, kv, md, False, scale=Dh ** -0.5,
                         num_kv_pages_per_block=kv_pages,
                         num_queries_per_block=q_blk)
-                jax.block_until_ready(x)
-                times.append(time.perf_counter() - t0)
-            return min(times[1:]) / L
+                return x
+            return chain
+
+        try:
+            def run(c):
+                times = []
+                for it in range(iters):
+                    x = q * (1.0 + 0.001 * it)
+                    t0 = time.perf_counter()
+                    out = c(x)
+                    _ = float(out[0, 0, 0])
+                    times.append(time.perf_counter() - t0)
+                return min(times[1:])
+
+            return (run(make(L2)) - run(make(L1))) / (L2 - L1)
         except Exception as e:
             print(f"  kv_pages={kv_pages} q_blk={q_blk}: "
                   f"{type(e).__name__}: {str(e)[:120]}")
