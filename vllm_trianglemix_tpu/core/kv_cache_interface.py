@@ -87,6 +87,20 @@ class SlidingWindowSpec(KVCacheSpec):
 
 
 @dataclass(frozen=True)
+class CrossAttentionSpec(KVCacheSpec):
+    """Encoder-decoder cross-attention KV (reference CrossAttentionSpec,
+    vllm/v1/kv_cache_interface.py:251, Whisper): per-layer K/V projected
+    from the ENCODER output — a fixed ``num_encoder_tokens`` rows per
+    request, written once when the request starts and never grown."""
+
+    num_encoder_tokens: int = 0
+
+    def max_memory_usage_bytes(self, max_model_len: int) -> int:
+        return (ceil(self.num_encoder_tokens / self.block_size)
+                * self.page_size_bytes)
+
+
+@dataclass(frozen=True)
 class KVCacheGroupSpec:
     """A group of layers sharing one spec (and one block-id space)."""
 

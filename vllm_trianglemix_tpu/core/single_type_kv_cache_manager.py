@@ -15,6 +15,7 @@ from vllm_trianglemix_tpu.core.block_pool import BlockPool
 from vllm_trianglemix_tpu.core.kv_cache_utils import BlockHash, KVCacheBlock
 from vllm_trianglemix_tpu.core.kv_cache_interface import (
     ChunkedLocalAttentionSpec,
+    CrossAttentionSpec,
     FullAttentionSpec,
     KVCacheSpec,
     SlidingWindowSpec,
@@ -196,6 +197,39 @@ class MambaManager(FullAttentionManager):
         return []
 
 
+class CrossAttentionManager(SingleTypeKVCacheManager):
+    """Encoder-output KV blocks (reference CrossAttentionManager,
+    single_type_kv_cache_manager.py:606, Whisper): a fixed
+    ``num_encoder_tokens`` rows per request allocated when the request
+    first runs, independent of decoder growth; never reclaimed early,
+    never prefix-cached (content keys on audio, not token prefix)."""
+
+    def find_longest_cache_hit(self, block_hashes, max_blocks):
+        return []
+
+    def _num_cross_blocks(self) -> int:
+        return cdiv(self.kv_cache_spec.num_encoder_tokens, self.block_size)
+
+    def get_num_blocks_to_allocate(self, request_id: str, num_tokens: int,
+                                   new_computed_blocks) -> int:
+        # num_tokens counts DECODER tokens; the cross cache needs room
+        # for the encoder output instead, all of it up front.
+        return max(0, self._num_cross_blocks()
+                   - len(self.req_to_blocks[request_id]))
+
+    def allocate_new_blocks(self, request_id: str, num_tokens: int):
+        blocks = self.req_to_blocks[request_id]
+        num_new = self._num_cross_blocks() - len(blocks)
+        if num_new <= 0:
+            return []
+        new_blocks = self.block_pool.get_new_blocks(num_new)
+        blocks.extend(new_blocks)
+        return new_blocks
+
+    def cache_blocks(self, request, num_tokens: int) -> None:
+        pass
+
+
 def get_manager_for_kv_cache_spec(kv_cache_spec: KVCacheSpec,
                                   block_pool: BlockPool
                                   ) -> SingleTypeKVCacheManager:
@@ -203,6 +237,8 @@ def get_manager_for_kv_cache_spec(kv_cache_spec: KVCacheSpec,
         return SlidingWindowManager(kv_cache_spec, block_pool)
     if isinstance(kv_cache_spec, ChunkedLocalAttentionSpec):
         return ChunkedLocalAttentionManager(kv_cache_spec, block_pool)
+    if isinstance(kv_cache_spec, CrossAttentionSpec):
+        return CrossAttentionManager(kv_cache_spec, block_pool)
     if isinstance(kv_cache_spec, MambaSpec):
         return MambaManager(kv_cache_spec, block_pool)
     if isinstance(kv_cache_spec, (FullAttentionSpec, MLAAttentionSpec)):

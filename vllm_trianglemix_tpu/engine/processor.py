@@ -65,7 +65,26 @@ class Processor:
             self.default_pooling_type = getattr(module,
                                                 "DEFAULT_POOLING_TYPE",
                                                 None)
-        if module is not None and getattr(module, "IS_MULTIMODAL", False):
+        if module is not None and getattr(module, "IS_ENCODER_DECODER",
+                                          False):
+            # Whisper-style audio encoder-decoder: the multimodal item is
+            # an audio clip, not an image, and carries no placeholder
+            # tokens in the (decoder) prompt.
+            from vllm_trianglemix_tpu.multimodal.audio import (
+                AudioFeatureProcessor,
+            )
+
+            path = engine_config.model.model
+            self.mm_config = {
+                "encoder_decoder": True,
+                "tokens_per_item": model_cfg.tokens_per_image,
+                "audio_processor": AudioFeatureProcessor(
+                    path if isinstance(path, str) else None,
+                    num_mel_bins=model_cfg.num_mel_bins),
+                "default_prompt": model_cfg.default_decoder_prompt(),
+            }
+        elif module is not None and getattr(module, "IS_MULTIMODAL",
+                                            False):
             # The architecture IS multimodal: failures here are real
             # misconfigurations (malformed preprocessor_config.json,
             # missing vision section) and must not silently disable MM.
@@ -109,21 +128,51 @@ class Processor:
                     raise ValueError(
                         "multi_modal_data passed but the model is not a "
                         "multimodal architecture")
-                from vllm_trianglemix_tpu.multimodal.processor import (
-                    expand_mm_prompt,
-                )
+                if self.mm_config.get("encoder_decoder"):
+                    from vllm_trianglemix_tpu.multimodal import (
+                        MultiModalItem,
+                    )
 
-                images = mm_data.get("image")
-                if images is None:
-                    raise ValueError("multi_modal_data must carry 'image'")
-                if not isinstance(images, (list, tuple)):
-                    images = [images]
-                token_ids, mm_items = expand_mm_prompt(
-                    self.tokenizer, prompt_text, token_ids, list(images),
-                    image_token_id=self.mm_config["image_token_id"],
-                    tokens_per_image=self.mm_config["tokens_per_image"],
-                    image_processor=self.mm_config["image_processor"],
-                )
+                    audio = mm_data.get("audio")
+                    if audio is None:
+                        raise ValueError(
+                            "encoder-decoder models take "
+                            "multi_modal_data={'audio': ...}")
+                    feats = self.mm_config["audio_processor"](audio)
+                    # No placeholder span in the decoder prompt: the clip
+                    # occupies encoder-cache tokens only (offset 0 makes
+                    # the first prefill chunk trigger the encoder run).
+                    mm_items = [MultiModalItem(
+                        offset=0,
+                        length=self.mm_config["tokens_per_item"],
+                        data=feats)]
+                    if token_ids is None:
+                        if prompt_text is not None:
+                            raise ValueError(
+                                "encoder-decoder prompts must be decoder "
+                                "token ids (or omitted for the default "
+                                "transcription prompt)")
+                        token_ids = list(
+                            self.mm_config["default_prompt"])
+                else:
+                    from vllm_trianglemix_tpu.multimodal.processor import (
+                        expand_mm_prompt,
+                    )
+
+                    images = mm_data.get("image")
+                    if images is None:
+                        raise ValueError(
+                            "multi_modal_data must carry 'image'")
+                    if not isinstance(images, (list, tuple)):
+                        images = [images]
+                    token_ids, mm_items = expand_mm_prompt(
+                        self.tokenizer, prompt_text, token_ids,
+                        list(images),
+                        image_token_id=self.mm_config["image_token_id"],
+                        tokens_per_image=self.mm_config[
+                            "tokens_per_image"],
+                        image_processor=self.mm_config["image_processor"],
+                    )
             elif token_ids is None:
                 token_ids = self.tokenizer.encode(prompt_text)
         else:

@@ -388,6 +388,99 @@ async def _stream_completion(request: web.Request, engine: AsyncLLM, prompt,
     return resp
 
 
+async def _transcribe(request: web.Request, translate: bool
+                      ) -> web.Response:
+    """OpenAI /v1/audio/transcriptions|translations (reference
+    serving_transcription role): multipart audio file -> Whisper-family
+    decode. WAV in; other containers need client-side decoding."""
+    app = request.app
+    engine = app[ENGINE_KEY]
+    try:
+        form = await request.post()
+        f = form.get("file")
+        if f is None:
+            return _json_error("missing 'file' form field")
+        data = f.file.read() if hasattr(f, "file") else (
+            f.encode() if isinstance(f, str) else bytes(f))
+        response_format = form.get("response_format", "json")
+        temperature = float(form.get("temperature") or 0.0)
+        language = form.get("language")
+    except Exception as e:  # noqa: BLE001
+        return _json_error(str(e))
+
+    from vllm_trianglemix_tpu.multimodal.audio import (
+        decode_wav,
+        resample_linear,
+    )
+    from vllm_trianglemix_tpu.sampling_params import SamplingParams
+
+    try:
+        wav, sr = decode_wav(data)
+    except Exception as e:  # noqa: BLE001
+        return _json_error(f"could not decode audio (WAV only): {e}")
+    wav = resample_linear(wav, sr)
+
+    # Decoder prompt: the model's default transcription prompt, with the
+    # language / task tokens overridden when the tokenizer knows them.
+    prompt: dict = {"multi_modal_data": {"audio": wav}}
+    tokenizer = engine.tokenizer
+    mm_config = getattr(engine.engine.processor, "mm_config", None) or {}
+    default_ids = mm_config.get("default_prompt")
+    if tokenizer is not None and default_ids:
+        ids = list(default_ids)
+
+        def tok(s):
+            t = tokenizer.convert_tokens_to_ids(s)
+            return None if t is None or t == tokenizer.unk_token_id \
+                else t
+
+        if language:
+            lang = tok(f"<|{language}|>")
+            if lang is not None and len(ids) > 1:
+                ids[1] = lang
+        if translate:
+            tr = tok("<|translate|>")
+            ts = tok("<|transcribe|>")
+            if tr is not None:
+                if ts is not None and ts in ids:
+                    ids = [tr if t == ts else t for t in ids]
+                elif len(ids) > 2:
+                    ids[2] = tr
+        prompt["prompt_token_ids"] = ids
+
+    max_len = engine.engine_config.model.max_model_len
+    n_prompt = len(prompt.get("prompt_token_ids") or default_ids or [1])
+    params = SamplingParams(temperature=temperature,
+                            max_tokens=max(1, max_len - n_prompt - 1),
+                            skip_special_tokens=True)
+    request_id = f"trsc-{uuid.uuid4().hex}"
+    final = None
+    try:
+        async for out in engine.generate(prompt, params, request_id):
+            final = out
+    except EngineDeadError as e:
+        return _json_error(str(e), 500)
+    except ValueError as e:
+        return _json_error(str(e))
+
+    text = final.outputs[0].text if final is not None else ""
+    if response_format == "text":
+        return web.Response(text=text, content_type="text/plain")
+    body = {"text": text}
+    if response_format == "verbose_json":
+        body.update(task="translate" if translate else "transcribe",
+                    language=language or "", duration=len(wav) / 16000.0)
+    return web.json_response(body)
+
+
+async def create_transcription(request: web.Request) -> web.Response:
+    return await _transcribe(request, translate=False)
+
+
+async def create_translation(request: web.Request) -> web.Response:
+    return await _transcribe(request, translate=True)
+
+
 async def create_embeddings(request: web.Request) -> web.Response:
     """OpenAI /v1/embeddings (reference serving_embedding role)."""
     app = request.app
@@ -941,6 +1034,8 @@ def build_app(engine: AsyncLLM, model_name: str,
     app.router.add_post("/v1/completions", create_completion)
     app.router.add_post("/v1/chat/completions", create_chat_completion)
     app.router.add_post("/v1/embeddings", create_embeddings)
+    app.router.add_post("/v1/audio/transcriptions", create_transcription)
+    app.router.add_post("/v1/audio/translations", create_translation)
     app[RESPONSES_KEY] = {}
     app.router.add_post("/v1/responses", create_response)
     app.router.add_get("/v1/responses/{response_id}", get_response)

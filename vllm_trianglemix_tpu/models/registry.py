@@ -76,6 +76,8 @@ _REGISTRY: dict[str, tuple[str, str]] = {
     "GlmForCausalLM": ("vllm_trianglemix_tpu.models.glm", "GlmConfig"),
     "FalconForCausalLM": ("vllm_trianglemix_tpu.models.falcon",
                           "FalconConfig"),
+    "WhisperForConditionalGeneration": (
+        "vllm_trianglemix_tpu.models.whisper", "WhisperConfig"),
 }
 
 

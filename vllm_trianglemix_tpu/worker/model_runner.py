@@ -145,6 +145,12 @@ class ModelRunner:
             self.cfg = replace(self.cfg, rope_scaling=replace(
                 rs, eval_len=self.max_model_len))
         self.max_blocks_per_req = cdiv(self.max_model_len, self.block_size)
+        if getattr(self.model, "IS_ENCODER_DECODER", False):
+            # group-1 cross block tables hold ceil(1500 / page) entries,
+            # usually more than the (short) decoder max_model_len needs
+            self.max_blocks_per_req = max(
+                self.max_blocks_per_req,
+                cdiv(self.cfg.max_source_positions, self.block_size))
 
         self.input_batch = InputBatch()
         self._token_paddings = token_paddings(
@@ -344,6 +350,13 @@ class ModelRunner:
         # pool of projected image embeddings -------------------------------
         self.is_multimodal = bool(getattr(self.model, "IS_MULTIMODAL",
                                           False))
+        # Encoder-decoder (Whisper): the multimodal item is the AUDIO
+        # clip feeding the encoder; group 1 of the hybrid KV cache holds
+        # per-layer cross-attention K/V filled once per request
+        # (models/whisper.py fill_cross_kv).
+        self.is_encoder_decoder = bool(getattr(self.model,
+                                               "IS_ENCODER_DECODER",
+                                               False))
         # mrope (Qwen2-VL): 3-D rotary position ids built host-side per
         # request (models/qwen2_vl.py mrope_position_table).
         self.is_mrope = bool(getattr(self.model, "IS_MROPE", False))
@@ -355,7 +368,8 @@ class ModelRunner:
                 (engine_config.speculative.enabled, "speculative decoding"),
                 (self.pp > 1, "pipeline parallelism"),
                 (self.cp > 1, "context parallelism"),
-                (self.n_kv_groups > 1, "hybrid KV-cache groups"),
+                (self.n_kv_groups > 1 and not self.is_encoder_decoder,
+                 "hybrid KV-cache groups"),
                 (self.quant_method is not None, "quantization"),
             ):
                 if flag:
@@ -397,6 +411,13 @@ class ModelRunner:
 
             self._jit_encode = encode_fn
             self._jit_pool_write = pool_write
+            if self.is_encoder_decoder:
+                @partial(jax.jit, donate_argnums=(1,))
+                def cross_fill(params, kv_caches, pool, enc_idx, slots):
+                    return model.fill_cross_kv(params, cfg, kv_caches,
+                                               pool[enc_idx], slots)
+
+                self._jit_cross_fill = cross_fill
             # Fixed mm-row padding: ONE extra graph per (T, R) bucket
             # instead of a third bucket axis.
             self._mm_pad = engine_config.scheduler.max_num_batched_tokens
@@ -1104,6 +1125,8 @@ class ModelRunner:
         self._run_kv_connector_ops(scheduler_output)
         if self.is_multimodal:
             self._run_mm_encoder(scheduler_output)
+            if self.is_encoder_decoder:
+                self._fill_cross_kv(scheduler_output)
         if scheduler_output.total_num_scheduled_tokens == 0:
             return _PendingStep(ModelRunnerOutput)
         if scheduler_output.num_decode_steps and \
@@ -1187,9 +1210,12 @@ class ModelRunner:
                     slot_mapping[offset:offset + n_sched] = (
                         bt[pos // self.block_size] * self.block_size
                         + pos % self.block_size)
-            if self.is_multimodal and state.mm_items:
+            if self.is_multimodal and state.mm_items \
+                    and not self.is_encoder_decoder:
                 # Placeholder spans this chunk covers: scatter projected
                 # image-embedding rows over the text embeddings.
+                # (Encoder-decoder audio items have no placeholder span;
+                # their encoder output feeds the cross-KV fill instead.)
                 P_img = self.mm_tokens_per_image
                 for item in state.mm_items:
                     s, e = item.span
@@ -1886,6 +1912,40 @@ class ModelRunner:
                                  jnp.asarray(px, self.dtype))
         self.encoder_pool = self._jit_pool_write(
             self.encoder_pool, jnp.asarray(idx), feats)
+
+    def _fill_cross_kv(self, scheduler_output: SchedulerOutput) -> None:
+        """Write per-layer cross-attention K/V for requests starting
+        their first chunk this step: gather the request's pooled encoder
+        states and scatter the projected K/V into its cross-group
+        (group 1) pages — once per request lifetime (re-runs after
+        preemption-by-recompute, when num_computed_tokens returns to 0).
+        """
+        page = self.block_size
+        S_enc = self.mm_tokens_per_image
+        todo = []
+        for req_id in scheduler_output.num_scheduled_tokens:
+            state = self.input_batch.get(req_id)
+            if state.num_computed_tokens == 0 and state.mm_items:
+                todo.append(state)
+        if not todo:
+            return
+        N = pick_padding(self._img_paddings, len(todo))
+        enc_idx = np.full((N, S_enc), 1 << 30, np.int32)  # pad: clamps
+        slots = np.full((N, S_enc), -1, np.int32)         # pad: drops
+        pos = np.arange(S_enc)
+        for j, state in enumerate(todo):
+            item = state.mm_items[0]
+            slot = self.mm_slot_of.get(item.hash)
+            assert slot is not None, (
+                f"{state.req_id}: encoder output for {item.hash} not in "
+                "the device pool (cross-KV fill before encode)")
+            enc_idx[j] = slot * S_enc + pos
+            bt = np.asarray(state.block_ids[1], np.int32)
+            slots[j] = bt[pos // page] * page + pos % page
+        self.kv_caches = self._jit_cross_fill(
+            self.params, self.kv_caches, self.encoder_pool,
+            jnp.asarray(enc_idx.reshape(-1)),
+            jnp.asarray(slots.reshape(-1)))
 
     def _sample_rows_per_req(self) -> int:
         """Sampling rows per request: 1 normally; 1+k when speculative
