@@ -87,6 +87,21 @@ class SlidingWindowSpec(KVCacheSpec):
 
 
 @dataclass(frozen=True)
+class MambaPagesSpec(KVCacheSpec):
+    """Mamba state rows packed into standard KV-shaped pages, for HYBRID
+    attention+SSM models (Jamba) where the state must share one
+    (block_size-uniform) pool with full-attention groups: each request
+    owns ``num_state_pages`` pages of its layer's pool for its whole
+    lifetime (ceil(state_row_width / page_elements)). Pure-SSM models
+    keep the dedicated one-row-per-request MambaSpec layout instead."""
+
+    num_state_pages: int = 1
+
+    def max_memory_usage_bytes(self, max_model_len: int) -> int:
+        return self.num_state_pages * self.page_size_bytes
+
+
+@dataclass(frozen=True)
 class CrossAttentionSpec(KVCacheSpec):
     """Encoder-decoder cross-attention KV (reference CrossAttentionSpec,
     vllm/v1/kv_cache_interface.py:251, Whisper): per-layer K/V projected

@@ -18,6 +18,7 @@ from vllm_trianglemix_tpu.core.kv_cache_interface import (
     CrossAttentionSpec,
     FullAttentionSpec,
     KVCacheSpec,
+    MambaPagesSpec,
     SlidingWindowSpec,
     MLAAttentionSpec,
     MambaSpec,
@@ -197,29 +198,25 @@ class MambaManager(FullAttentionManager):
         return []
 
 
-class CrossAttentionManager(SingleTypeKVCacheManager):
-    """Encoder-output KV blocks (reference CrossAttentionManager,
-    single_type_kv_cache_manager.py:606, Whisper): a fixed
-    ``num_encoder_tokens`` rows per request allocated when the request
-    first runs, independent of decoder growth; never reclaimed early,
-    never prefix-cached (content keys on audio, not token prefix)."""
+class ConstantPagesManager(SingleTypeKVCacheManager):
+    """Base for groups whose per-request block count is FIXED for the
+    request's lifetime, independent of decoder token growth: allocated
+    up front, never reclaimed early, never prefix-cached."""
+
+    def _num_pages(self) -> int:
+        raise NotImplementedError
 
     def find_longest_cache_hit(self, block_hashes, max_blocks):
         return []
 
-    def _num_cross_blocks(self) -> int:
-        return cdiv(self.kv_cache_spec.num_encoder_tokens, self.block_size)
-
     def get_num_blocks_to_allocate(self, request_id: str, num_tokens: int,
                                    new_computed_blocks) -> int:
-        # num_tokens counts DECODER tokens; the cross cache needs room
-        # for the encoder output instead, all of it up front.
-        return max(0, self._num_cross_blocks()
+        return max(0, self._num_pages()
                    - len(self.req_to_blocks[request_id]))
 
     def allocate_new_blocks(self, request_id: str, num_tokens: int):
         blocks = self.req_to_blocks[request_id]
-        num_new = self._num_cross_blocks() - len(blocks)
+        num_new = self._num_pages() - len(blocks)
         if num_new <= 0:
             return []
         new_blocks = self.block_pool.get_new_blocks(num_new)
@@ -228,6 +225,25 @@ class CrossAttentionManager(SingleTypeKVCacheManager):
 
     def cache_blocks(self, request, num_tokens: int) -> None:
         pass
+
+
+class CrossAttentionManager(ConstantPagesManager):
+    """Encoder-output KV blocks (reference CrossAttentionManager,
+    single_type_kv_cache_manager.py:606, Whisper): a fixed
+    ``num_encoder_tokens`` rows per request allocated when the request
+    first runs, independent of decoder growth (content keys on audio,
+    not token prefix — never prefix-cached)."""
+
+    def _num_pages(self) -> int:
+        return cdiv(self.kv_cache_spec.num_encoder_tokens, self.block_size)
+
+
+class MambaPagesManager(ConstantPagesManager):
+    """Hybrid-model Mamba state pages (Jamba): ``num_state_pages``
+    KV-shaped pages hold the layer's packed conv-history + SSM state."""
+
+    def _num_pages(self) -> int:
+        return self.kv_cache_spec.num_state_pages
 
 
 def get_manager_for_kv_cache_spec(kv_cache_spec: KVCacheSpec,
@@ -239,6 +255,8 @@ def get_manager_for_kv_cache_spec(kv_cache_spec: KVCacheSpec,
         return ChunkedLocalAttentionManager(kv_cache_spec, block_pool)
     if isinstance(kv_cache_spec, CrossAttentionSpec):
         return CrossAttentionManager(kv_cache_spec, block_pool)
+    if isinstance(kv_cache_spec, MambaPagesSpec):
+        return MambaPagesManager(kv_cache_spec, block_pool)
     if isinstance(kv_cache_spec, MambaSpec):
         return MambaManager(kv_cache_spec, block_pool)
     if isinstance(kv_cache_spec, (FullAttentionSpec, MLAAttentionSpec)):

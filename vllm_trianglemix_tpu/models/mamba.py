@@ -238,6 +238,89 @@ def partition_specs(cfg: MambaConfig, quantized=None) -> dict:
 
 # --- forward ------------------------------------------------------------------
 
+def mamba_mixer(lp, h, conv_hist, ssm0, rq, off, is_start, li, *,
+                din: int, N: int, K: int, tsr: int, eps: float = 1e-6):
+    """The selective-scan mixer shared by pure-Mamba and hybrid (Jamba)
+    models: in_proj -> cached causal depthwise conv -> (softplus dt, B,
+    C) -> ragged-segment associative scan -> silu(z) gate -> out_proj.
+
+    ``h`` [T, D] is the normed layer input; ``conv_hist`` [R, din, K-1]
+    and ``ssm0`` [R, din, N] the per-request cached state (fp32);
+    ``rq/off/is_start/li`` the ragged-batch geometry (see forward).
+    Optional ``lp`` keys: in_bias/conv_b/out_bias, and Jamba's
+    dt_norm/b_norm/c_norm RMSNorms on (dt_r, B, C) before use
+    (HF modeling_jamba JambaMambaMixer).
+
+    Returns (out [T, D], hist_new [R, din, K-1], ssm_new [R, din, N]).
+    """
+    T = h.shape[0]
+    R = conv_hist.shape[0]
+    xz = h @ lp["in_proj"]
+    if "in_bias" in lp:
+        xz = xz + lp["in_bias"]
+    xs, z = xz[:, :din], xz[:, din:]
+    xs_f = xs.astype(jnp.float32)
+
+    # --- causal depthwise conv with cached history ----------------------
+    # conv(t) = b + sum_d w[:, K-1-d] * x(t - d); taps before the
+    # chunk start read the cached history (hist[:, K-2] = t-1).
+    taps = [xs_f]
+    acc = xs_f * lp["conv_w"][:, K - 1].astype(jnp.float32)
+    for d in range(1, K):
+        shifted = jnp.concatenate(
+            [jnp.zeros((d, din), jnp.float32), xs_f], axis=0)[:T]
+        hidx = jnp.clip(K - 1 - d + off, 0, K - 2)
+        hval = jnp.take_along_axis(
+            conv_hist[rq], hidx[:, None, None], axis=2)[:, :, 0]
+        xd = jnp.where((off >= d)[:, None], shifted, hval)
+        taps.append(xd)
+        acc = acc + xd * lp["conv_w"][:, K - 1 - d].astype(jnp.float32)
+    if "conv_b" in lp:
+        acc = acc + lp["conv_b"].astype(jnp.float32)
+    u = jax.nn.silu(acc)                          # [T, din] fp32
+
+    # New conv history: the last K-1 inputs INCLUDING each segment's
+    # final token (the next chunk's t-1 is this chunk's last token):
+    # hist[:, m] holds delay K-1-m, i.e. d = K-2..0 oldest-to-newest.
+    # taps[d][li] already resolves x(li-d) through the OLD history
+    # when the tap crosses the chunk start, so short segments splice
+    # correctly for free.
+    hist_new = jnp.stack(
+        [taps[d][li] for d in range(K - 2, -1, -1)], axis=2)  # [R,din,K-1]
+
+    # --- selective scan ---------------------------------------------------
+    dbc = u.astype(h.dtype) @ lp["x_proj"]
+    dt_r, B, C = (dbc[:, :tsr], dbc[:, tsr:tsr + N], dbc[:, tsr + N:])
+    if "dt_norm" in lp:
+        # Jamba: RMSNorm on dt/B/C before the dt projection
+        dt_r = rms_norm(dt_r, lp["dt_norm"], eps)
+        B = rms_norm(B, lp["b_norm"], eps)
+        C = rms_norm(C, lp["c_norm"], eps)
+    dt = jax.nn.softplus(
+        (dt_r @ lp["dt_proj"] + lp["dt_bias"]).astype(jnp.float32))
+    A = -jnp.exp(lp["A_log"].astype(jnp.float32))             # [din, N]
+    dA = jnp.exp(dt[:, :, None] * A[None])                    # [T,din,N]
+    dBu = (dt[:, :, None] * B.astype(jnp.float32)[:, None, :]
+           * u[:, :, None])
+
+    b0 = jnp.where(is_start[:, None, None], dBu + dA * ssm0[rq], dBu)
+    a0 = jnp.where(is_start[:, None, None], 0.0, dA)
+
+    def combine(l, r):
+        al, bl = l
+        ar, br = r
+        return al * ar, bl * ar + br
+
+    _, hs = jax.lax.associative_scan(combine, (a0, b0), axis=0)
+    y = jnp.einsum("tdn,tn->td", hs, C.astype(jnp.float32))
+    y = y + u * lp["D"].astype(jnp.float32)
+    y = y * jax.nn.silu(z.astype(jnp.float32))
+    out = y.astype(h.dtype) @ lp["out_proj"]
+    if "out_bias" in lp:
+        out = out + lp["out_bias"]
+    return out, hist_new, hs[li]
+
+
 def forward(params, cfg: MambaConfig, tri_cfg, token_ids, states, md,
             tri_flags, lora=None, kv_quant=None, moe_fn=None,
             fused_decode=False):
@@ -267,70 +350,11 @@ def forward(params, cfg: MambaConfig, tri_cfg, token_ids, states, md,
         ssm0 = rows[:, din * (K - 1):].reshape(R, din, N)
 
         h = rms_norm(x, lp["norm"], eps)
-        xz = h @ lp["in_proj"]
-        if "in_bias" in lp:
-            xz = xz + lp["in_bias"]
-        xs, z = xz[:, :din], xz[:, din:]
-        xs_f = xs.astype(jnp.float32)
-
-        # --- causal depthwise conv with cached history ----------------------
-        # conv(t) = b + sum_d w[:, K-1-d] * x(t - d); taps before the
-        # chunk start read the cached history (hist[:, K-2] = t-1).
-        taps = [xs_f]
-        acc = xs_f * lp["conv_w"][:, K - 1].astype(jnp.float32)
-        for d in range(1, K):
-            shifted = jnp.concatenate(
-                [jnp.zeros((d, din), jnp.float32), xs_f], axis=0)[:T]
-            hidx = jnp.clip(K - 1 - d + off, 0, K - 2)
-            hval = jnp.take_along_axis(
-                conv_hist[rq], hidx[:, None, None], axis=2)[:, :, 0]
-            xd = jnp.where((off >= d)[:, None], shifted, hval)
-            taps.append(xd)
-            acc = acc + xd * lp["conv_w"][:, K - 1 - d].astype(jnp.float32)
-        if "conv_b" in lp:
-            acc = acc + lp["conv_b"].astype(jnp.float32)
-        u = jax.nn.silu(acc)                          # [T, din] fp32
-
-        # New conv history: the last K-1 inputs INCLUDING each segment's
-        # final token (the next chunk's t-1 is this chunk's last token):
-        # hist[:, m] holds delay K-1-m, i.e. d = K-2..0 oldest-to-newest.
-        # taps[d][li] already resolves x(li-d) through the OLD history
-        # when the tap crosses the chunk start, so short segments splice
-        # correctly for free.
-        hist_new = jnp.stack(
-            [taps[d][li] for d in range(K - 2, -1, -1)], axis=2)  # [R,din,K-1]
-
-        # --- selective scan ---------------------------------------------------
-        dbc = u.astype(x.dtype) @ lp["x_proj"]
-        tsr = cfg.time_step_rank
-        dt_r, B, C = (dbc[:, :tsr], dbc[:, tsr:tsr + N],
-                      dbc[:, tsr + N:])
-        dt = jax.nn.softplus(
-            (dt_r @ lp["dt_proj"] + lp["dt_bias"]).astype(jnp.float32))
-        A = -jnp.exp(lp["A_log"].astype(jnp.float32))             # [din, N]
-        dA = jnp.exp(dt[:, :, None] * A[None])                    # [T,din,N]
-        dBu = (dt[:, :, None] * B.astype(jnp.float32)[:, None, :]
-               * u[:, :, None])
-
-        b0 = jnp.where(is_start[:, None, None],
-                       dBu + dA * ssm0[rq], dBu)
-        a0 = jnp.where(is_start[:, None, None], 0.0, dA)
-
-        def combine(l, r):
-            al, bl = l
-            ar, br = r
-            return al * ar, bl * ar + br
-
-        _, hs = jax.lax.associative_scan(combine, (a0, b0), axis=0)
-        y = jnp.einsum("tdn,tn->td", hs, C.astype(jnp.float32))
-        y = y + u * lp["D"].astype(jnp.float32)
-        y = y * jax.nn.silu(z.astype(jnp.float32))
-        out = y.astype(x.dtype) @ lp["out_proj"]
-        if "out_bias" in lp:
-            out = out + lp["out_bias"]
+        out, hist_new, ssm_new = mamba_mixer(
+            lp, h, conv_hist, ssm0, rq, off, is_start, li,
+            din=din, N=N, K=K, tsr=cfg.time_step_rank, eps=eps)
 
         # --- state writeback ---------------------------------------------------
-        ssm_new = hs[li]                              # [R, din, N]
         rows_new = jnp.concatenate(
             [hist_new.reshape(R, -1), ssm_new.reshape(R, -1)], axis=1)
         write_slots = jnp.where(has_tokens, slots, st.shape[0])

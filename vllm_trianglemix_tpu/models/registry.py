@@ -78,6 +78,8 @@ _REGISTRY: dict[str, tuple[str, str]] = {
                           "FalconConfig"),
     "WhisperForConditionalGeneration": (
         "vllm_trianglemix_tpu.models.whisper", "WhisperConfig"),
+    "JambaForCausalLM": ("vllm_trianglemix_tpu.models.jamba",
+                         "JambaConfig"),
 }
 
 
