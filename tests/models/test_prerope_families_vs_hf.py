@@ -253,3 +253,39 @@ def test_new_families_registered():
         module, cfg_cls = resolve_architecture(arch)
         assert hasattr(module, "forward")
         assert hasattr(module, "kv_cache_spec")
+
+
+def test_gptj_prefill_matches_hf():
+    from transformers import GPTJConfig as HFCfg
+    from transformers import GPTJForCausalLM
+
+    from vllm_trianglemix_tpu.models import gptj
+
+    hf_kw = dict(vocab_size=512, n_embd=64, n_layer=2, n_head=4,
+                 n_positions=128, rotary_dim=8,
+                 activation_function="gelu_new",
+                 bos_token_id=2, eos_token_id=3, tie_word_embeddings=False)
+    torch.manual_seed(11)
+    hf = GPTJForCausalLM(HFCfg(**hf_kw)).eval().float()
+    assert any("lm_head.bias" in k for k in hf.state_dict())
+    cfg = gptj.GptJConfig.from_hf_config(hf_kw)
+    assert cfg.rope_interleaved and cfg.parallel_block_shared_norm
+    assert cfg.partial_rotary_factor == pytest.approx(0.5)  # 8 of 16
+    check(gptj, cfg, hf)
+
+
+def test_gpt_bigcode_prefill_matches_hf():
+    from transformers import GPTBigCodeConfig as HFCfg
+    from transformers import GPTBigCodeForCausalLM
+
+    from vllm_trianglemix_tpu.models import gpt_bigcode
+
+    hf_kw = dict(vocab_size=512, n_embd=64, n_layer=2, n_head=4,
+                 n_positions=128, multi_query=True,
+                 activation_function="gelu_pytorch_tanh",
+                 bos_token_id=2, eos_token_id=3)
+    torch.manual_seed(12)
+    hf = GPTBigCodeForCausalLM(HFCfg(**hf_kw)).eval().float()
+    cfg = gpt_bigcode.GptBigCodeConfig.from_hf_config(hf_kw)
+    assert cfg.num_key_value_heads == 1 and cfg.learned_pos_embeddings
+    check(gpt_bigcode, cfg, hf)

@@ -80,6 +80,9 @@ _REGISTRY: dict[str, tuple[str, str]] = {
         "vllm_trianglemix_tpu.models.whisper", "WhisperConfig"),
     "JambaForCausalLM": ("vllm_trianglemix_tpu.models.jamba",
                          "JambaConfig"),
+    "GPTJForCausalLM": ("vllm_trianglemix_tpu.models.gptj", "GptJConfig"),
+    "GPTBigCodeForCausalLM": ("vllm_trianglemix_tpu.models.gpt_bigcode",
+                              "GptBigCodeConfig"),
 }
 
 
