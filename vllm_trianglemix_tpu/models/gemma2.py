@@ -84,6 +84,12 @@ class Gemma2Config:
     bos_token_id: int = 2
     rope_scaling: Any = None
     num_experts: int = 0
+    # --- Gemma-3 knobs (models/gemma3.py) -------------------------------
+    # per-head Gemma (1+w) RMSNorm on q/k after the head split
+    use_qk_norm: bool = False
+    # sliding layers rotate at this base frequency (global layers keep
+    # rope_theta + rope_scaling); 0 = one shared table (Gemma-2)
+    rope_local_base_freq: float = 0.0
 
     def __post_init__(self):
         if not self.layer_types:
@@ -186,6 +192,9 @@ def shape_tree(cfg: Gemma2Config) -> dict:
         "up_proj": (L, D, I),
         "down_proj": (L, I, D),
     }
+    if cfg.use_qk_norm:
+        layers["q_norm"] = (L, Dh)
+        layers["k_norm"] = (L, Dh)
     tree = {"embed_tokens": (V, D), "layers": layers, "norm": (D,)}
     if not cfg.tie_word_embeddings:
         tree["lm_head"] = (D, V)
@@ -200,7 +209,8 @@ def init_random(cfg: Gemma2Config, seed: int = 0,
     keys = jax.random.split(jax.random.PRNGKey(seed), len(leaves))
 
     def init_one(key, shape):
-        if (len(shape) <= 2 and shape[-1] == cfg.hidden_size
+        if (len(shape) <= 2 and shape[-1] in (cfg.hidden_size,
+                                              cfg.head_dim)
                 and shape[0] != cfg.vocab_size):
             return jnp.zeros(shape, dtype)  # gemma norms: zeros-init (1+w)
         return (jax.random.normal(key, shape, jnp.float32) * 0.02).astype(
@@ -232,6 +242,9 @@ def params_from_hf_state_dict(cfg: Gemma2Config, get_tensor,
         layers[k] = stack(k, False)
     for k in ("q_proj", "k_proj", "v_proj", "o_proj"):
         layers[k] = stack(f"self_attn.{k}", True)
+    if cfg.use_qk_norm:
+        layers["q_norm"] = stack("self_attn.q_norm", False)
+        layers["k_norm"] = stack("self_attn.k_norm", False)
     for k in ("gate_proj", "up_proj", "down_proj"):
         layers[k] = stack(f"mlp.{k}", True)
 
@@ -262,6 +275,9 @@ def partition_specs(cfg: Gemma2Config, quantized=None) -> dict:
         "up_proj": P(None, None, "tp"),
         "down_proj": P(None, "tp", None),
     })
+    if cfg.use_qk_norm:
+        layers["q_norm"] = P(None, None)
+        layers["k_norm"] = P(None, None)
     specs = {"embed_tokens": P(None, None), "layers": layers,
              "norm": P(None)}
     if not cfg.tie_word_embeddings:
@@ -295,7 +311,18 @@ def forward(params, cfg: Gemma2Config, tri_cfg, token_ids, kv_caches,
 
     x = params["embed_tokens"][token_ids]
     x = x * jnp.asarray(cfg.hidden_size ** 0.5, x.dtype)
-    cos, sin = rope_cos_sin(md.positions, Dh, cfg.rope_theta, dtype=x.dtype)
+    cos, sin = rope_cos_sin(
+        md.positions, Dh, cfg.rope_theta, dtype=x.dtype,
+        scaling=cfg.rope_scaling,
+        max_position_embeddings=cfg.max_position_embeddings)
+    if cfg.rope_local_base_freq:
+        # Gemma-3: sliding layers rotate at the LOCAL base frequency,
+        # unscaled (HF Gemma3RotaryEmbedding local/global split).
+        cos_l, sin_l = rope_cos_sin(md.positions, Dh,
+                                    cfg.rope_local_base_freq,
+                                    dtype=x.dtype)
+    else:
+        cos_l, sin_l = cos, sin
 
     def md_for(j: int):
         if md.block_tables_g is None:
@@ -309,13 +336,17 @@ def forward(params, cfg: Gemma2Config, tri_cfg, token_ids, kv_caches,
 
     def sub_layer(x, lp, kv, j: int):
         T = x.shape[0]
-        window = (cfg.sliding_window
-                  if cfg.layer_types[j] == "sliding_attention" else 0)
+        sliding = cfg.layer_types[j] == "sliding_attention"
+        window = cfg.sliding_window if sliding else 0
         h = gemma_rms_norm(x, lp["input_layernorm"], eps)
         q = (h @ lp["q_proj"]).reshape(T, HQ, Dh)
         k = (h @ lp["k_proj"]).reshape(T, KH, Dh)
         v = (h @ lp["v_proj"]).reshape(T, KH, Dh)
-        q, k = apply_rope(q, k, cos, sin)
+        if cfg.use_qk_norm:
+            q = gemma_rms_norm(q, lp["q_norm"], eps)
+            k = gemma_rms_norm(k, lp["k_norm"], eps)
+        q, k = apply_rope(q, k, cos_l if sliding else cos,
+                          sin_l if sliding else sin)
         kv = write_kv(kv, k, v, mds[j])
         attn = ragged_paged_attention(
             q, kv, mds[j], False, scale=scale,

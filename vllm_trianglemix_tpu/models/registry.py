@@ -83,6 +83,8 @@ _REGISTRY: dict[str, tuple[str, str]] = {
     "GPTJForCausalLM": ("vllm_trianglemix_tpu.models.gptj", "GptJConfig"),
     "GPTBigCodeForCausalLM": ("vllm_trianglemix_tpu.models.gpt_bigcode",
                               "GptBigCodeConfig"),
+    "Gemma3ForCausalLM": ("vllm_trianglemix_tpu.models.gemma3",
+                          "Gemma3Config"),
 }
 
 
