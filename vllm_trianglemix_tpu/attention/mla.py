@@ -32,19 +32,57 @@ from vllm_trianglemix_tpu.attention.metadata import AttentionMetadata
 MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 
+def mla_padded_width(width: int) -> int:
+    """On TPU the stored latent width pads to the 128-lane boundary so
+    the Pallas kernel tiles cleanly (DeepSeek 576 -> 640); zero pad
+    lanes contribute nothing to scores or values."""
+    from vllm_trianglemix_tpu.attention.backend import padded_head_dim
+
+    return padded_head_dim(width)
+
+
 def mla_cache_shape(num_blocks: int, block_size: int, width: int):
     """width = kv_lora_rank + qk_rope_head_dim; one row per token."""
-    return (num_blocks, block_size, 1, width)
+    return (num_blocks, block_size, 1, mla_padded_width(width))
+
+
+def _pad_lanes(x: jnp.ndarray, wp: int) -> jnp.ndarray:
+    if x.shape[-1] == wp:
+        return x
+    pad = [(0, 0)] * (x.ndim - 1) + [(0, wp - x.shape[-1])]
+    return jnp.pad(x, pad)
 
 
 def mla_write_cache(cache: jnp.ndarray, rows: jnp.ndarray,
                     slot_mapping: jnp.ndarray) -> jnp.ndarray:
-    """Scatter latent rows [T, W] into the paged cache [nb, page, 1, W]."""
-    num_blocks, page, _, _ = cache.shape
+    """Scatter latent rows [T, W] into the paged cache [nb, page, 1, Wp]."""
+    num_blocks, page, _, wp = cache.shape
+    rows = _pad_lanes(rows, wp)
     bi = slot_mapping // page
     off = slot_mapping % page
     bi = jnp.where(slot_mapping < 0, num_blocks, bi)
     return cache.at[bi, off, 0].set(rows.astype(cache.dtype), mode="drop")
+
+
+def mla_paged_attention(q: jnp.ndarray, cache: jnp.ndarray,
+                        md: AttentionMetadata, *, scale: float,
+                        v_dim: int) -> jnp.ndarray:
+    """Dispatch: Pallas latent kernel on TPU (ops/mla_attention.py), XLA
+    gather reference elsewhere. ``q`` [T, H, W] pads to the cache's
+    stored lane width."""
+    from vllm_trianglemix_tpu import envs
+
+    wp = cache.shape[-1]
+    if (not envs.VTT_DISABLE_PALLAS and jax.default_backend() == "tpu"
+            and wp % 128 == 0 and v_dim % 128 == 0):
+        from vllm_trianglemix_tpu.ops.mla_attention import (
+            mla_paged_attention_pallas,
+        )
+
+        return mla_paged_attention_pallas(
+            _pad_lanes(q, wp), cache, md, scale=scale, v_dim=v_dim)
+    return mla_paged_attention_xla(_pad_lanes(q, wp), cache, md,
+                                   scale=scale, v_dim=v_dim)
 
 
 def mla_paged_attention_xla(q: jnp.ndarray, cache: jnp.ndarray,

@@ -37,7 +37,7 @@ import numpy as np
 from vllm_trianglemix_tpu.attention.mla import (
     apply_rope_interleaved,
     mla_cache_shape,
-    mla_paged_attention_xla,
+    mla_paged_attention,
     mla_write_cache,
     rope_interleaved,
 )
@@ -355,8 +355,10 @@ def kv_cache_spec(cfg: DeepseekV2Config, block_size: int,
         MLAAttentionSpec,
     )
 
+    from vllm_trianglemix_tpu.attention.mla import mla_padded_width
+
     return MLAAttentionSpec(block_size=block_size, num_kv_heads=1,
-                            head_size=cfg.head_dim,
+                            head_size=mla_padded_width(cfg.head_dim),
                             dtype_bytes=dtype_bytes)
 
 
@@ -398,7 +400,8 @@ def _mla_attn(x, lp, cfg: DeepseekV2Config, md, cos, sin, kv):
                        wkb[..., :Dn].astype(jnp.float32))
     qcat = jnp.concatenate(
         [q_eff, q_pe.astype(jnp.float32)], axis=-1)  # [T, H, R+P]
-    attn_lat = mla_paged_attention_xla(qcat, kv, md, scale=scale, v_dim=R)
+    attn_lat = mla_paged_attention(qcat, kv, md, scale=scale,
+                                   v_dim=R)
     o = jnp.einsum("thr,rhv->thv", attn_lat,
                    wkb[..., Dn:].astype(jnp.float32))
     o = o.astype(x.dtype).reshape(T, H * Dv)
