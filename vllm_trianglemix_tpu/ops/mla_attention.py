@@ -97,14 +97,17 @@ def _kernel(
     seq0 = lax.fori_loop(0, num_seqs, find_seq0, 0,
                          unroll=False)
 
-    def seq_pending(state):
-        seq_idx, _ = state
+    def seq_overlaps(seq_idx):
         return (seq_idx < num_seqs) \
             & (cu_q_lens_ref[jnp.minimum(seq_idx, num_seqs - 1)]
-               < q_lo + q_blk_size) & (seq_idx >= seq0)
+               < q_lo + q_blk_size)
+
+    def seq_pending(state):
+        seq_idx, _ = state
+        return seq_overlaps(seq_idx) & (seq_idx >= seq0)
 
     def process_seq(state):
-        seq_idx, _ = state
+        seq_idx, ctr0 = state
         q_start = cu_q_lens_ref[seq_idx]
         q_end = cu_q_lens_ref[seq_idx + 1]
         kv_len = kv_lens_ref[seq_idx]
@@ -125,14 +128,20 @@ def _kernel(
 
         q = q_ref[...].reshape(rows, Wp)
 
-        start_copy(seq_idx, 0, 0)
-
-        def tile_body(t, _):
-            buf = lax.rem(t, 2)
+        def tile_body(t, ctr):
+            buf = lax.rem(ctr, 2)
+            # Prefetch the NEXT tile in the global walk — the next tile
+            # of this sequence, or the next overlapping sequence's first
+            # tile — into the other buffer while this one computes.
+            nxt_buf = lax.rem(ctr + 1, 2)
 
             @pl.when(t + 1 < n_tiles)
-            def _prefetch():
-                start_copy(seq_idx, t + 1, lax.rem(t + 1, 2))
+            def _prefetch_same():
+                start_copy(seq_idx, t + 1, nxt_buf)
+
+            @pl.when((t + 1 >= n_tiles) & seq_overlaps(seq_idx + 1))
+            def _prefetch_next_seq():
+                start_copy(seq_idx + 1, 0, nxt_buf)
 
             wait_copy(seq_idx, t, buf)
             kv = kv_bufs[buf].reshape(kv_blk_size, Wp)
@@ -186,10 +195,16 @@ def _kernel(
                           cols_to(l_safe, v_dim))
             pltpu.store(acc_ref, out.reshape(q_blk_size, H, v_dim),
                         mask=acc_mask)
-            return 0
+            return ctr + 1
 
-        lax.fori_loop(0, n_tiles, tile_body, 0, unroll=False)
-        return seq_idx + 1, 0
+        ctr_end = lax.fori_loop(0, n_tiles, tile_body, ctr0,
+                                unroll=False)
+        return seq_idx + 1, ctr_end
+
+    # Seed the pipeline: the first overlapping sequence's first tile.
+    @pl.when(seq_overlaps(seq0))
+    def _seed():
+        start_copy(seq0, 0, 0)
 
     lax.while_loop(seq_pending, process_seq, (seq0, 0))
     o_ref[...] = acc_ref[...].astype(o_ref.dtype)
