@@ -85,6 +85,8 @@ _REGISTRY: dict[str, tuple[str, str]] = {
                               "GptBigCodeConfig"),
     "Gemma3ForCausalLM": ("vllm_trianglemix_tpu.models.gemma3",
                           "Gemma3Config"),
+    "Qwen2_5_VLForConditionalGeneration": (
+        "vllm_trianglemix_tpu.models.qwen2_5_vl", "Qwen25VLConfig"),
 }
 
 
