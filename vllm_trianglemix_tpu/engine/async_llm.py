@@ -94,7 +94,6 @@ class AsyncLLM:
         self._queues.pop(request_id, None)
 
     async def _run_engine_loop(self) -> None:
-        loop = asyncio.get_running_loop()
         logger.info("AsyncLLM engine loop started")
         try:
             while True:
@@ -116,7 +115,10 @@ class AsyncLLM:
                         await self._wakeup.wait()
                     continue
 
-                outputs = await loop.run_in_executor(None, self.engine.step)
+                # MP cores are awaited on the loop (engine/core_proc.py
+                # step_async — no worker thread); only the in-process
+                # core's blocking device step uses the executor.
+                outputs = await self.engine.step_async()
                 for out in outputs:
                     q = self._queues.get(out.request_id)
                     if q is not None:

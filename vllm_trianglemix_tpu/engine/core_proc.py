@@ -236,6 +236,45 @@ class EngineCoreClient:
         self._note_finished(payload)
         return payload
 
+    async def step_async(self):
+        """Await the next outputs batch WITHOUT blocking a thread
+        (reference AsyncMPClient role, core_client.py): the engine-core
+        process pushes autonomously; this awaits the output socket via
+        its ZMQ FD on the running event loop. Spurious FD wakeups are
+        re-checked against zmq.EVENTS (edge-trigger semantics); a 1 s
+        tick doubles as the process-liveness check."""
+        import asyncio
+
+        if not self._outputs.empty():
+            outs = self._outputs.get_nowait()
+            self._note_finished(outs)
+            return outs
+        if not self._unfinished:
+            return []
+        loop = asyncio.get_running_loop()
+        fd = self.output_sock.getsockopt(zmq.FD)
+        while not self.output_sock.poll(0):
+            fut = loop.create_future()
+
+            def _on_readable():
+                if not fut.done():
+                    fut.set_result(None)
+
+            loop.add_reader(fd, _on_readable)
+            try:
+                await asyncio.wait_for(asyncio.shield(fut), timeout=1.0)
+            except asyncio.TimeoutError:
+                if self.proc is not None and not self.proc.is_alive():
+                    self._dead = True
+                    raise RuntimeError("engine core process died")
+            finally:
+                loop.remove_reader(fd)
+        kind, payload = pickle.loads(self.output_sock.recv())
+        if kind != "outputs":
+            return []
+        self._note_finished(payload)
+        return payload
+
     def try_step(self, timeout_ms: int = 50):
         """Non-blocking variant for replica pools (engine/dp_coordinator):
         returns [] when nothing is ready within ``timeout_ms``."""

@@ -118,7 +118,21 @@ class LLMEngine:
         self.output_processor.abort_requests(request_ids)
 
     def step(self) -> list[RequestOutput]:
-        core_outputs = self.engine_core.step()
+        return self._finish_step(self.engine_core.step())
+
+    async def step_async(self) -> list[RequestOutput]:
+        """One engine step for async callers. With a multiprocess core
+        the output socket is awaited on the event loop (no worker
+        thread — reference AsyncMPClient role); the in-process core's
+        blocking device step runs in the default executor."""
+        if hasattr(self.engine_core, "step_async"):
+            return self._finish_step(await self.engine_core.step_async())
+        import asyncio
+
+        return await asyncio.get_running_loop().run_in_executor(
+            None, self.step)
+
+    def _finish_step(self, core_outputs) -> list[RequestOutput]:
         iteration_stats = (IterationStats() if self.stat_loggers else None)
         processed = self.output_processor.process_outputs(core_outputs,
                                                           iteration_stats)
