@@ -289,3 +289,21 @@ def test_gpt_bigcode_prefill_matches_hf():
     cfg = gpt_bigcode.GptBigCodeConfig.from_hf_config(hf_kw)
     assert cfg.num_key_value_heads == 1 and cfg.learned_pos_embeddings
     check(gpt_bigcode, cfg, hf)
+
+
+def test_olmo_prefill_matches_hf():
+    from transformers import OlmoConfig as HFCfg
+    from transformers import OlmoForCausalLM
+
+    from vllm_trianglemix_tpu.models import olmo
+
+    hf_kw = dict(COMMON, intermediate_size=128, num_key_value_heads=2,
+                 rope_theta=10_000.0, clip_qkv=0.4, attention_bias=False,
+                 max_position_embeddings=128, tie_word_embeddings=False)
+    torch.manual_seed(13)
+    hf = OlmoForCausalLM(HFCfg(**hf_kw)).eval().float()
+    # non-parametric norms: no norm tensors in the checkpoint
+    assert not any("layernorm" in k for k in hf.state_dict())
+    cfg = olmo.OlmoConfig.from_hf_config(hf_kw)
+    assert cfg.qkv_clip == pytest.approx(0.4) and not cfg.norm_bias
+    check(olmo, cfg, hf)

@@ -197,6 +197,8 @@ class DecoderConfig:
     norm_bias: bool = True
     # Bias on the lm_head projection (Phi).
     lm_head_bias: bool = False
+    # Clamp q/k/v projections to [-clip, clip] (OLMo-1 clip_qkv); 0 = off.
+    qkv_clip: float = 0.0
 
     @classmethod
     def from_hf_config(cls, cfg: dict[str, Any]) -> "DecoderConfig":
@@ -911,6 +913,9 @@ def _layer_compute(x, lp, lmods, onehot, cfg: DecoderConfig, cos, sin,
         q = q + lp["q_bias"]
         k = k + lp["k_bias"]
         v = v + lp["v_bias"]
+    if cfg.qkv_clip:
+        c = cfg.qkv_clip
+        q, k, v = (jnp.clip(t, -c, c) for t in (q, k, v))
     if cfg.use_qk_norm and cfg.qk_norm_flat:
         # OLMo-2: RMSNorm over the flat projection before head split
         q = rms_norm(q, lp["q_norm"], eps)

@@ -87,6 +87,7 @@ _REGISTRY: dict[str, tuple[str, str]] = {
                           "Gemma3Config"),
     "Qwen2_5_VLForConditionalGeneration": (
         "vllm_trianglemix_tpu.models.qwen2_5_vl", "Qwen25VLConfig"),
+    "OlmoForCausalLM": ("vllm_trianglemix_tpu.models.olmo", "OlmoConfig"),
 }
 
 
