@@ -8,6 +8,8 @@ test_model_families_vs_hf.py: seeded random HF model, token-level logit
 comparison through our paged forward.
 """
 
+import json
+
 import numpy as np
 import pytest
 
@@ -307,3 +309,22 @@ def test_olmo_prefill_matches_hf():
     cfg = olmo.OlmoConfig.from_hf_config(hf_kw)
     assert cfg.qkv_clip == pytest.approx(0.4) and not cfg.norm_bias
     check(olmo, cfg, hf)
+
+
+def test_smollm3_nope_prefill_matches_hf():
+    from transformers import SmolLM3Config as HFCfg
+    from transformers import SmolLM3ForCausalLM
+
+    from vllm_trianglemix_tpu.models import smollm3
+
+    hf_kw = dict(COMMON, intermediate_size=128, num_key_value_heads=2,
+                 rope_theta=10_000.0, no_rope_layer_interval=2,
+                 max_position_embeddings=128, tie_word_embeddings=True,
+                 attention_bias=False, mlp_bias=False, pad_token_id=0)
+    torch.manual_seed(14)
+    hf = SmolLM3ForCausalLM(HFCfg(**hf_kw)).eval().float()
+    cfg = smollm3.SmolLM3Config.from_hf_config(
+        json.loads(hf.config.to_json_string()))
+    # every 2nd layer is NoPE at interval 2 with 2 layers
+    assert cfg.rope_layers == (1, 0)
+    check(smollm3, cfg, hf)

@@ -199,6 +199,9 @@ class DecoderConfig:
     lm_head_bias: bool = False
     # Clamp q/k/v projections to [-clip, clip] (OLMo-1 clip_qkv); 0 = off.
     qkv_clip: float = 0.0
+    # Per-layer rope enable (SmolLM3 NoPE: no_rope_layers, 1 = rotate);
+    # None = rope on every layer.
+    rope_layers: "tuple[int, ...] | None" = None
 
     @classmethod
     def from_hf_config(cls, cfg: dict[str, Any]) -> "DecoderConfig":
@@ -785,6 +788,9 @@ def forward(
         flat_kv = kv_caches.reshape((L * num_blocks,) + kv_caches.shape[2:])
         layer_ids = jnp.arange(L, dtype=jnp.int32)
 
+        rope_flags = (jnp.asarray(cfg.rope_layers, bool)
+                      if cfg.rope_layers is not None else None)
+
         def layer_fn(x, scanned):
             lp, tri, lmods, lid = scanned
             kept = {}
@@ -796,7 +802,9 @@ def forward(
                                               **attn_kwargs)
 
             x = _layer_compute(x, lp, lmods, onehot, cfg, cos, sin,
-                               attn_of, moe_fn)
+                               attn_of, moe_fn,
+                               rope_on=(None if rope_flags is None
+                                        else rope_flags[lid]))
             return x, kept["kv"]
 
         x, new_kv = jax.lax.scan(
@@ -807,8 +815,11 @@ def forward(
             dcp_write_and_attention,
         )
 
+        rope_flags = (jnp.asarray(cfg.rope_layers, bool)
+                      if cfg.rope_layers is not None else None)
+
         def layer_fn(x, scanned):
-            lp, kv, tri, lmods = scanned
+            lp, kv, tri, lmods, lid = scanned
             kept = {}
 
             def attn_of(q, k, v):
@@ -818,12 +829,15 @@ def forward(
                 return attn
 
             x = _layer_compute(x, lp, lmods, onehot, cfg, cos, sin,
-                               attn_of, moe_fn)
+                               attn_of, moe_fn,
+                               rope_on=(None if rope_flags is None
+                                        else rope_flags[lid]))
             return x, kept["kv"]
 
         x, new_kv = jax.lax.scan(
             layer_fn, x,
-            (params["layers"], kv_caches, tri_flags, lora_stacks))
+            (params["layers"], kv_caches, tri_flags, lora_stacks,
+             jnp.arange(L, dtype=jnp.int32)))
     else:
         flat_kv = kv_caches.reshape((L * num_blocks,) + kv_caches.shape[2:])
         x, flat_kv = scan_layers(
@@ -882,7 +896,7 @@ def offset_md(md: AttentionMetadata, lid, num_blocks: int,
 
 
 def _layer_compute(x, lp, lmods, onehot, cfg: DecoderConfig, cos, sin,
-                   attn_of, moe_fn):
+                   attn_of, moe_fn, rope_on=None):
     """One decoder layer given ``attn_of(q, k, v) -> attention output``:
     norm -> qkv(+bias/qk-norm/rope) -> attention -> o_proj -> MLP/MoE."""
     T = x.shape[0]
@@ -927,8 +941,15 @@ def _layer_compute(x, lp, lmods, onehot, cfg: DecoderConfig, cos, sin,
         q = rms_norm(q, lp["q_norm"], eps)
         k = rms_norm(k, lp["k_norm"], eps)
     if cos is not None:
-        q, k = apply_rope(q, k, cos, sin,
-                          interleaved=cfg.rope_interleaved)
+        qr, kr = apply_rope(q, k, cos, sin,
+                            interleaved=cfg.rope_interleaved)
+        if rope_on is not None:
+            # SmolLM3 NoPE layers: scanned per-layer flag selects the
+            # unrotated projections (both branches computed; one select)
+            q = jnp.where(rope_on, qr, q)
+            k = jnp.where(rope_on, kr, k)
+        else:
+            q, k = qr, kr
     attn = attn_of(q, k, v)
     attn_out = proj(attn.reshape(T, HQ * Dh), "o_proj")
     if cfg.use_o_bias:
@@ -984,6 +1005,10 @@ def scan_layers(layers_params, cfg: DecoderConfig, x, flat_kv, md,
     layer_ids = jnp.arange(Ls, dtype=jnp.int32)
     lora_stacks = lora_stacks or {}
 
+    rope_flags = (jnp.asarray(cfg.rope_layers, bool)
+                  if getattr(cfg, "rope_layers", None) is not None
+                  else None)
+
     def layer_fn(carry, scanned):
         x, flat = carry
         lp, tri, lmods, lid = scanned
@@ -996,7 +1021,9 @@ def scan_layers(layers_params, cfg: DecoderConfig, x, flat_kv, md,
                                           **attn_kwargs)
 
         x = _layer_compute(x, lp, lmods, onehot, cfg, cos, sin,
-                           attn_of, moe_fn)
+                           attn_of, moe_fn,
+                           rope_on=(None if rope_flags is None
+                                    else rope_flags[lid]))
         return (x, kept["kv"]), None
 
     (x, flat_kv), _ = jax.lax.scan(

@@ -88,6 +88,8 @@ _REGISTRY: dict[str, tuple[str, str]] = {
     "Qwen2_5_VLForConditionalGeneration": (
         "vllm_trianglemix_tpu.models.qwen2_5_vl", "Qwen25VLConfig"),
     "OlmoForCausalLM": ("vllm_trianglemix_tpu.models.olmo", "OlmoConfig"),
+    "SmolLM3ForCausalLM": ("vllm_trianglemix_tpu.models.smollm3",
+                           "SmolLM3Config"),
 }
 
 
