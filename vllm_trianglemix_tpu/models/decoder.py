@@ -384,14 +384,15 @@ def partition_specs(cfg: DecoderConfig, quantized: str | None = None) -> dict:
         # no zero) so the spec tree matches the param tree structurally.
         from vllm_trianglemix_tpu.quantization.linear import ActQuantLinear
 
-        act_quant = quantized.endswith("_w8a8")
-        grouped = quantized in ("int4", "awq", "gptq")
+        act_quant = quantized.endswith("_w8a8") or quantized == "w4a8"
+        grouped = quantized in ("int4", "awq", "gptq", "w4a8")
         row_sz = P(None, "tp", None) if grouped else P(None, None, None)
 
         def col_spec():
             if act_quant:
                 return ActQuantLinear(qweight=P(None, None, "tp"),
-                                      scale=P(None, None, "tp"))
+                                      scale=P(None, None, "tp"),
+                                      zero=P(None, None, "tp"))
             return QuantLinear(qweight=P(None, None, "tp"),
                                scale=P(None, None, "tp"),
                                zero=P(None, None, "tp"))
@@ -399,7 +400,7 @@ def partition_specs(cfg: DecoderConfig, quantized: str | None = None) -> dict:
         def row_spec():
             if act_quant:
                 return ActQuantLinear(qweight=P(None, "tp", None),
-                                      scale=row_sz)
+                                      scale=row_sz, zero=row_sz)
             return QuantLinear(qweight=P(None, "tp", None),
                                scale=row_sz, zero=row_sz)
 

@@ -166,6 +166,22 @@ def unflatten_params(flat: dict, template: dict):
     return build(template)
 
 
+def prune_specs_like(params, specs):
+    """Drop spec entries where the param tree has None (e.g. a
+    QuantLinear whose optional ``zero`` is absent) so tree_map over
+    (params, specs) structurally matches."""
+    if params is None:
+        return None
+    if isinstance(params, dict):
+        return {k: (prune_specs_like(v, specs[k]) if k in specs else None)
+                for k, v in params.items()}
+    if isinstance(params, tuple) and hasattr(params, "_fields"):
+        return type(params)(*(prune_specs_like(getattr(params, f),
+                                               getattr(specs, f))
+                              for f in params._fields))
+    return specs
+
+
 def shard_params(params, mesh, specs):
     """device_put every leaf with its NamedSharding (multi-chip load path)."""
     from jax.sharding import NamedSharding
@@ -173,4 +189,4 @@ def shard_params(params, mesh, specs):
     def put(leaf, spec):
         return jax.device_put(leaf, NamedSharding(mesh, spec))
 
-    return jax.tree_util.tree_map(put, params, specs)
+    return jax.tree_util.tree_map(put, params, prune_specs_like(params, specs))

@@ -11,6 +11,9 @@ every projection. Methods:
 - ``awq``   — AWQ checkpoint ingest (zero-point groups, reference awq.py)
 - ``gptq``  — GPTQ checkpoint ingest (reference gptq.py)
 - ``fp8``   — e4m3 weight-only with per-channel scales (reference fp8.py)
+- ``w4a8``  — grouped int4 weights + per-token dynamic int8 activations
+  (reference marlin_qqq / W4A8 compressed-tensors role); the fastest
+  decode-GEMM mode on TPU (Pallas int8-MXU dequant kernel)
 """
 
 from vllm_trianglemix_tpu.quantization.linear import (  # noqa: F401
@@ -24,6 +27,8 @@ from vllm_trianglemix_tpu.quantization.linear import (  # noqa: F401
     quantize_int8,
     quantize_int8_w8a8,
     quantize_params,
+    quantize_w4a8,
+    set_kernel_mode,
 )
 from vllm_trianglemix_tpu.quantization.ingest import (  # noqa: F401
     detect_checkpoint_quantization,
@@ -33,4 +38,4 @@ from vllm_trianglemix_tpu.quantization.ingest import (  # noqa: F401
 )
 
 SUPPORTED_METHODS = ("int8", "int4", "fp8", "awq", "gptq",
-                     "int8_w8a8", "fp8_w8a8")
+                     "int8_w8a8", "fp8_w8a8", "w4a8")

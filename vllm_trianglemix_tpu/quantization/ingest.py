@@ -16,9 +16,11 @@ quantization/utils/quant_utils.py):
   ``scales`` fp16 [K/G, N]; optional ``g_idx`` (act-order) must be
   trivial (sequential groups) for now.
 
-Both convert to the engine's QuantLinear nibble-row packing
-(quantization/linear.py): uint8 [K/2, N], byte b = rows 2b (low nibble),
-2b+1 (high).
+Both convert to the engine's QuantLinear packing (ops/
+quantized_matmul.py tile-halves layout, SIGNED values): the format's
+unsigned 0..15 values and zero points shift by -8 so the stored nibbles
+are signed int4 — w = (q_u - z_u) * s == ((q_u-8) - (z_u-8)) * s is
+unchanged.
 """
 
 from __future__ import annotations
@@ -75,12 +77,13 @@ def unpack_awq(qweight: np.ndarray, bits: int = 4) -> np.ndarray:
     return _undo_awq_interleave(_unpack_cols(qweight, bits))
 
 
-def _pack_nibble_rows(q: np.ndarray) -> np.ndarray:
-    """uint8 values [K, N] -> engine packing uint8 [K/2, N]."""
-    assert q.shape[0] % 2 == 0
-    low = q[0::2, :]
-    high = q[1::2, :]
-    return (low | (high << 4)).astype(np.uint8)
+def _pack_signed(q_unsigned: np.ndarray) -> np.ndarray:
+    """Unsigned 0..15 values [K, N] -> engine tile-halves packing
+    (signed nibbles, shifted by -8)."""
+    from vllm_trianglemix_tpu.ops.quantized_matmul import pack_int4
+
+    q_s = (q_unsigned.astype(np.int16) - 8).astype(np.int8)
+    return np.asarray(pack_int4(q_s, xp=np))
 
 
 def load_awq_linear(get_tensor, prefix: str):
@@ -90,8 +93,8 @@ def load_awq_linear(get_tensor, prefix: str):
     qzeros = np.asarray(get_tensor(f"{prefix}.qzeros"))
     scales = np.asarray(get_tensor(f"{prefix}.scales")).astype(np.float32)
     q = unpack_awq(qweight)                      # [K, N]
-    z = unpack_awq(qzeros).astype(np.float32)    # [G, N]
-    return _pack_nibble_rows(q), scales, z
+    z = unpack_awq(qzeros).astype(np.float32) - 8.0  # [G, N], signed
+    return _pack_signed(q), scales, z
 
 
 def load_gptq_linear(get_tensor, prefix: str):
@@ -111,8 +114,9 @@ def load_gptq_linear(get_tensor, prefix: str):
         if not np.array_equal(g_idx, expected):
             raise NotImplementedError(
                 "GPTQ act-order (non-trivial g_idx) not supported")
-    z = _unpack_cols(qzeros).astype(np.float32) + 1.0  # format off-by-one
-    return _pack_nibble_rows(q), scales, z
+    # format off-by-one (+1), then shift to signed (-8)
+    z = _unpack_cols(qzeros).astype(np.float32) + 1.0 - 8.0
+    return _pack_signed(q), scales, z
 
 
 def load_w8a8_linear(get_tensor, prefix: str):

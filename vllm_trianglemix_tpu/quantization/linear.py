@@ -1,21 +1,31 @@
-"""Quantized linear algebra (XLA-native dequant-fused matmuls).
+"""Quantized linear algebra (Pallas dequant-GEMM + XLA-native fallbacks).
 
 A ``QuantLinear`` replaces a dense [.., Din, Dout] weight in the param
 pytree. Convention:
 
-- ``qweight`` int8 [.., Din, Dout]          — int8 values, or int4 values
-  stored in int8 when ``scale`` has >1 group and dtype-packing isn't used
-- ``qweight`` uint8 [.., Din // 2, Dout]    — two int4 nibbles per byte
-  (row-major: byte b holds rows 2b (low) and 2b+1 (high))
-- ``scale``  f32 [.., G, Dout]              — per-group scales (G == 1 =>
-  per-output-channel)
-- ``zero``   f32 [.., G, Dout] or None      — asymmetric zero points
-  (AWQ/GPTQ); w = (q - zero) * scale. None => symmetric, w = q * scale.
+- ``qweight`` int8 [.., Din, Dout]           — int8 values
+- ``qweight`` f8e4m3 [.., Din, Dout]         — fp8 values
+- ``qweight`` uint8 [.., Din // 2, Dout]     — packed SIGNED int4 in the
+  TPU tile-halves layout (ops/quantized_matmul.py: packed byte row r of
+  a 256-row tile holds unpacked row r low-nibble / row r+128
+  high-nibble, low nibble excess-8, high nibble two's complement)
+- ``scale``  f32 [.., G, Dout]               — per-group scales (G == 1
+  => per-output-channel)
+- ``zero``   f32 [.., G, Dout] or None       — asymmetric zero points
+  (AWQ/GPTQ); w = (q - zero) * scale with q the logical SIGNED value.
+  None => symmetric, w = q * scale.
 
-Dequantization is expressed as elementwise ops feeding the dot; XLA fuses
-the int->float convert and scale into the matmul operand read, so HBM
-traffic is the quantized bytes (the goal of the reference's cutlass/marlin
-kernels, csrc/quantization/ — on TPU the compiler does the fusion).
+Execution paths, chosen per static shape at trace time:
+- int8 / fp8 weight-only: XLA fuses the convert+scale into the matmul
+  operand read and streams the quantized bytes (measured 1.8x bf16 at
+  the decode shape on v5e) — no kernel needed.
+- packed int4: XLA does NOT stream sub-byte weights (measured slower
+  than bf16), so decode-sized GEMMs dispatch to the Pallas
+  dequant-GEMM (ops/quantized_matmul.py, the marlin/machete role,
+  reference csrc/quantization/gptq_marlin/gptq_marlin.cu).
+- W4A8 (``ActQuantLinear`` with packed qweight): per-token dynamic int8
+  activations x int4 weights on the MXU's native int8 path — 2.1x bf16
+  measured; the XLA fallback emulates the same arithmetic exactly.
 """
 
 from __future__ import annotations
@@ -25,6 +35,14 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
+from vllm_trianglemix_tpu.ops.quantized_matmul import (
+    kernel_supported,
+    pack_int4,
+    quantized_matmul,
+    quantized_matmul_a8,
+    unpack_int4,
+)
+
 
 class QuantLinear(NamedTuple):
     qweight: jnp.ndarray
@@ -33,37 +51,52 @@ class QuantLinear(NamedTuple):
 
 
 class ActQuantLinear(NamedTuple):
-    """W8A8: quantized weight AND on-the-fly quantized activations.
+    """Quantized weight AND on-the-fly quantized activations.
 
     The distinct pytree type (vs QuantLinear) is what selects the
     activation-quantized matmul in apply_linear — no non-array flags in
     the tree. qweight int8 (INT8 W8A8, reference tpu_int8.py:19-117 +
-    compressed-tensors int8) or f8e4m3 (FP8 W8A8, reference
-    fp8.py:71-1092); scale f32 [.., 1, Dout] per-output-channel.
-    Activations get dynamic per-token symmetric scales — the TPU-native
-    equivalent of the reference's fused act-quant CUDA kernels: XLA fuses
-    the absmax/divide/round chain into the surrounding elementwise work,
-    and the int8 dot rides the MXU's native int8 path.
+    compressed-tensors int8), f8e4m3 (FP8 W8A8, reference
+    fp8.py:71-1092), or packed uint8 int4 (W4A8, marlin_qqq role);
+    scale f32 [.., G, Dout]. Activations get dynamic per-token symmetric
+    int8/fp8 scales — the TPU-native equivalent of the reference's fused
+    act-quant CUDA kernels.
     """
 
     qweight: jnp.ndarray
     scale: jnp.ndarray
+    zero: Optional[jnp.ndarray] = None
 
 
-def _unpack_int4(packed: jnp.ndarray) -> jnp.ndarray:
-    """uint8 [.., Din//2, Dout] -> int8-valued [.., Din, Dout] (0..15)."""
-    low = (packed & 0x0F).astype(jnp.int8)
-    high = (packed >> 4).astype(jnp.int8)
-    stacked = jnp.stack([low, high], axis=-2)  # [.., Din//2, 2, Dout]
-    new_shape = (*packed.shape[:-2], packed.shape[-2] * 2, packed.shape[-1])
-    return stacked.reshape(new_shape)
+# Pallas-kernel dispatch mode: "auto" uses the kernels on the TPU backend
+# for single-device execution; the worker switches to "off" on multi-
+# device meshes (a pallas_call can't be partitioned by the auto-SPMD
+# pass; the XLA paths shard fine).
+_KERNEL_MODE = "auto"
+
+
+def set_kernel_mode(mode: str) -> None:
+    global _KERNEL_MODE
+    assert mode in ("auto", "on", "off"), mode
+    _KERNEL_MODE = mode
+
+
+def _kernels_on() -> bool:
+    if _KERNEL_MODE == "on":
+        return True
+    if _KERNEL_MODE == "off":
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # noqa: BLE001 (no backend yet)
+        return False
 
 
 def dequantize(w: QuantLinear, dtype=jnp.bfloat16) -> jnp.ndarray:
     """Materialize the full-precision weight [.., Din, Dout]."""
     q = w.qweight
     if q.dtype == jnp.uint8:
-        q = _unpack_int4(q)
+        q = unpack_int4(q)
     qf = q.astype(jnp.float32)
     G = w.scale.shape[-2]
     din, dout = qf.shape[-2], qf.shape[-1]
@@ -75,10 +108,26 @@ def dequantize(w: QuantLinear, dtype=jnp.bfloat16) -> jnp.ndarray:
     return qf.reshape(*lead, din, dout).astype(dtype)
 
 
+def _grouped_shapes(w) -> tuple[int, int, int]:
+    packed = w.qweight.dtype == jnp.uint8
+    din = w.qweight.shape[-2] * (2 if packed else 1)
+    dout = w.qweight.shape[-1]
+    return din, dout, din // w.scale.shape[-2]
+
+
+def _rows(x: jnp.ndarray) -> int:
+    n = 1
+    for d in x.shape[:-1]:
+        n *= d
+    return n
+
+
 def apply_linear(x: jnp.ndarray, w) -> jnp.ndarray:
     """x [.., Din] @ w -> [.., Dout]; w is dense, QuantLinear (weight-only)
-    or ActQuantLinear (W8A8)."""
+    or ActQuantLinear (W8A8 / W4A8)."""
     if isinstance(w, ActQuantLinear):
+        if w.qweight.dtype == jnp.uint8:
+            return _apply_w4a8(x, w)
         w_scale = w.scale[..., 0, :]
         if w.qweight.dtype == jnp.int8:
             # Dynamic per-token symmetric int8 activations; int8xint8 dot
@@ -101,10 +150,19 @@ def apply_linear(x: jnp.ndarray, w) -> jnp.ndarray:
             preferred_element_type=jnp.float32)
         return (y * x_scale * w_scale).astype(x.dtype)
     if isinstance(w, QuantLinear):
+        if w.qweight.dtype == jnp.uint8 and w.qweight.ndim == 2 \
+                and _kernels_on():
+            din, dout, gs = _grouped_shapes(w)
+            rows = _rows(x)
+            if kernel_supported(rows, din, dout, gs, packed=True):
+                y = quantized_matmul(x.reshape(rows, din), w.qweight,
+                                     w.scale, w.zero)
+                return y.reshape(*x.shape[:-1], dout)
         per_channel_sym = w.zero is None and w.scale.shape[-2] == 1 \
             and w.qweight.dtype == jnp.int8
         if per_channel_sym:
-            # scale commutes with the contraction: (x @ q) * s
+            # scale commutes with the contraction: (x @ q) * s. XLA
+            # streams the int8 bytes here (measured 1.8x bf16 decode).
             y = jnp.dot(x, w.qweight.astype(x.dtype),
                         preferred_element_type=jnp.float32)
             return (y * w.scale[..., 0, :]).astype(x.dtype)
@@ -114,6 +172,34 @@ def apply_linear(x: jnp.ndarray, w) -> jnp.ndarray:
             return (y * w.scale[..., 0, :]).astype(x.dtype)
         return x @ dequantize(w, x.dtype)
     return x @ w
+
+
+def _apply_w4a8(x: jnp.ndarray, w: ActQuantLinear) -> jnp.ndarray:
+    din, dout, gs = _grouped_shapes(w)
+    rows = _rows(x)
+    if (w.qweight.ndim == 2 and _kernels_on() and gs <= 128
+            and kernel_supported(rows, din, dout, gs, packed=True)):
+        y = quantized_matmul_a8(x.reshape(rows, din), w.qweight, w.scale,
+                                w.zero)
+        return y.reshape(*x.shape[:-1], dout)
+    if rows > 256:
+        # Prefill-sized GEMMs are MXU-bound: int8 activation quantization
+        # buys nothing there (the weight stream is amortized over
+        # thousands of rows), so run the plain bf16 dequant path — it is
+        # also slightly MORE accurate than the decode path's int8
+        # activations.
+        return x @ dequantize(QuantLinear(w.qweight, w.scale, w.zero),
+                              x.dtype)
+    # XLA fallback (CPU tests, sharded meshes) emulating the kernel's
+    # arithmetic: per-token int8 activations against the dequantized
+    # weight in x.dtype (f32 test runs match the kernel's exact int math
+    # ~1e-6).
+    absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    x_scale = jnp.maximum(absmax / 127.0, 1e-8)
+    xq = jnp.clip(jnp.round(x / x_scale), -127, 127).astype(x.dtype)
+    wd = dequantize(QuantLinear(w.qweight, w.scale, w.zero), x.dtype)
+    y = jnp.dot(xq, wd, preferred_element_type=jnp.float32)
+    return (y * x_scale).astype(x.dtype)
 
 
 # --- quantize-at-load ---------------------------------------------------------
@@ -128,8 +214,8 @@ def quantize_int8(w: jnp.ndarray) -> QuantLinear:
     return QuantLinear(qweight=q, scale=scale)
 
 
-def quantize_int4(w: jnp.ndarray, group_size: int = 128) -> QuantLinear:
-    """Symmetric grouped int4, nibble-packed along the input axis."""
+def _grouped_int4(w: jnp.ndarray, group_size: int):
+    """Symmetric grouped signed-int4 values + scales (no zero point)."""
     wf = w.astype(jnp.float32)
     din, dout = wf.shape[-2], wf.shape[-1]
     lead = wf.shape[:-2]
@@ -139,13 +225,23 @@ def quantize_int4(w: jnp.ndarray, group_size: int = 128) -> QuantLinear:
     scale = jnp.maximum(absmax / 7.0, 1e-8)
     q = jnp.clip(jnp.round(grouped / scale[..., :, None, :]), -8, 7)
     q = q.reshape(*lead, din, dout).astype(jnp.int8)
-    # offset to unsigned nibbles with zero-point 8
-    qu = (q + 8).astype(jnp.uint8)
-    low = qu[..., 0::2, :]
-    high = qu[..., 1::2, :]
-    packed = (low | (high << 4)).astype(jnp.uint8)
-    zero = jnp.full((*lead, G, dout), 8.0, jnp.float32)
-    return QuantLinear(qweight=packed, scale=scale, zero=zero)
+    return q, scale
+
+
+def quantize_int4(w: jnp.ndarray, group_size: int = 128) -> QuantLinear:
+    """Symmetric grouped signed int4, packed in the tile-halves layout."""
+    q, scale = _grouped_int4(w, group_size)
+    return QuantLinear(qweight=pack_int4(q), scale=scale)
+
+
+def quantize_w4a8(w: jnp.ndarray, group_size: int = 128) -> ActQuantLinear:
+    """W4A8: grouped signed-int4 weights + per-token dynamic int8
+    activations (reference marlin_qqq / W4A8 compressed-tensors role).
+    The fastest decode-GEMM mode on TPU: packed bytes stream while the
+    MXU runs its native int8 path (2.1x bf16 measured at the headline
+    decode shape)."""
+    q, scale = _grouped_int4(w, group_size)
+    return ActQuantLinear(qweight=pack_int4(q), scale=scale)
 
 
 def quantize_fp8(w: jnp.ndarray) -> QuantLinear:
@@ -178,6 +274,7 @@ _QUANTIZERS = {
     "fp8": quantize_fp8,
     "int8_w8a8": quantize_int8_w8a8,
     "fp8_w8a8": quantize_fp8_w8a8,
+    "w4a8": quantize_w4a8,
 }
 
 # Projection matrices quantized in a decoder layer; norms/embeddings stay

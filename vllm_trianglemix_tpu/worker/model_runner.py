@@ -555,6 +555,15 @@ class ModelRunner:
             self.quant_method = requested
             logger.info("quantized weights with method=%s", requested)
 
+        # Pallas dequant-GEMM dispatch: on for single-device TPU runs;
+        # off under a multi-device mesh (the auto-SPMD pass cannot
+        # partition a pallas_call — the XLA quant paths shard fine).
+        from vllm_trianglemix_tpu.quantization import set_kernel_mode
+        multi = self.mesh is not None and getattr(
+            self.mesh, "devices", None) is not None \
+            and self.mesh.devices.size > 1
+        set_kernel_mode("off" if multi else "auto")
+
         if self.mesh is not None:
             from vllm_trianglemix_tpu.models.weights import shard_params
 
