@@ -896,9 +896,20 @@ async def sleep_engine(request: web.Request) -> web.Response:
         level = int(request.query.get("level", "1"))
     except ValueError:
         return _json_error("level must be an integer")
+    # A request that just completed for its client may still be retiring
+    # from the engine loop; drain briefly before declaring the engine
+    # busy, and make busy a retryable 409 (not a blanket 500).
+    for _ in range(40):
+        if not engine.engine.has_unfinished_requests():
+            break
+        await asyncio.sleep(0.025)
+    else:
+        return _json_error("engine busy: unfinished requests", 409)
     try:
         await asyncio.get_running_loop().run_in_executor(
             None, engine.engine.sleep, level)
+    except ValueError as e:
+        return _json_error(str(e), 409)
     except Exception as e:  # noqa: BLE001
         return _json_error(str(e), 500)
     return web.Response(status=200)

@@ -28,6 +28,14 @@ from vllm_trianglemix_tpu.structured_output.regex_engine import (
 logger = init_logger(__name__)
 
 
+def is_free_json(params) -> bool:
+    """True for unconstrained-JSON requests ("json_object" response
+    format / guided_json without a schema) — served by the exact PDA
+    (json_pda.py) instead of a depth-bounded regex."""
+    return params.guided_json is not None and (
+        params.guided_json is True or params.guided_json == {})
+
+
 def constraint_to_regex(params) -> Optional[str]:
     """SamplingParams guided fields -> one regex source of truth."""
     if params.guided_regex:
@@ -85,7 +93,8 @@ class StructuredOutputManager:
         self._vocab_strings: Optional[list[str]] = None
         self._vocab_cp = None  # (cp_mat, too_long, empty) — built once
         self._grammar_cache: dict[str, TokenMask] = {}
-        # req_id -> automaton
+        self._json_pda = None  # lazily compiled free-JSON PDA
+        # req_id -> automaton (StructuredOutputRequest or JsonPdaRequest)
         self.requests: dict[str, StructuredOutputRequest] = {}
 
     def _vocab(self) -> list[str]:
@@ -126,7 +135,29 @@ class StructuredOutputManager:
         return self._vocab_cp
 
     def maybe_add_request(self, request) -> None:
-        pattern = constraint_to_regex(request.sampling_params)
+        params = request.sampling_params
+        if is_free_json(params):
+            # Unbounded-nesting JSON via the exact pushdown automaton
+            # (xgrammar PDA role) — the regex path would prune depth.
+            if self.tokenizer is None:
+                raise ValueError("structured output requires a tokenizer")
+            if self._json_pda is None:
+                from vllm_trianglemix_tpu.structured_output.json_pda import (
+                    JsonPda,
+                )
+
+                self._json_pda = JsonPda(
+                    self._vocab(), self.eos_token_id,
+                    vocab_cp=self._vocab_codepoints())
+                logger.info("compiled free-JSON PDA")
+            from vllm_trianglemix_tpu.structured_output.json_pda import (
+                JsonPdaRequest,
+            )
+
+            self.requests[request.request_id] = JsonPdaRequest(
+                self._json_pda)
+            return
+        pattern = constraint_to_regex(params)
         if pattern is None:
             return
         if self.tokenizer is None:
