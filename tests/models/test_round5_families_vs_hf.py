@@ -1,0 +1,206 @@
+"""Numerics parity for the round-5 model families vs HuggingFace torch:
+ERNIE 4.5, Seed-OSS (split qkv/o bias flags), Arcee (non-gated relu^2),
+GLM-4 (sandwich norms + fused gate_up), Phi-3.5-MoE (sparsemixer
+routing), GraniteMoe (fused expert stacks + multipliers), DBRX (fused
+Wqkv + flat experts + clip_qkv).
+
+Same strategy as test_model_families_vs_hf.py: seeded random HF model,
+token-level logit comparison through our paged forward.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+
+from tests.models.test_model_families_vs_hf import run_prefill  # noqa: E402
+from vllm_trianglemix_tpu.models.weights import torch_state_dict_reader  # noqa: E402
+
+COMMON = dict(
+    vocab_size=512,
+    hidden_size=64,
+    intermediate_size=128,
+    num_hidden_layers=2,
+    num_attention_heads=4,
+    num_key_value_heads=2,
+    max_position_embeddings=512,
+    eos_token_id=3,
+    bos_token_id=2,
+)
+
+
+def check(module, cfg, hf, seq=37, atol=3e-4, seed=0):
+    params = module.params_from_hf_state_dict(
+        cfg, torch_state_dict_reader(hf.state_dict()), dtype=jnp.float32)
+    rng = np.random.default_rng(seed)
+    token_ids = rng.integers(0, cfg.vocab_size, size=seq).tolist()
+    with torch.no_grad():
+        hf_logits = hf(torch.tensor([token_ids])).logits[0].numpy()
+    ours = run_prefill(module, cfg, params, token_ids)
+    np.testing.assert_allclose(ours, hf_logits, atol=atol, rtol=2e-3)
+
+
+def test_ernie45_prefill_matches_hf():
+    from transformers import Ernie4_5Config as HFCfg
+    from transformers import Ernie4_5ForCausalLM
+
+    from vllm_trianglemix_tpu.models import ernie4_5
+
+    hf_kw = dict(COMMON, head_dim=16, rope_theta=500_000.0,
+                 use_bias=True, tie_word_embeddings=True,
+                 rms_norm_eps=1e-5, pad_token_id=0)
+    torch.manual_seed(0)
+    hf = Ernie4_5ForCausalLM(HFCfg(**hf_kw)).eval().float()
+    cfg = ernie4_5.Ernie45Config.from_hf_config(hf_kw)
+    assert cfg.use_qkv_bias and cfg.tie_word_embeddings
+    check(ernie4_5, cfg, hf)
+
+
+def test_seed_oss_prefill_matches_hf():
+    from transformers import SeedOssConfig as HFCfg
+    from transformers import SeedOssForCausalLM
+
+    from vllm_trianglemix_tpu.models import seed_oss
+
+    hf_kw = dict(COMMON, head_dim=16, rope_theta=10_000.0,
+                 attention_bias=True, attention_out_bias=False,
+                 attention_dropout=0.0, rms_norm_eps=1e-6,
+                 tie_word_embeddings=False)
+    torch.manual_seed(1)
+    hf = SeedOssForCausalLM(HFCfg(**hf_kw)).eval().float()
+    cfg = seed_oss.SeedOssConfig.from_hf_config(hf_kw)
+    assert cfg.use_qkv_bias and not cfg.use_o_bias
+    check(seed_oss, cfg, hf)
+
+
+def test_arcee_prefill_matches_hf():
+    from transformers import ArceeConfig as HFCfg
+    from transformers import ArceeForCausalLM
+
+    from vllm_trianglemix_tpu.models import arcee
+
+    hf_kw = dict(COMMON, rope_theta=10_000.0, rms_norm_eps=1e-5,
+                 tie_word_embeddings=False)
+    torch.manual_seed(2)
+    hf = ArceeForCausalLM(HFCfg(**hf_kw)).eval().float()
+    assert not any("gate_proj" in k for k in hf.state_dict())
+    cfg = arcee.ArceeConfig.from_hf_config(hf_kw)
+    assert not cfg.gated_mlp and cfg.hidden_act == "relu2"
+    check(arcee, cfg, hf)
+
+
+def test_glm4_prefill_matches_hf():
+    from transformers import Glm4Config as HFCfg
+    from transformers import Glm4ForCausalLM
+
+    from vllm_trianglemix_tpu.models import glm4
+
+    hf_kw = dict(COMMON, head_dim=16, rope_theta=10_000.0,
+                 partial_rotary_factor=0.5, attention_bias=True,
+                 rms_norm_eps=1.5625e-07, tie_word_embeddings=False,
+                 pad_token_id=0)
+    torch.manual_seed(3)
+    hf = Glm4ForCausalLM(HFCfg(**hf_kw)).eval().float()
+    assert any("post_self_attn_layernorm" in k for k in hf.state_dict())
+    assert any("gate_up_proj" in k for k in hf.state_dict())
+    cfg = glm4.Glm4Config.from_hf_config(hf_kw)
+    assert cfg.sandwich_norm and cfg.rope_interleaved
+    check(glm4, cfg, hf)
+
+
+def test_phimoe_prefill_matches_hf():
+    from transformers import PhimoeConfig as HFCfg
+    from transformers import PhimoeForCausalLM
+
+    from vllm_trianglemix_tpu.models import phimoe
+
+    hf_kw = dict(COMMON, rope_theta=1_000_000.0, rms_norm_eps=1e-5,
+                 num_local_experts=4, num_experts_per_tok=2,
+                 attention_bias=True, lm_head_bias=True,
+                 router_jitter_noise=0.01, input_jitter_noise=0.0,
+                 tie_word_embeddings=False, sliding_window=None)
+    torch.manual_seed(4)
+    hf = PhimoeForCausalLM(HFCfg(**hf_kw)).eval().float()
+    cfg = phimoe.PhimoeConfig.from_hf_config(hf_kw)
+    assert cfg.moe_routing == "sparsemixer" and cfg.use_o_bias
+    assert cfg.norm_type == "layernorm" and cfg.lm_head_bias
+    check(phimoe, cfg, hf)
+
+
+def test_granitemoe_prefill_matches_hf():
+    from transformers import GraniteMoeConfig as HFCfg
+    from transformers import GraniteMoeForCausalLM
+
+    from vllm_trianglemix_tpu.models import granitemoe
+
+    hf_kw = dict(COMMON, rope_theta=10_000.0, rms_norm_eps=1e-6,
+                 num_local_experts=4, num_experts_per_tok=2,
+                 embedding_multiplier=2.0, residual_multiplier=0.5,
+                 attention_multiplier=0.3, logits_scaling=1.5,
+                 tie_word_embeddings=False, pad_token_id=0)
+    torch.manual_seed(5)
+    hf = GraniteMoeForCausalLM(HFCfg(**hf_kw)).eval().float()
+    assert any("input_linear" in k for k in hf.state_dict())
+    cfg = granitemoe.GraniteMoeConfig.from_hf_config(hf_kw)
+    assert cfg.embedding_multiplier == 2.0
+    assert cfg.attention_multiplier == 0.3
+    check(granitemoe, cfg, hf)
+
+
+def test_dbrx_prefill_matches_hf():
+    from transformers import DbrxConfig as HFCfg
+    from transformers import DbrxForCausalLM
+
+    from vllm_trianglemix_tpu.models import dbrx
+
+    hf_kw = dict(
+        vocab_size=512, d_model=64, n_heads=4, n_layers=2,
+        max_seq_len=512, pad_token_id=0,
+        attn_config={"kv_n_heads": 2, "clip_qkv": 6.0,
+                     "rope_theta": 500_000.0},
+        ffn_config={"ffn_hidden_size": 96, "moe_num_experts": 4,
+                    "moe_top_k": 2, "moe_normalize_expert_weights": 1.0,
+                    "moe_jitter_eps": None},
+    )
+    torch.manual_seed(6)
+    hf = DbrxForCausalLM(HFCfg(**hf_kw)).eval().float()
+    assert any("Wqkv" in k for k in hf.state_dict())
+    cfg = dbrx.DbrxConfig.from_hf_config(
+        dict(hf_kw, eos_token_id=3, bos_token_id=2))
+    assert cfg.qkv_clip == 6.0 and cfg.num_experts == 4
+    assert cfg.norm_type == "layernorm" and not cfg.norm_bias
+    check(dbrx, cfg, hf)
+
+
+def test_helium_prefill_matches_hf():
+    from transformers import HeliumConfig as HFCfg
+    from transformers import HeliumForCausalLM
+
+    from vllm_trianglemix_tpu.models import helium
+
+    hf_kw = dict(COMMON, head_dim=16, rope_theta=100_000.0,
+                 rms_norm_eps=1e-8, tie_word_embeddings=False,
+                 pad_token_id=0)
+    torch.manual_seed(7)
+    hf = HeliumForCausalLM(HFCfg(**hf_kw)).eval().float()
+    cfg = helium.HeliumConfig.from_hf_config(hf_kw)
+    check(helium, cfg, hf)
+
+
+def test_hunyuan_dense_prefill_matches_hf():
+    from transformers import HunYuanDenseV1Config as HFCfg
+    from transformers import HunYuanDenseV1ForCausalLM
+
+    from vllm_trianglemix_tpu.models import hunyuan
+
+    hf_kw = dict(COMMON, head_dim=16, attention_head_dim=16,
+                 rope_theta=10_000.0, rms_norm_eps=1e-5,
+                 tie_word_embeddings=False, pad_token_id=0)
+    torch.manual_seed(8)
+    hf = HunYuanDenseV1ForCausalLM(HFCfg(**hf_kw)).eval().float()
+    assert any("query_layernorm" in k for k in hf.state_dict())
+    cfg = hunyuan.HunYuanDenseConfig.from_hf_config(hf_kw)
+    assert cfg.use_qk_norm
+    check(hunyuan, cfg, hf)

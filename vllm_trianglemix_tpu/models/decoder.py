@@ -202,6 +202,15 @@ class DecoderConfig:
     # Per-layer rope enable (SmolLM3 NoPE: no_rope_layers, 1 = rotate);
     # None = rope on every layer.
     rope_layers: "tuple[int, ...] | None" = None
+    # GLM-4 sandwich norms: IN ADDITION to the prenorm pair, norm the
+    # attention and MLP branch OUTPUTS before their residual adds
+    # (post_self_attn_layernorm / post_mlp_layernorm).
+    sandwich_norm: bool = False
+    # MoE router math: "softmax_topk" (Qwen/Mixtral: softmax -> top-k ->
+    # optional renorm) or "sparsemixer" (Phi-3.5-MoE inference path:
+    # iterative top-1 with threshold masking, modeling_phimoe.py).
+    moe_routing: str = "softmax_topk"
+    router_jitter_noise: float = 0.01  # sparsemixer threshold 2*eps
 
     @classmethod
     def from_hf_config(cls, cfg: dict[str, Any]) -> "DecoderConfig":
@@ -293,10 +302,15 @@ def shape_tree(cfg: DecoderConfig) -> dict:
     if cfg.use_mlp_bias:
         layers["up_bias"] = (L, I)
         layers["down_bias"] = (L, D)
+        if cfg.gated_mlp and cfg.num_experts == 0:
+            layers["gate_bias"] = (L, I)
     if cfg.postnorm:
         # OLMo-2: no input norm; an extra post-feedforward norm instead
         del layers["input_layernorm"]
         layers["post_feedforward_layernorm"] = (L, D)
+    if cfg.sandwich_norm:
+        layers["post_self_attn_layernorm"] = (L, D)
+        layers["post_mlp_layernorm"] = (L, D)
     if cfg.parallel_block and cfg.parallel_block_shared_norm:
         # Phi/Cohere: the single input norm feeds both branches
         del layers["post_attention_layernorm"]
@@ -364,9 +378,14 @@ def partition_specs(cfg: DecoderConfig, quantized: str | None = None) -> dict:
     if cfg.use_mlp_bias:
         layers["up_bias"] = P(None, "tp")
         layers["down_bias"] = P(None, None)
+        if cfg.gated_mlp and cfg.num_experts == 0:
+            layers["gate_bias"] = P(None, "tp")
     if cfg.postnorm:
         del layers["input_layernorm"]
         layers["post_feedforward_layernorm"] = P(None, None)
+    if cfg.sandwich_norm:
+        layers["post_self_attn_layernorm"] = P(None, None)
+        layers["post_mlp_layernorm"] = P(None, None)
     if cfg.parallel_block and cfg.parallel_block_shared_norm:
         del layers["post_attention_layernorm"]
     if cfg.norm_type in ("layernorm", "layernorm1p") and cfg.norm_bias:
@@ -453,6 +472,9 @@ _HF_LAYER_MAP = {
         "model.layers.{i}.post_attention_layernorm.bias",
     "post_feedforward_layernorm":
         "model.layers.{i}.post_feedforward_layernorm.weight",
+    "post_self_attn_layernorm":
+        "model.layers.{i}.post_self_attn_layernorm.weight",
+    "post_mlp_layernorm": "model.layers.{i}.post_mlp_layernorm.weight",
     "q_proj": "model.layers.{i}.self_attn.q_proj.weight",
     "k_proj": "model.layers.{i}.self_attn.k_proj.weight",
     "v_proj": "model.layers.{i}.self_attn.v_proj.weight",
@@ -467,6 +489,7 @@ _HF_LAYER_MAP = {
     "gate_proj": "model.layers.{i}.mlp.gate_proj.weight",
     "up_proj": "model.layers.{i}.mlp.up_proj.weight",
     "down_proj": "model.layers.{i}.mlp.down_proj.weight",
+    "gate_bias": "model.layers.{i}.mlp.gate_proj.bias",
 }
 # HF nn.Linear stores [out_features, in_features]; we store [in, out].
 _TRANSPOSED = {"q_proj", "k_proj", "v_proj", "o_proj", "gate_proj",
@@ -645,6 +668,30 @@ def act_and_mul(cfg: DecoderConfig, gate: jnp.ndarray,
     return _act_only(cfg, gate) * up
 
 
+def _sparsemixer_route(logits: jnp.ndarray, k: int, jitter_eps: float):
+    """Phi-3.5-MoE sparsemixer routing, inference path (HF
+    modeling_phimoe.py sparsemixer(..., training=False)): per round,
+    experts within a relative threshold of the max stay unmasked, the
+    weight is the masked softmax at the argmax, and the chosen expert is
+    knocked out for the next round."""
+    T = logits.shape[0]
+    sels, ws = [], []
+    scores = logits
+    for _ in range(k):
+        mx = scores.max(axis=-1, keepdims=True)
+        factor = jnp.maximum(jnp.abs(scores), jnp.abs(mx))
+        mask = (mx - scores) / factor > 2 * jitter_eps
+        masked = jnp.where(mask, -jnp.inf, scores)
+        sel = jnp.argmax(scores, axis=-1)
+        gates = jax.nn.softmax(masked, axis=-1)
+        ws.append(jnp.take_along_axis(gates, sel[:, None], -1)[:, 0])
+        sels.append(sel)
+        scores = jnp.where(
+            jax.nn.one_hot(sel, scores.shape[-1], dtype=bool),
+            -jnp.inf, scores)
+    return jnp.stack(ws, axis=-1), jnp.stack(sels, axis=-1).astype(jnp.int32)
+
+
 def _moe_mlp(h: jnp.ndarray, lp: dict, cfg: DecoderConfig) -> jnp.ndarray:
     """Sparse-MoE MLP via routed grouped GEMM (reference
     fused_moe/moe_pallas.py role, megablox-style): flatten
@@ -658,10 +705,14 @@ def _moe_mlp(h: jnp.ndarray, lp: dict, cfg: DecoderConfig) -> jnp.ndarray:
     T, D = h.shape
     E, K = cfg.num_experts, cfg.num_experts_per_tok
     logits = (h @ lp["moe_gate"]).astype(jnp.float32)       # [T, E]
-    probs = jax.nn.softmax(logits, axis=-1)
-    topv, topi = jax.lax.top_k(probs, K)                    # [T, K]
-    if cfg.norm_topk_prob:
-        topv = topv / jnp.maximum(topv.sum(-1, keepdims=True), 1e-20)
+    if cfg.moe_routing == "sparsemixer":
+        topv, topi = _sparsemixer_route(logits, K,
+                                        cfg.router_jitter_noise)
+    else:
+        probs = jax.nn.softmax(logits, axis=-1)
+        topv, topi = jax.lax.top_k(probs, K)                # [T, K]
+        if cfg.norm_topk_prob:
+            topv = topv / jnp.maximum(topv.sum(-1, keepdims=True), 1e-20)
 
     flat_e = topi.reshape(-1)                               # [T*K]
     order = jnp.argsort(flat_e, stable=True)                # group-major
@@ -958,6 +1009,9 @@ def _layer_compute(x, lp, lmods, onehot, cfg: DecoderConfig, cos, sin,
     if cfg.postnorm:
         attn_out = decoder_norm(attn_out, lp["post_attention_layernorm"],
                                 cfg)
+    if cfg.sandwich_norm:
+        attn_out = decoder_norm(attn_out, lp["post_self_attn_layernorm"],
+                                cfg)
     if cfg.parallel_block:
         # x + attn(norm(x)) + mlp(norm'(x)); the MLP reads either the
         # same normed input (Phi/Cohere) or a second norm of x (GPT-NeoX)
@@ -979,11 +1033,19 @@ def _layer_compute(x, lp, lmods, onehot, cfg: DecoderConfig, cos, sin,
         if cfg.use_mlp_bias:
             mlp_out = mlp_out + lp["down_bias"]
     else:
-        mlp = act_and_mul(cfg, proj(h2, "gate_proj"), proj(h2, "up_proj"))
-        mlp_out = proj(mlp, "down_proj")
+        gate = proj(h2, "gate_proj")
+        up = proj(h2, "up_proj")
+        if cfg.use_mlp_bias:
+            gate = gate + lp["gate_bias"]
+            up = up + lp["up_bias"]
+        mlp_out = proj(act_and_mul(cfg, gate, up), "down_proj")
+        if cfg.use_mlp_bias:
+            mlp_out = mlp_out + lp["down_bias"]
     if cfg.postnorm:
         mlp_out = decoder_norm(mlp_out, lp["post_feedforward_layernorm"],
                                cfg)
+    if cfg.sandwich_norm:
+        mlp_out = decoder_norm(mlp_out, lp["post_mlp_layernorm"], cfg)
     if cfg.parallel_block:
         x = x + rmul * (attn_out + mlp_out)
     else:

@@ -90,12 +90,60 @@ _REGISTRY: dict[str, tuple[str, str]] = {
     "OlmoForCausalLM": ("vllm_trianglemix_tpu.models.olmo", "OlmoConfig"),
     "SmolLM3ForCausalLM": ("vllm_trianglemix_tpu.models.smollm3",
                            "SmolLM3Config"),
+    "Ernie4_5ForCausalLM": ("vllm_trianglemix_tpu.models.ernie4_5",
+                            "Ernie45Config"),
+    "SeedOssForCausalLM": ("vllm_trianglemix_tpu.models.seed_oss",
+                           "SeedOssConfig"),
+    "ArceeForCausalLM": ("vllm_trianglemix_tpu.models.arcee",
+                         "ArceeConfig"),
+    "Glm4ForCausalLM": ("vllm_trianglemix_tpu.models.glm4", "Glm4Config"),
+    "PhimoeForCausalLM": ("vllm_trianglemix_tpu.models.phimoe",
+                          "PhimoeConfig"),
+    "GraniteMoeForCausalLM": ("vllm_trianglemix_tpu.models.granitemoe",
+                              "GraniteMoeConfig"),
+    "DbrxForCausalLM": ("vllm_trianglemix_tpu.models.dbrx", "DbrxConfig"),
+    "InternLM2ForCausalLM": ("vllm_trianglemix_tpu.models.internlm2",
+                             "InternLM2Config"),
+    "InternLMForCausalLM": ("vllm_trianglemix_tpu.models.internlm",
+                            "InternLMConfig"),
+    "XverseForCausalLM": ("vllm_trianglemix_tpu.models.internlm",
+                          "XverseConfig"),
+    "BaiChuanForCausalLM": ("vllm_trianglemix_tpu.models.baichuan",
+                            "BaichuanConfig"),  # 7B spelling (rope)
+    "BaichuanForCausalLM": ("vllm_trianglemix_tpu.models.baichuan",
+                            "BaichuanConfig"),
+    "OrionForCausalLM": ("vllm_trianglemix_tpu.models.orion",
+                         "OrionConfig"),
+    "ExaoneForCausalLM": ("vllm_trianglemix_tpu.models.exaone",
+                          "ExaoneConfig"),
+    "MiniCPMForCausalLM": ("vllm_trianglemix_tpu.models.minicpm",
+                           "MiniCPMConfig"),
+    "HeliumForCausalLM": ("vllm_trianglemix_tpu.models.helium",
+                          "HeliumConfig"),
+    "HunYuanDenseV1ForCausalLM": ("vllm_trianglemix_tpu.models.hunyuan",
+                                  "HunYuanDenseConfig"),
 }
 
 
-def resolve_architecture(arch: str):
-    """Return (model_module, config_cls) for an HF architecture string."""
+def resolve_architecture(arch: str, allow_fallback: bool = False):
+    """Return (model_module, config_cls) for an HF architecture string.
+
+    With ``allow_fallback``, unknown *ForCausalLM architectures resolve
+    to the generic decoder (models/auto_decoder.py — the reference's
+    TransformersForCausalLM role, registry.py:311); its config mapping
+    rejects structures the shared decoder does not implement.
+    """
     if arch not in _REGISTRY:
+        if allow_fallback and arch.endswith("ForCausalLM"):
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "architecture %r has no registry entry; serving via the "
+                "generic decoder fallback (llama-canonical structure "
+                "assumed — verify outputs against the source model)", arch)
+            module = importlib.import_module(
+                "vllm_trianglemix_tpu.models.auto_decoder")
+            return module, module.AutoDecoderConfig
         raise ValueError(
             f"Unsupported architecture {arch!r}; supported: {sorted(_REGISTRY)}")
     module_name, cfg_attr = _REGISTRY[arch]
@@ -109,7 +157,7 @@ def resolve_model(path_or_arch: str):
         with open(os.path.join(path_or_arch, "config.json")) as f:
             hf_cfg = json.load(f)
         arch = hf_cfg["architectures"][0]
-        module, cfg_cls = resolve_architecture(arch)
+        module, cfg_cls = resolve_architecture(arch, allow_fallback=True)
         return module, cfg_cls.from_hf_config(hf_cfg)
     module, cfg_cls = resolve_architecture(path_or_arch)
     return module, cfg_cls()
