@@ -335,6 +335,79 @@ def fused_decode_attention(q, k_new, v_new, kv_cache, md,
         soft_cap=soft_cap, row_offset=1, interpret=interpret, **kwargs)
 
 
+def spec_tree_attention(q, k_new, v_new, kv_cache, md, use_triangle=False,
+                        *, scale, soft_cap=0.0, k_scale=None, v_scale=None,
+                        **_ignored):
+    """Tree-speculative verification attention (reference
+    vllm/v1/attention/backends/tree_attn.py role, XLA formulation).
+
+    Rows are a mix of REAL input tokens (md.spec_flags == 0; their K/V
+    were written to the cache before this call, standard inclusive
+    causal) and TREE draft rows (flags 1 = chain / 2 = sibling; NOT in
+    the cache). Star-chain tree semantics: every draft row attends the
+    real cache prefix (md.seq_lens counts only real tokens, all of which
+    precede every draft position) plus, through an explicit in-step
+    block over the step's own K/V:
+
+      visible(i <- j) = same request & both tree rows &
+                        ((chain_j & pos_j < pos_i) | j == i)
+
+    — a sibling/chain node sees its ancestors (the chain at shallower
+    depths) and itself, never a co-positioned sibling. One softmax runs
+    over the concatenated [cache | step] columns, so numerics equal a
+    dense mask over the full context.
+    """
+    T, HQ, D = q.shape
+    num_blocks, page, twoKH, _ = kv_cache.shape
+    KH = twoKH // 2
+    G = HQ // KH
+    R, max_blocks = md.block_tables.shape
+    max_ctx = max_blocks * page
+
+    pages = kv_cache[md.block_tables].reshape(R, max_ctx, twoKH, D)
+    k_c = pages[:, :, 0::2, :][md.req_idx].astype(jnp.float32)
+    v_c = pages[:, :, 1::2, :][md.req_idx].astype(jnp.float32)
+    if k_scale is not None:
+        k_c = k_c * k_scale
+    if v_scale is not None:
+        v_c = v_c * v_scale
+
+    qf = q.reshape(T, KH, G, D).astype(jnp.float32) * scale
+    s_cache = jnp.einsum("tkgd,tckd->tkgc", qf, k_c)
+    s_step = jnp.einsum("tkgd,ukd->tkgu", qf,
+                        k_new.astype(jnp.float32))
+    if soft_cap > 0.0:
+        s_cache = soft_cap * jnp.tanh(s_cache / soft_cap)
+        s_step = soft_cap * jnp.tanh(s_step / soft_cap)
+
+    key_pos = jnp.arange(max_ctx, dtype=jnp.int32)[None, :]
+    q_pos = md.positions[:, None]
+    ctx_len = md.seq_lens[md.req_idx][:, None]   # REAL tokens only
+    vis_c = (key_pos <= q_pos) & (key_pos < ctx_len)
+    s_cache = jnp.where(vis_c[:, None, None, :], s_cache, MASK_VALUE)
+
+    flags = md.spec_flags
+    is_tree = flags > 0
+    same_req = md.req_idx[:, None] == md.req_idx[None, :]
+    chain_col = flags[None, :] == 1
+    earlier = md.positions[None, :] < md.positions[:, None]
+    self_col = (jnp.arange(T, dtype=jnp.int32)[:, None]
+                == jnp.arange(T, dtype=jnp.int32)[None, :])
+    vis_s = (same_req & is_tree[:, None] & is_tree[None, :]
+             & ((chain_col & earlier) | self_col))
+    s_step = jnp.where(vis_s[:, None, None, :], s_step, MASK_VALUE)
+
+    s_all = jnp.concatenate([s_cache, s_step], axis=-1)
+    w = jax.nn.softmax(s_all, axis=-1)
+    w_c, w_s = w[..., :max_ctx], w[..., max_ctx:]
+    # step-block K/V come straight from registers in the model dtype —
+    # no cache-quantization scales apply to them
+    out = (jnp.einsum("tkgc,tckd->tkgd", w_c, v_c)
+           + jnp.einsum("tkgu,ukd->tkgd", w_s,
+                        v_new.astype(jnp.float32)))
+    return out.reshape(T, HQ, D).astype(q.dtype)
+
+
 def write_kv_all_layers(kv_caches, ks, vs, slot_mapping, lengths,
                         kv_quant=None, interpret=False):
     """One batched KV-cache write for ALL layers of a decode step.

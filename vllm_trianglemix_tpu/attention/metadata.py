@@ -54,6 +54,12 @@ class AttentionMetadata(NamedTuple):
     #     length. None = no cascade this step. ---
     shared_block_tables: Optional[jnp.ndarray] = None  # int32[K]
     shared_prefix_len: Optional[jnp.ndarray] = None    # int32[]
+    # --- tree speculative decoding (spec_decode/: star-chain trees):
+    #     per-token row kind — 0 real input, 1 chain draft (branch 0),
+    #     2 sibling draft. Tree rows (1/2) never write KV this step and
+    #     attend to the step's other rows through the tree-masked block
+    #     of attention/backend.py:spec_tree_attention. None = no tree. ---
+    spec_flags: Optional[jnp.ndarray] = None  # int32[T]
 
     @property
     def num_tokens_padded(self) -> int:

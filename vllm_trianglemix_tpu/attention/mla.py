@@ -67,13 +67,18 @@ def mla_write_cache(cache: jnp.ndarray, rows: jnp.ndarray,
 def mla_paged_attention(q: jnp.ndarray, cache: jnp.ndarray,
                         md: AttentionMetadata, *, scale: float,
                         v_dim: int) -> jnp.ndarray:
-    """Dispatch: Pallas latent kernel on TPU (ops/mla_attention.py), XLA
-    gather reference elsewhere. ``q`` [T, H, W] pads to the cache's
-    stored lane width."""
+    """Dispatch: XLA gather attention by default — the honest
+    differenced-chain measurement (scripts/bench_mla_decode.py) puts XLA
+    at 22-63 us/layer at the DeepSeek decode shape vs 135-266 us for the
+    Pallas latent kernel, so the gather IS the TPU-native fast path here
+    (XLA fuses it into the attention contraction). VTT_MLA_KERNEL=1
+    opts back into the kernel for A/Bs. ``q`` [T, H, W] pads to the
+    cache's stored lane width."""
     from vllm_trianglemix_tpu import envs
 
     wp = cache.shape[-1]
-    if (not envs.VTT_DISABLE_PALLAS and jax.default_backend() == "tpu"
+    if (envs.VTT_MLA_KERNEL and not envs.VTT_DISABLE_PALLAS
+            and jax.default_backend() == "tpu"
             and wp % 128 == 0 and v_dim % 128 == 0):
         from vllm_trianglemix_tpu.ops.mla_attention import (
             mla_paged_attention_pallas,

@@ -231,16 +231,41 @@ class SpeculativeConfig:
     # draft weights (drafts mostly rejected; outputs stay exact — useful
     # for tests and plumbing bring-up).
     model: Optional[str] = None
+    # Star-chain TREE drafting (reference eagle.py tree proposals +
+    # tree_attn.py verification): per chain depth l, the draft's top
+    # tree_branching[l] tokens all ride as candidates sharing the chain
+    # parent — the chain (branch 0) is the classic linear-K proposal and
+    # siblings add shallow-width acceptance at zero extra draft compute.
+    # None => linear chains. Implies method="eagle" and greedy-request
+    # acceptance (sampled requests fall back to the bonus token).
+    tree_branching: Optional[tuple] = None
 
     @property
     def enabled(self) -> bool:
         return self.method is not None
+
+    @property
+    def tree_enabled(self) -> bool:
+        return self.tree_branching is not None
+
+    @property
+    def num_tree_tokens(self) -> int:
+        return sum(self.tree_branching) if self.tree_branching else 0
 
     def __post_init__(self):
         if self.method not in (None, "ngram", "eagle", "medusa"):
             raise ValueError(f"unsupported speculative method {self.method}")
         if self.enabled and self.num_speculative_tokens < 1:
             raise ValueError("num_speculative_tokens must be >= 1")
+        if self.tree_branching is not None:
+            self.tree_branching = tuple(int(b) for b in self.tree_branching)
+            if self.method != "eagle":
+                raise ValueError("tree_branching requires method='eagle'")
+            if any(b < 1 for b in self.tree_branching):
+                raise ValueError("tree_branching factors must be >= 1")
+            if len(self.tree_branching) != self.num_speculative_tokens:
+                # depth follows the branching spec
+                self.num_speculative_tokens = len(self.tree_branching)
 
 
 @dataclass

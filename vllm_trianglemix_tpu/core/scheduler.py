@@ -49,9 +49,17 @@ class Scheduler:
         # Draft scheduling vs acceptance counters (reference
         # spec_decode/metrics.py role).
         self.spec_stats = {"num_drafts": 0, "num_accepted": 0}
+        self.spec_tree = False
         if speculative_config is not None and speculative_config.enabled:
             self.spec_method = speculative_config.method
             self.num_spec_tokens = speculative_config.num_speculative_tokens
+            # Star-chain tree drafts (spec_decode/eagle.py tree mode):
+            # trees verify whole or not at all, greedy requests only, and
+            # draft rows never write KV (accepted tokens recompute as
+            # real rows next step).
+            self.spec_tree = speculative_config.tree_enabled
+            if self.spec_tree:
+                self.num_spec_tokens = speculative_config.num_tree_tokens
             if speculative_config.method == "ngram":
                 from vllm_trianglemix_tpu.spec_decode.ngram_proposer import (
                     NgramProposer,
@@ -283,6 +291,11 @@ class Scheduler:
                         # EAGLE: drafts proposed by the draft model on the
                         # previous step (update_from_output below).
                         drafts = request.spec_token_ids[:room]
+                if self.spec_tree and drafts:
+                    # trees verify whole-or-nothing, greedy requests only
+                    if (len(drafts) < len(request.spec_token_ids)
+                            or request.sampling_params.temperature > 0):
+                        drafts = []
                 if drafts:
                     scheduled_spec_tokens[request.request_id] = drafts
                     num_new_tokens += len(drafts)
@@ -302,8 +315,9 @@ class Scheduler:
             assert num_new_tokens > 0, (
                 f"running request {request.request_id} has no new tokens")
             if drafts and num_new_tokens < 1 + len(drafts):
-                # budget clipped the drafts
-                drafts = drafts[:num_new_tokens - 1]
+                # budget clipped the drafts (trees drop whole)
+                drafts = ([] if self.spec_tree
+                          else drafts[:num_new_tokens - 1])
                 if drafts:
                     scheduled_spec_tokens[request.request_id] = drafts
                 else:
@@ -600,8 +614,12 @@ class Scheduler:
                     # Spec decode: scheduled = 1 real + len(drafts); the
                     # runner returned 1..len(drafts)+1 accepted tokens.
                     # Rejected drafts' KV rows are rolled back (reference
-                    # update_from_output spec path).
-                    num_rejected = len(drafts) + 1 - len(new_token_ids)
+                    # update_from_output spec path). Tree drafts never
+                    # wrote KV at all — every accepted token recomputes
+                    # as a real row next step.
+                    num_rejected = (len(drafts) if self.spec_tree
+                                    else len(drafts) + 1
+                                    - len(new_token_ids))
                     request.num_computed_tokens += num_tokens - num_rejected
                     # Emitted = accepted drafts + 1 (recovery or bonus).
                     self.spec_stats["num_drafts"] += len(drafts)

@@ -43,6 +43,12 @@ environment_variables: dict[str, Callable[[], Any]] = {
     "VTT_DISABLE_DECODE_KERNEL": lambda: bool(
         int(os.getenv("VTT_DISABLE_DECODE_KERNEL", "0"))
     ),
+    # Opt IN to the Pallas MLA latent kernel. Default off: the honest
+    # differenced-chain harness (scripts/bench_mla_decode.py, round 5)
+    # measures the kernel ~5x SLOWER than the XLA gather path at the
+    # DeepSeek decode shape (135 vs 22 us/layer v2-lite, 266 vs 63 v3)
+    # — the round-4 ">=20x" claim was a dispatch-timing artifact.
+    "VTT_MLA_KERNEL": lambda: bool(int(os.getenv("VTT_MLA_KERNEL", "0"))),
     # Logging level for the engine's loggers.
     "VTT_LOGGING_LEVEL": lambda: os.getenv("VTT_LOGGING_LEVEL", "INFO"),
     # Plugin allow-list (plugins.py; reference VLLM_PLUGINS): unset =

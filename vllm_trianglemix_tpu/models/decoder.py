@@ -776,6 +776,16 @@ def forward(
                                    # the given padded-token positions
                                    # (pad entries point out of bounds and
                                    # drop; models/llava.py)
+    spec_tree: bool = False,       # tree speculative verification: tree
+                                   # draft rows (md.spec_flags > 0, slot
+                                   # -1) attend through the tree-masked
+                                   # in-step block of
+                                   # attention/backend.py:
+                                   # spec_tree_attention
+    tap_layers=None,               # EAGLE-3 feature taps: static layer
+                                   # ids whose output hidden states are
+                                   # captured; forward then returns
+                                   # (hidden, new_kv, taps [k, T, D])
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """One step over a ragged token batch. Returns (hidden[T, D], new_kv) —
     with ``fused_decode``, new_kv is instead the stacked per-layer
@@ -892,10 +902,18 @@ def forward(
              jnp.arange(L, dtype=jnp.int32)))
     else:
         flat_kv = kv_caches.reshape((L * num_blocks,) + kv_caches.shape[2:])
-        x, flat_kv = scan_layers(
+        out = scan_layers(
             params["layers"], cfg, x, flat_kv, md, tri_flags,
             cos=cos, sin=sin, attn_kwargs=attn_kwargs, kv_quant=kv_quant,
-            moe_fn=moe_fn, lora_stacks=lora_stacks, onehot=onehot)
+            moe_fn=moe_fn, lora_stacks=lora_stacks, onehot=onehot,
+            spec_tree=spec_tree, tap_layers=tap_layers)
+        if tap_layers:
+            x, flat_kv, taps = out
+            new_kv = flat_kv.reshape(kv_caches.shape)
+            x = decoder_norm(x, params["norm"], cfg,
+                             params.get("norm_bias"))
+            return x, new_kv, taps
+        x, flat_kv = out
         new_kv = flat_kv.reshape(kv_caches.shape)
     x = decoder_norm(x, params["norm"], cfg, params.get("norm_bias"))
     return x, new_kv
@@ -1055,7 +1073,8 @@ def _layer_compute(x, lp, lmods, onehot, cfg: DecoderConfig, cos, sin,
 
 def scan_layers(layers_params, cfg: DecoderConfig, x, flat_kv, md,
                 tri_flags, *, cos, sin, attn_kwargs, kv_quant=None,
-                moe_fn=None, lora_stacks=None, onehot=None):
+                moe_fn=None, lora_stacks=None, onehot=None,
+                spec_tree: bool = False, tap_layers=None):
     """Scan a stack of decoder layers over a shared flat KV page pool.
 
     The core of forward()'s standard path, reused by parallel/pp.py for
@@ -1072,23 +1091,54 @@ def scan_layers(layers_params, cfg: DecoderConfig, x, flat_kv, md,
                   if getattr(cfg, "rope_layers", None) is not None
                   else None)
 
+    taps0 = (jnp.zeros((len(tap_layers),) + x.shape, x.dtype)
+             if tap_layers else None)
+
     def layer_fn(carry, scanned):
-        x, flat = carry
+        if tap_layers:
+            x, flat, taps = carry
+        else:
+            x, flat = carry
         lp, tri, lmods, lid = scanned
         md_l = offset_md(md, lid, num_blocks, flat_kv.shape[1])
         kept = {}
 
-        def attn_of(q, k, v):
-            kept["kv"] = write_kv(flat, k, v, md_l, kv_quant=kv_quant)
-            return ragged_paged_attention(q, kept["kv"], md_l, tri,
-                                          **attn_kwargs)
+        if spec_tree:
+            from vllm_trianglemix_tpu.attention.backend import (
+                spec_tree_attention,
+            )
+
+            def attn_of(q, k, v):
+                # tree draft rows carry slot -1 (no write); real rows
+                # land in the cache first, then every row attends the
+                # real prefix + the tree-masked in-step block
+                kept["kv"] = write_kv(flat, k, v, md_l, kv_quant=kv_quant)
+                return spec_tree_attention(q, k, v, kept["kv"], md_l, tri,
+                                           **attn_kwargs)
+        else:
+            def attn_of(q, k, v):
+                kept["kv"] = write_kv(flat, k, v, md_l, kv_quant=kv_quant)
+                return ragged_paged_attention(q, kept["kv"], md_l, tri,
+                                              **attn_kwargs)
 
         x = _layer_compute(x, lp, lmods, onehot, cfg, cos, sin,
                            attn_of, moe_fn,
                            rope_on=(None if rope_flags is None
                                     else rope_flags[lid]))
+        if tap_layers:
+            # EAGLE-3 feature taps (reference eagle.py multi-layer
+            # hidden input): capture this layer's OUTPUT hidden state
+            # when its id matches a tap (static list, traced layer id).
+            for ti, tl in enumerate(tap_layers):
+                taps = taps.at[ti].set(jnp.where(lid == tl, x, taps[ti]))
+            return (x, kept["kv"], taps), None
         return (x, kept["kv"]), None
 
+    if tap_layers:
+        (x, flat_kv, taps), _ = jax.lax.scan(
+            layer_fn, (x, flat_kv, taps0),
+            (layers_params, tri_flags, lora_stacks, layer_ids))
+        return x, flat_kv, taps
     (x, flat_kv), _ = jax.lax.scan(
         layer_fn, (x, flat_kv),
         (layers_params, tri_flags, lora_stacks, layer_ids))

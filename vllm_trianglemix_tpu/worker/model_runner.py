@@ -435,7 +435,6 @@ class ModelRunner:
         self._prev_rows: dict[str, int] = {}
 
         self._init_eplb()
-        self._jit_step = self._build_step_fn()
         self._jit_sample = self._build_sample_fn()
         from vllm_trianglemix_tpu.sample.sampler import (
             apply_additive_coo,
@@ -468,8 +467,27 @@ class ModelRunner:
                 kv_cache_shape(self.num_kv_blocks, self.block_size,
                                self.cfg.num_key_value_heads,
                                self.cfg.head_dim), dtype=self.dtype)
+            from vllm_trianglemix_tpu.spec_decode.eagle import (
+                eagle_hidden_taps,
+            )
+
+            taps_k = eagle_hidden_taps(self.eagle_params,
+                                       self.cfg.hidden_size)
+            self._eagle_tap_layers = None
+            if taps_k >= 2:
+                # EAGLE-3: tap k evenly spaced target layers for the
+                # draft's feature fusion (reference llama_eagle3.py's
+                # low/mid/high hidden states)
+                L = self.cfg.num_hidden_layers
+                taps = sorted({min(L - 1, max(0, round(
+                    (i + 1) * (L - 1) / (taps_k + 1))))
+                    for i in range(taps_k)})
+                while len(taps) < taps_k:  # tiny models: pad with last
+                    taps.append(min(L - 1, taps[-1] + 1))
+                self._eagle_tap_layers = tuple(taps[:taps_k])
             self._jit_eagle = build_eagle_fn(
-                self.cfg, spec.num_speculative_tokens, self.block_size)
+                self.cfg, spec.num_speculative_tokens, self.block_size,
+                tree_branching=spec.tree_branching, eagle3_taps=taps_k)
         # --- Medusa heads (spec_decode/medusa.py) -----------------------------
         self._jit_medusa = None
         if spec.enabled and spec.method == "medusa":
@@ -487,6 +505,9 @@ class ModelRunner:
                 self.medusa_params = init_random_medusa(self.cfg, K,
                                                         dtype=self.dtype)
             self._jit_medusa = build_medusa_fn(K)
+        # built AFTER the draft-model init: the step closure captures the
+        # EAGLE-3 tap layers when the draft checkpoint requests them
+        self._jit_step = self._build_step_fn()
         self._jit_logprobs = partial(jax.jit, static_argnames=(
             "num_logprobs",))(gather_logprobs)
         self._jit_prompt_lp = self._build_prompt_lp_fn()
@@ -743,12 +764,13 @@ class ModelRunner:
         spec_cfg = self.engine_config.speculative
         want_hidden = spec_cfg.enabled and spec_cfg.method in ("eagle",
                                                                "medusa")
+        eagle_taps = getattr(self, "_eagle_tap_layers", None)
 
         @partial(jax.jit, donate_argnums=(1,),
-                 static_argnames=("need_hidden",))
+                 static_argnames=("need_hidden", "spec_tree"))
         def step(params, kv_caches, token_ids, md: AttentionMetadata,
                  tri_flags, lora, gather_idx=None, prev_sampled=None,
-                 mm=None, need_hidden=False):
+                 mm=None, need_hidden=False, spec_tree=False):
             if gather_idx is not None:
                 # Async scheduling: rows whose input token was sampled by
                 # the still-in-flight previous step read it device-side.
@@ -763,6 +785,7 @@ class ModelRunner:
                 hidden, kv_caches = pp_forward(
                     params, cfg, tri_cfg, token_ids, kv_caches, md,
                     tri_flags, pp_mesh, kv_quant=kv_quant, moe_fn=moe_fn)
+                draft_feats = None
             else:
                 fkw = {}
                 if cp_ctx is not None:
@@ -774,10 +797,23 @@ class ModelRunner:
                     # drop in the scatter (models/decoder.py mm_scatter).
                     pool, mm_dst, mm_src = mm
                     fkw["mm_scatter"] = (mm_dst, pool[mm_src])
-                hidden, kv_caches = model.forward(
-                    params, cfg, tri_cfg, token_ids, kv_caches, md,
-                    tri_flags, lora=lora, kv_quant=kv_quant, moe_fn=moe_fn,
-                    **fkw)
+                if spec_tree:
+                    fkw["spec_tree"] = True
+                if eagle_taps:
+                    # EAGLE-3 feature taps: k intermediate hidden states
+                    # concat to [T, k*D] for the draft's fc fusion
+                    hidden, kv_caches, taps = model.forward(
+                        params, cfg, tri_cfg, token_ids, kv_caches, md,
+                        tri_flags, lora=lora, kv_quant=kv_quant,
+                        moe_fn=moe_fn, tap_layers=eagle_taps, **fkw)
+                    draft_feats = jnp.concatenate(
+                        [taps[i] for i in range(len(eagle_taps))], axis=-1)
+                else:
+                    hidden, kv_caches = model.forward(
+                        params, cfg, tri_cfg, token_ids, kv_caches, md,
+                        tri_flags, lora=lora, kv_quant=kv_quant,
+                        moe_fn=moe_fn, **fkw)
+                    draft_feats = None
             sel = hidden[md.logits_indices]            # [R*S, D]
             logits = model.compute_logits(params, cfg, sel)
 
@@ -802,7 +838,9 @@ class ModelRunner:
             # T x D output copy every step).
             hidden_out = (hidden if (want_hidden or need_hidden)
                           else hidden[:1])
-            return kv_caches, logits, pooled, hidden_out
+            feats_out = (draft_feats if (eagle_taps and draft_feats
+                                         is not None) else hidden_out[:1])
+            return kv_caches, logits, pooled, hidden_out, feats_out
 
         return step
 
@@ -1171,6 +1209,10 @@ class ModelRunner:
         params_list, counters = [], []
         sampled_valid = []  # whether row i produces a real sampled token
         drafts_per_req = []
+        spec_cfg = self.engine_config.speculative
+        tree_mode = spec_cfg.enabled and spec_cfg.tree_enabled
+        spec_flags = np.zeros(T, np.int32) if tree_mode else None
+        tree_levels = self._tree_levels() if tree_mode else None
         lora_idx = np.zeros(T, np.int32)
         mm_dst_parts: list[np.ndarray] = []
         mm_src_parts: list[np.ndarray] = []
@@ -1241,6 +1283,21 @@ class ModelRunner:
                     mm_src_parts.append((slot * P_img + (ks - s)).astype(
                         np.int32))
             seq_lens[i] = end
+            if tree_mode and drafts:
+                # Star-chain tree verification: draft rows sit at position
+                # p_last + level (co-positioned siblings), never write KV
+                # (slot -1; accepted tokens are recomputed as real rows
+                # next step), and md.seq_lens counts REAL context only so
+                # the tree-masked attention's cache part stops before the
+                # draft positions (attention/backend.py:
+                # spec_tree_attention).
+                p_last = start + n_real - 1
+                for d, (lvl, br) in enumerate(tree_levels[:len(drafts)]):
+                    row = offset + n_real + d
+                    positions[row] = p_last + lvl
+                    slot_mapping[row] = -1
+                    spec_flags[row] = 1 if br == 0 else 2
+                seq_lens[i] = start + n_real
             prompt_lens[i] = state.prompt_len
             query_start_loc[i + 1] = query_start_loc[i] + n_sched
             # last 1+len(drafts) scheduled rows sample; repeat the final
@@ -1299,6 +1356,7 @@ class ModelRunner:
                             if self.n_kv_groups > 1 else None),
             slot_mapping_g=(jnp.asarray(slot_mapping_g)
                             if self.n_kv_groups > 1 else None),
+            spec_flags=(jnp.asarray(spec_flags) if tree_mode else None),
         )
         if S > 1:
             # One sampling-metadata row per logits row; distinct counter
@@ -1378,10 +1436,20 @@ class ModelRunner:
         self._maybe_eplb_rebalance()
         self._rng_key, step_key = jax.random.split(self._rng_key)
         tok_dev = jnp.asarray(token_ids)
-        self.kv_caches, logits, pooled, hidden = self._jit_step(
+        tree_step = bool(tree_mode
+                         and any(len(d) for d in drafts_per_req))
+        if tree_step:
+            # the tree step variant compiles on first spec step
+            self._graph_growth_ok = True
+        (self.kv_caches, logits, pooled, hidden,
+         draft_feats) = self._jit_step(
             self.params, self.kv_caches, tok_dev, md,
             self.tri_flags, lora, jnp.asarray(tok_gather),
-            self._prev_sampled, mm_args, need_hidden=bool(plp_meta))
+            self._prev_sampled, mm_args, need_hidden=bool(plp_meta),
+            spec_tree=tree_step)
+        eagle_hidden = (draft_feats
+                        if getattr(self, "_eagle_tap_layers", None)
+                        else hidden)
         is_spec = S > 1
         if is_spec:
             draft_np = np.full((R, S), -1, np.int32)
@@ -1394,11 +1462,15 @@ class ModelRunner:
         if has_bias:
             coo = self._build_logit_coo(req_ids, R, S)
             sample_logits = self._apply_logit_coo(logits, smd, coo)
+        # Tree mode samples every row independently (the acceptance walk
+        # over branches runs host-side in the finalize below); linear
+        # chains keep the device rejection/accept path.
+        use_spec_sample = is_spec and not tree_mode
         result = self._jit_sample(sample_logits, smd, step_key, mask_dev,
                                   drafts_dev, smd.all_greedy,
                                   grammar_mask is not None,
-                                  is_spec, S)
-        if is_spec:
+                                  use_spec_sample, S)
+        if use_spec_sample:
             tokens, accept_dev, recovery_dev, last_full = result
         else:
             (tokens, last_full), accept_dev, recovery_dev = result, None, None
@@ -1414,10 +1486,34 @@ class ModelRunner:
                 he[i] = (sampled_valid[i] and self.input_batch.get(
                     rid).pooling_params is None)
             if self._jit_eagle is not None:
-                self.draft_kv, eagle_drafts_dev, _ = self._jit_eagle(
-                    self.eagle_params, self.params, self.draft_kv, hidden,
-                    tok_dev, md, tokens, accept_dev, recovery_dev,
-                    jnp.asarray(nd), jnp.asarray(he))
+                if tree_mode:
+                    # Chain-subset view for the draft's device-side
+                    # acceptance walk: trees accept host-side (a sibling
+                    # may extend past the chain — the draft conditions on
+                    # the chain walk and self-heals through next step's
+                    # real catch-up rows).
+                    cc = self._tree_chain_cols()
+                    Kc = len(cc) - 1
+                    tk = tokens.reshape(R, S)
+                    tokens_e = tk[:, jnp.asarray(cc)]
+                    dr_chain = jnp.asarray(
+                        draft_np[:, [c - 1 for c in cc[1:]]])
+                    acc_e = jnp.concatenate(
+                        [(tk[:, jnp.asarray(cc[:-1])] == dr_chain)
+                         & (dr_chain >= 0),
+                         jnp.zeros((R, 1), bool)], axis=1)
+                    nd_e = jnp.asarray(np.where(nd > 0, Kc, 0)
+                                       .astype(np.int32))
+                    self.draft_kv, eagle_drafts_dev, _ = self._jit_eagle(
+                        self.eagle_params, self.params, self.draft_kv,
+                        eagle_hidden, tok_dev, md, tokens_e.reshape(-1),
+                        acc_e.reshape(-1), tokens_e.reshape(-1),
+                        nd_e, jnp.asarray(he))
+                else:
+                    self.draft_kv, eagle_drafts_dev, _ = self._jit_eagle(
+                        self.eagle_params, self.params, self.draft_kv,
+                        eagle_hidden, tok_dev, md, tokens, accept_dev,
+                        recovery_dev, jnp.asarray(nd), jnp.asarray(he))
             else:
                 eagle_drafts_dev = self._jit_medusa(
                     self.medusa_params, hidden, md, tokens, accept_dev,
@@ -1494,7 +1590,7 @@ class ModelRunner:
                 lp_vals = np.asarray(jax.device_get(lps_dev)).reshape(
                     R, S, -1)
 
-            if is_spec:
+            if use_spec_sample:
                 tokens_np, accept_np, recovery_np = (
                     np.asarray(a).reshape(R, S) for a in
                     jax.device_get((tokens, accept_dev, recovery_dev)))
@@ -1511,6 +1607,8 @@ class ModelRunner:
                 row = tokens_np[i]
                 if not drafts:
                     out = [int(row[0])]
+                elif tree_mode:
+                    out = self._tree_walk(row, drafts)
                 else:
                     # Rejection acceptance: row j's logits are the target
                     # distribution for the position draft j proposes.
@@ -1959,9 +2057,62 @@ class ModelRunner:
     def _sample_rows_per_req(self) -> int:
         """Sampling rows per request: 1 normally; 1+k when speculative
         decoding verifies drafts (fixed-shape like the reference's
-        spec-decode logits gathering)."""
+        spec-decode logits gathering); 1+sum(branching) for tree
+        drafts."""
         spec = self.engine_config.speculative
-        return 1 + (spec.num_speculative_tokens if spec.enabled else 0)
+        if not spec.enabled:
+            return 1
+        if spec.tree_enabled:
+            return 1 + spec.num_tree_tokens
+        return 1 + spec.num_speculative_tokens
+
+    def _tree_walk(self, row, drafts) -> list:
+        """Greedy star-chain acceptance (host finalize; reference
+        rejection_sampler.py walk generalized over branches): at each
+        level the target's token (the parent row's argmax) matches at
+        most one candidate; matching the chain (branch 0) walks deeper,
+        matching a sibling emits that token plus the sibling row's bonus
+        and stops (deeper drafts were conditioned on the chain), a miss
+        emits the target token (recovery) and stops."""
+        branching = self.engine_config.speculative.tree_branching
+        out: list[int] = []
+        cur_row = 0          # S-grid row of the current context's logits
+        level_start = 0
+        for b in branching:
+            if level_start >= len(drafts):
+                break
+            t = int(row[cur_row])
+            cands = list(drafts[level_start:level_start + b])
+            if t not in cands:
+                out.append(t)            # recovery
+                return out
+            j = cands.index(t)
+            out.append(t)                # accepted draft
+            cur_row = 1 + level_start + j
+            if j != 0:
+                out.append(int(row[cur_row]))  # sibling bonus
+                return out
+            level_start += b
+        out.append(int(row[cur_row]))    # full-chain bonus
+        return out
+
+    def _tree_levels(self):
+        """Per-flat-draft (level, branch) pairs for star-chain trees."""
+        spec = self.engine_config.speculative
+        out = []
+        for lvl, b in enumerate(spec.tree_branching):
+            out.extend((lvl + 1, j) for j in range(b))
+        return out
+
+    def _tree_chain_cols(self):
+        """S-grid column index of each chain row: col 0 = last real row,
+        then the branch-0 node of every level."""
+        spec = self.engine_config.speculative
+        cols, flat = [0], 0
+        for b in spec.tree_branching:
+            cols.append(1 + flat)
+            flat += b
+        return cols
 
     def drain(self) -> None:
         """Block until all dispatched device work is done (async mode)."""
@@ -2124,6 +2275,9 @@ class ModelRunner:
                 if self.n_kv_groups > 1 else None),
             slot_mapping_g=(jnp.full((self.n_kv_groups, T), -1, jnp.int32)
                             if self.n_kv_groups > 1 else None),
+            spec_flags=(jnp.zeros(T, jnp.int32)
+                        if self.engine_config.speculative.tree_enabled
+                        else None),
         )
         RS = R * self._sample_rows_per_req()
         smd = build_sampling_metadata([], [], RS)
@@ -2133,10 +2287,14 @@ class ModelRunner:
             mm_args = (self.encoder_pool,
                        jnp.full(self._mm_pad, 1 << 30, jnp.int32),
                        jnp.zeros(self._mm_pad, jnp.int32))
-        self.kv_caches, logits, _pooled, hidden = self._jit_step(
+        (self.kv_caches, logits, _pooled, hidden,
+         draft_feats) = self._jit_step(
             self.params, self.kv_caches, jnp.zeros(T, jnp.int32), md,
             self.tri_flags, self._dummy_lora(T),
             jnp.full(T, -1, jnp.int32), self._prev_sampled, mm_args)
+        eagle_hidden = (draft_feats
+                        if getattr(self, "_eagle_tap_layers", None)
+                        else hidden)
         mask = jnp.ones((RS, self.cfg.vocab_size), bool)
         placeholder = jnp.ones((1, 1), bool)
         is_spec = self._sample_rows_per_req() > 1
@@ -2161,11 +2319,14 @@ class ModelRunner:
                                   jnp.zeros(RS, jnp.float32))
         jax.block_until_ready(out)
         if self._jit_eagle is not None:
+            spec_cfg = self.engine_config.speculative
+            RSe = (R * (1 + spec_cfg.num_speculative_tokens)
+                   if spec_cfg.tree_enabled else RS)
             self.draft_kv, drafts_w, _ = self._jit_eagle(
-                self.eagle_params, self.params, self.draft_kv, hidden,
-                jnp.zeros(T, jnp.int32), md,
-                jnp.zeros(RS, jnp.int32), jnp.zeros(RS, bool),
-                jnp.zeros(RS, jnp.int32), jnp.zeros(R, jnp.int32),
+                self.eagle_params, self.params, self.draft_kv,
+                eagle_hidden, jnp.zeros(T, jnp.int32), md,
+                jnp.zeros(RSe, jnp.int32), jnp.zeros(RSe, bool),
+                jnp.zeros(RSe, jnp.int32), jnp.zeros(R, jnp.int32),
                 jnp.zeros(R, bool))
             jax.block_until_ready(drafts_w)
         if self._jit_medusa is not None:
