@@ -96,7 +96,7 @@ def main() -> None:
             times = []
             for _ in range(iters):
                 t0 = time.perf_counter()
-                runner.kv_caches, logits, _, _h = fn(
+                runner.kv_caches, logits, _, _h, _f = fn(
                     runner.params, runner.kv_caches, toks_dev, md,
                     runner.tri_flags, None)
                 import numpy as _np

@@ -44,6 +44,7 @@ HF_KW = dict(
     tie_word_embeddings=False,
     rope_scaling={"type": "mrope", "mrope_section": [2, 3, 3]},
     image_token_id=IMG_TOK,
+    video_token_id=499,
     vision_start_token_id=501,
     vision_end_token_id=502,
     bos_token_id=1,
@@ -134,6 +135,64 @@ def test_engine_e2e_with_image(models, tmp_path):
         ref = hf.generate(
             input_ids=torch.tensor([ids]),
             pixel_values=pixel_values, image_grid_thw=grid,
+            do_sample=False, max_new_tokens=6,
+            eos_token_id=None)[0, len(ids):].tolist()
+    assert got == ref
+
+
+def test_video_e2e_matches_hf(models, tmp_path):
+    """Qwen2.5-VL video inputs: windowed tower over real frame pairs +
+    the tokens_per_second temporal mrope scaling, engine-vs-HF-generate
+    token identical (VERDICT r4 next #4)."""
+    import numpy as np
+    from safetensors.torch import save_file
+
+    from vllm_trianglemix_tpu.entrypoints.llm import LLM
+    from vllm_trianglemix_tpu.multimodal.processor import preprocess_image
+    from vllm_trianglemix_tpu.sampling_params import SamplingParams
+
+    hf, cfg, _ = models
+    vid_tok = hf.config.video_token_id
+    d = tmp_path / "qwen25vl_vid"
+    d.mkdir()
+    cfg_dict = json.loads(hf.config.to_json_string())
+    cfg_dict.setdefault("vision_config", {})["image_size"] = S
+    cfg_dict["architectures"] = ["Qwen2_5_VLForConditionalGeneration"]
+    with open(d / "config.json", "w") as f:
+        json.dump(cfg_dict, f)
+    save_file({k: v.clone().contiguous() for k, v in
+               hf.state_dict().items()}, str(d / "model.safetensors"))
+
+    llm = LLM(model=str(d), dtype="float32", max_model_len=128,
+              max_num_seqs=2, max_num_batched_tokens=64, num_kv_blocks=32,
+              skip_tokenizer_init=True, encoder_cache_size=64)
+
+    rng = np.random.default_rng(3)
+    raw = rng.uniform(0, 255, size=(4, S, S, 3)).astype(np.uint8)
+    prompt = {"prompt_token_ids": [7, 501, vid_tok, 502, 11],
+              "multi_modal_data": {"video": raw}}
+    out = llm.generate([prompt], SamplingParams(
+        temperature=0.0, max_tokens=6, ignore_eos=True))[0]
+    got = list(out.outputs[0].token_ids)
+
+    # HF reference with the same frames
+    p = cfg.vision.patch_size
+    tps = cfg.vision.temporal_patch_size
+    ms = cfg.vision.spatial_merge_size
+    g = S // p
+    frames = np.stack([preprocess_image(raw[i], S) for i in range(4)])
+    t = frames.shape[0] // tps
+    x = frames.reshape(t, tps, 3, g // ms, ms, p, g // ms, ms, p)
+    x = x.transpose(0, 3, 6, 4, 7, 2, 1, 5, 8).reshape(
+        t * g * g, 3 * tps * p * p)
+    per = cfg.tokens_per_image
+    ids = [7, 501] + [vid_tok] * (t * per) + [502, 11]
+    with torch.no_grad():
+        ref = hf.generate(
+            input_ids=torch.tensor([ids]),
+            pixel_values_videos=torch.tensor(x.astype(np.float32)),
+            video_grid_thw=torch.tensor([[t, g, g]]),
+            second_per_grid_ts=torch.tensor([1.0]),
             do_sample=False, max_new_tokens=6,
             eos_token_id=None)[0, len(ids):].tolist()
     assert got == ref

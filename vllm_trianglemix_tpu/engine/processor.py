@@ -100,6 +100,24 @@ class Processor:
                     model_cfg.vision.image_size,
                     path if isinstance(path, str) else None),
             }
+            if getattr(model_cfg, "video_token_index", None) is not None:
+                # video-capable (Qwen2-VL family): temporal slices of
+                # real frames through the same pool machinery
+                from functools import partial as _partial
+
+                from vllm_trianglemix_tpu.multimodal.processor import (
+                    preprocess_video,
+                )
+
+                ip = self.mm_config["image_processor"]
+                self.mm_config["video_token_id"] = \
+                    model_cfg.video_token_index
+                self.mm_config["video_processor"] = _partial(
+                    preprocess_video,
+                    image_size=ip.image_size, mean=ip.mean, std=ip.std,
+                    crop=ip.crop,
+                    temporal_patch=model_cfg.vision.temporal_patch_size,
+                    max_frames=getattr(model_cfg, "max_video_frames", 16))
 
     def process_inputs(
         self,
@@ -160,11 +178,20 @@ class Processor:
                     )
 
                     images = mm_data.get("image")
-                    if images is None:
+                    videos = mm_data.get("video")
+                    if images is None and videos is None:
                         raise ValueError(
-                            "multi_modal_data must carry 'image'")
-                    if not isinstance(images, (list, tuple)):
+                            "multi_modal_data must carry 'image' or "
+                            "'video'")
+                    if images is None:
+                        images = []
+                    elif not isinstance(images, (list, tuple)):
                         images = [images]
+                    from vllm_trianglemix_tpu.multimodal.processor import (
+                        normalize_videos,
+                    )
+
+                    videos = normalize_videos(videos)
                     token_ids, mm_items = expand_mm_prompt(
                         self.tokenizer, prompt_text, token_ids,
                         list(images),
@@ -172,6 +199,11 @@ class Processor:
                         tokens_per_image=self.mm_config[
                             "tokens_per_image"],
                         image_processor=self.mm_config["image_processor"],
+                        videos=list(videos),
+                        video_token_id=self.mm_config.get(
+                            "video_token_id"),
+                        video_processor=self.mm_config.get(
+                            "video_processor"),
                     )
             elif token_ids is None:
                 token_ids = self.tokenizer.encode(prompt_text)

@@ -202,10 +202,37 @@ def _decode_data_url(url: str):
         return np.load(io.BytesIO(raw), allow_pickle=False)
 
 
-def _extract_chat_images(messages: list[dict]) -> list:
-    """OpenAI content-part lists → flat text with <image> markers plus the
-    decoded images (reference: chat_utils multimodal content parsing)."""
+def _decode_video_data_url(url: str):
+    """data: URL -> multi-frame media. Animated PIL formats (GIF/APNG)
+    keep their frames (no RGB flattening); npy payloads load as
+    [F, H, W, 3] arrays."""
+    import base64
+    import io
+
+    if not url.startswith("data:"):
+        raise ValueError(
+            "only data: video URLs are supported (base64-embedded "
+            "GIF/APNG or npy frame stacks)")
+    raw = base64.b64decode(url.split(",", 1)[1])
+    try:
+        from PIL import Image
+
+        img = Image.open(io.BytesIO(raw))
+        img.load()
+        return img
+    except Exception:  # noqa: BLE001
+        import numpy as np
+
+        return np.load(io.BytesIO(raw), allow_pickle=False)
+
+
+def _extract_chat_images(messages: list[dict]) -> tuple[list, list]:
+    """OpenAI content-part lists → flat text with <image>/<video> markers
+    plus the decoded media (reference: chat_utils multimodal content
+    parsing; video_url follows the vLLM extension of the OpenAI
+    schema)."""
     images: list = []
+    videos: list = []
     for m in messages:
         content = m.get("content")
         if not isinstance(content, list):
@@ -219,10 +246,14 @@ def _extract_chat_images(messages: list[dict]) -> list:
                 url = (part.get("image_url") or {}).get("url", "")
                 images.append(_decode_data_url(url))
                 text_parts.append("<image>")
+            elif ptype == "video_url":
+                url = (part.get("video_url") or {}).get("url", "")
+                videos.append(_decode_video_data_url(url))
+                text_parts.append("<video>")
             else:
                 raise ValueError(f"unsupported content part {ptype!r}")
         m["content"] = "\n".join(text_parts)
-    return images
+    return images, videos
 
 
 async def create_chat_completion(request: web.Request) -> web.StreamResponse:
@@ -239,7 +270,7 @@ async def create_chat_completion(request: web.Request) -> web.StreamResponse:
                            501)
     try:
         messages = [m.model_dump(exclude_none=True) for m in body.messages]
-        images = _extract_chat_images(messages)
+        images, videos = _extract_chat_images(messages)
         template_kwargs = {}
         if body.tools:
             template_kwargs["tools"] = body.tools
@@ -254,11 +285,17 @@ async def create_chat_completion(request: web.Request) -> web.StreamResponse:
         return _json_error(str(e))
     except Exception as e:  # noqa: BLE001
         return _json_error(f"chat template failed: {e}")
-    if images:
-        # Placeholder <image> tokens in prompt_ids expand to per-image
-        # spans in the engine Processor (multimodal/processor.py).
+    if images or videos:
+        # Placeholder <image>/<video> tokens in prompt_ids expand to
+        # per-item spans in the engine Processor
+        # (multimodal/processor.py).
+        mm = {}
+        if images:
+            mm["image"] = images
+        if videos:
+            mm["video"] = videos
         prompt_ids = {"prompt_token_ids": prompt_ids,
-                      "multi_modal_data": {"image": images}}
+                      "multi_modal_data": mm}
 
     request_id = f"chatcmpl-{uuid.uuid4().hex}"
     model = body.model or app[MODEL_KEY]

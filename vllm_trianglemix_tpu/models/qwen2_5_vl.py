@@ -54,6 +54,10 @@ class Qwen25VLVisionConfig:
     fullatt_block_indexes: tuple = (7, 15, 23, 31)
     in_channels: int = 3
     image_size: int = 448
+    # HF Qwen2_5_VL get_rope_index: video temporal indices scale by
+    # second_per_grid_ts * tokens_per_second (second_per_grid_ts
+    # defaults to 1 without per-video fps metadata)
+    tokens_per_second: float = 2.0
 
     @property
     def head_dim(self) -> int:
@@ -77,7 +81,8 @@ class Qwen25VLVisionConfig:
     def from_hf_config(cls, cfg: dict[str, Any]) -> "Qwen25VLVisionConfig":
         keys = ["depth", "hidden_size", "intermediate_size", "num_heads",
                 "patch_size", "temporal_patch_size", "spatial_merge_size",
-                "window_size", "in_channels", "image_size"]
+                "window_size", "in_channels", "image_size",
+                "tokens_per_second"]
         kw = {k: cfg[k] for k in keys if cfg.get(k) is not None}
         if cfg.get("fullatt_block_indexes") is not None:
             kw["fullatt_block_indexes"] = tuple(
@@ -97,8 +102,13 @@ class Qwen25VLConfig(Qwen2VLConfig):
             vision=Qwen25VLVisionConfig.from_hf_config(
                 cfg.get("vision_config") or {}),
             image_token_index=base.image_token_index,
+            video_token_index=base.video_token_index,
             vision_start_token_id=base.vision_start_token_id,
         )
+
+    @property
+    def video_t_scale(self) -> float:
+        return float(self.vision.tokens_per_second)
 
     @classmethod
     def from_pretrained(cls, path: str) -> "Qwen25VLConfig":
@@ -259,10 +269,42 @@ def params_from_hf_state_dict(cfg: Qwen25VLConfig, get_tensor,
 def encode_images(params: dict, cfg: Qwen25VLConfig,
                   pixel_values: jnp.ndarray) -> jnp.ndarray:
     """pixel_values [N, 3, S, S] -> merged embeddings
-    [N, llm_grid^2, D_text] (HF Qwen2_5_VisionTransformer)."""
+    [N, llm_grid^2, D_text] (HF Qwen2_5_VisionTransformer). Single
+    images tile the frame temporal_patch_size times."""
+    vc = cfg.vision
+    N = pixel_values.shape[0]
+    p, g = vc.patch_size, vc.grid
+    P_tot = g * g
+    x = pixel_values.reshape(N, vc.in_channels, g, p, g, p)
+    x = x.transpose(0, 2, 4, 1, 3, 5).reshape(N, P_tot, vc.in_channels,
+                                              p * p)
+    x = jnp.tile(x, (1, 1, 1, vc.temporal_patch_size)).reshape(
+        N, P_tot, vc.in_channels, vc.temporal_patch_size, p * p)
+    return _vision_tower(params, cfg, x.reshape(N, P_tot, -1))
+
+
+def encode_video_slices(params: dict, cfg: Qwen25VLConfig,
+                        pixel_values: jnp.ndarray) -> jnp.ndarray:
+    """pixel_values [N, tps, 3, S, S] real-frame temporal slices ->
+    merged embeddings [N, llm_grid^2, D_text] (reference
+    Qwen2_5_VLVideoPixelInputs): same windowed tower, patch_embed fed
+    the real frame pair."""
+    vc = cfg.vision
+    N = pixel_values.shape[0]
+    p, g = vc.patch_size, vc.grid
+    x = pixel_values.reshape(N, vc.temporal_patch_size, vc.in_channels,
+                             g, p, g, p)
+    x = x.transpose(0, 3, 5, 2, 1, 4, 6)   # [N, g, g, C, tps, p, p]
+    return _vision_tower(params, cfg, x.reshape(N, g * g, -1))
+
+
+def _vision_tower(params: dict, cfg: Qwen25VLConfig,
+                  x: jnp.ndarray) -> jnp.ndarray:
+    """Windowed ViT + merger over raster-order patches
+    [N, g*g, C*tps*p*p]."""
     vc = cfg.vision
     vp = params["vision"]
-    N = pixel_values.shape[0]
+    N = x.shape[0]
     p, g, ms, wb = (vc.patch_size, vc.grid, vc.spatial_merge_size,
                     vc.window_blocks)
     H, Dv, Dh = vc.num_heads, vc.hidden_size, vc.head_dim
@@ -270,13 +312,6 @@ def encode_images(params: dict, cfg: Qwen25VLConfig,
     win_patches = (ms * wb) ** 2
     n_win = P_tot // win_patches
     scale = Dh ** -0.5
-
-    x = pixel_values.reshape(N, vc.in_channels, g, p, g, p)
-    x = x.transpose(0, 2, 4, 1, 3, 5).reshape(N, P_tot, vc.in_channels,
-                                              p * p)
-    x = jnp.tile(x, (1, 1, 1, vc.temporal_patch_size)).reshape(
-        N, P_tot, vc.in_channels, vc.temporal_patch_size, p * p)
-    x = x.reshape(N, P_tot, -1)
 
     order = _window_patch_order(g, ms, wb)
     x = x[:, jnp.asarray(order, jnp.int32)]

@@ -86,7 +86,12 @@ class Qwen2VLConfig:
     text: DecoderConfig = DecoderConfig()
     vision: Qwen2VLVisionConfig = Qwen2VLVisionConfig()
     image_token_index: int = 151655
+    video_token_index: int = 151656
     vision_start_token_id: int = 151652
+    # Serving cap on frames per video (TPU static shapes: frame counts
+    # quantize to <= this, in temporal_patch_size steps); reference
+    # VLLM_MAX_VIDEO... role is the processor's dynamic fps sampling.
+    max_video_frames: int = 16
 
     # --- delegated text-model fields the engine reads ---------------------
     @property
@@ -163,6 +168,9 @@ class Qwen2VLConfig:
             image_token_index=cfg.get("image_token_id",
                                       cfg.get("image_token_index",
                                               151655)),
+            video_token_index=cfg.get("video_token_id",
+                                      cfg.get("video_token_index",
+                                              151656)),
             vision_start_token_id=cfg.get("vision_start_token_id",
                                           151652),
         )
@@ -176,27 +184,49 @@ class Qwen2VLConfig:
 # --- mrope position tables (HF Qwen2VL get_rope_index semantics) -----------
 
 def mrope_position_table(token_ids, image_token_id: int,
-                         llm_grid: int) -> tuple[np.ndarray, int]:
+                         llm_grid: int,
+                         video_token_id: int | None = None,
+                         video_t_scale: float = 1.0,
+                         ) -> tuple[np.ndarray, int]:
     """[3, len] (temporal, height, width) position ids for a prompt with
-    fixed-grid image placeholder spans, plus the next free position for
-    decode. Text tokens advance all three axes together; each image span
-    pins t and rasterizes (h, w) over the merged grid."""
+    fixed-grid image/video placeholder spans, plus the next free position
+    for decode. Text tokens advance all three axes together; an image
+    span pins t and rasterizes (h, w) over the merged grid; a VIDEO span
+    (a contiguous run of video placeholder tokens, n_slices * grid^2
+    long) advances t by one per temporal slice while each slice
+    rasterizes (h, w) — HF Qwen2VL get_rope_index video semantics."""
     ids = np.asarray(token_ids)
     n = len(ids)
     table = np.zeros((3, n), np.int64)
     st = 0
     i = 0
     per_img = llm_grid * llm_grid
+    h = np.repeat(np.arange(llm_grid), llm_grid)
+    w = np.tile(np.arange(llm_grid), llm_grid)
     while i < n:
         if ids[i] == image_token_id:
             span = per_img  # fixed-resolution grid
-            h = np.repeat(np.arange(llm_grid), llm_grid)
-            w = np.tile(np.arange(llm_grid), llm_grid)
             table[0, i:i + span] = st
             table[1, i:i + span] = st + h[:span]
             table[2, i:i + span] = st + w[:span]
             st += llm_grid  # max(t=1, h, w) advance
             i += span
+        elif video_token_id is not None and ids[i] == video_token_id:
+            run = 1
+            while i + run < n and ids[i + run] == video_token_id:
+                run += 1
+            n_slices = max(run // per_img, 1)
+            # Qwen2.5-VL scales the temporal index by
+            # second_per_grid_ts * tokens_per_second (video_t_scale;
+            # Qwen2-VL: 1.0) — HF get_rope_index time_tensor semantics.
+            t_of = [int(k * video_t_scale) for k in range(n_slices)]
+            for k in range(n_slices):
+                s0 = i + k * per_img
+                table[0, s0:s0 + per_img] = st + t_of[k]
+                table[1, s0:s0 + per_img] = st + h
+                table[2, s0:s0 + per_img] = st + w
+            st += max(t_of[-1] + 1, llm_grid)
+            i += run
         else:
             table[:, i] = st
             st += 1
@@ -349,24 +379,49 @@ def _merge_order(grid: int, ms: int) -> np.ndarray:
 def encode_images(params: dict, cfg: Qwen2VLConfig,
                   pixel_values: jnp.ndarray) -> jnp.ndarray:
     """pixel_values [N, 3, S, S] -> merged embeddings
-    [N, llm_grid^2, D_text] (HF Qwen2VisionTransformer + PatchMerger)."""
+    [N, llm_grid^2, D_text] (HF Qwen2VisionTransformer + PatchMerger).
+    Single images repeat the frame temporal_patch_size times (HF
+    processor tiling)."""
     vc = cfg.vision
-    vp = params["vision"]
     N = pixel_values.shape[0]
-    p, g, ms = vc.patch_size, vc.grid, vc.spatial_merge_size
-    H, Dv = vc.num_heads, vc.embed_dim
-    Dh = vc.head_dim
-    scale = Dh ** -0.5
-
-    # patches in raster order: [N, g*g, C*p*p]; single images repeat the
-    # frame temporal_patch_size times (HF processor tiling)
+    p, g = vc.patch_size, vc.grid
     x = pixel_values.reshape(N, vc.in_channels, g, p, g, p)
     x = x.transpose(0, 2, 4, 1, 3, 5).reshape(N, g * g, vc.in_channels,
                                               p * p)
     x = jnp.tile(x, (1, 1, 1, vc.temporal_patch_size)).reshape(
         N, g * g, vc.in_channels, vc.temporal_patch_size, p * p)
     # Conv3d flattening order is [C, tps, p, p]
-    x = x.reshape(N, g * g, -1)
+    return _vision_tower(params, cfg, x.reshape(N, g * g, -1))
+
+
+def encode_video_slices(params: dict, cfg: Qwen2VLConfig,
+                        pixel_values: jnp.ndarray) -> jnp.ndarray:
+    """pixel_values [N, tps, 3, S, S] (N temporal slices of tps REAL
+    consecutive frames, reference Qwen2VLVideoPixelInputs) -> merged
+    embeddings [N, llm_grid^2, D_text]. Identical tower to images —
+    Qwen2-VL's vision attention spans one temporal slice — but the
+    patch_embed consumes the real frame pair instead of a tiled copy."""
+    vc = cfg.vision
+    N = pixel_values.shape[0]
+    p, g = vc.patch_size, vc.grid
+    x = pixel_values.reshape(N, vc.temporal_patch_size, vc.in_channels,
+                             g, p, g, p)
+    # per-patch flattening order [C, tps, p, p]
+    x = x.transpose(0, 3, 5, 2, 1, 4, 6)
+    return _vision_tower(params, cfg, x.reshape(N, g * g, -1))
+
+
+def _vision_tower(params: dict, cfg: Qwen2VLConfig,
+                  x: jnp.ndarray) -> jnp.ndarray:
+    """Shared ViT + PatchMerger over raster-order patches
+    [N, g*g, C*tps*p*p]."""
+    vc = cfg.vision
+    vp = params["vision"]
+    N = x.shape[0]
+    p, g, ms = vc.patch_size, vc.grid, vc.spatial_merge_size
+    H, Dv = vc.num_heads, vc.embed_dim
+    Dh = vc.head_dim
+    scale = Dh ** -0.5
 
     order = jnp.asarray(_merge_order(g, ms), jnp.int32)
     x = x[:, order]                                   # merge-block order
@@ -423,11 +478,11 @@ def encode_images(params: dict, cfg: Qwen2VLConfig,
 
 def forward(params, cfg: Qwen2VLConfig, tri_cfg, token_ids, kv_caches, md,
             tri_flags, lora=None, kv_quant=None, moe_fn=None,
-            fused_decode=False, mm_scatter=None):
+            fused_decode=False, mm_scatter=None, **fkw):
     return decoder.forward(params, cfg.text, tri_cfg, token_ids, kv_caches,
                            md, tri_flags, lora=lora, kv_quant=kv_quant,
                            moe_fn=moe_fn, fused_decode=fused_decode,
-                           mm_scatter=mm_scatter)
+                           mm_scatter=mm_scatter, **fkw)
 
 
 def compute_logits(params, cfg: Qwen2VLConfig, hidden):

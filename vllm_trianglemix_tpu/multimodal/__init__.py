@@ -31,6 +31,9 @@ class MultiModalItem:
     length: int
     data: np.ndarray = field(repr=False)
     hash: str = ""
+    # "image" | "video" (one temporal slice of real frames,
+    # [tps, 3, S, S]) | "audio" — selects the encoder the runner calls.
+    modality: str = "image"
 
     def __post_init__(self) -> None:
         if not self.hash:

@@ -411,6 +411,14 @@ class ModelRunner:
 
             self._jit_encode = encode_fn
             self._jit_pool_write = pool_write
+            self._jit_encode_video = None
+            if hasattr(model, "encode_video_slices"):
+                @jax.jit
+                def encode_video_fn(params, px):
+                    feats = model.encode_video_slices(params, cfg, px)
+                    return feats.reshape(-1, feats.shape[-1])
+
+                self._jit_encode_video = encode_video_fn
             if self.is_encoder_decoder:
                 @partial(jax.jit, donate_argnums=(1,))
                 def cross_fill(params, kv_caches, pool, enc_idx, slots):
@@ -1700,6 +1708,15 @@ class ModelRunner:
                     self.encoder_pool,
                     jnp.full(N * P_img, 1 << 30, jnp.int32), feats)
                 n += 1
+                if self._jit_encode_video is not None:
+                    tps = self.cfg.vision.temporal_patch_size
+                    feats = self._jit_encode_video(
+                        self.params,
+                        jnp.zeros((N, tps, 3, S_img, S_img), self.dtype))
+                    self.encoder_pool = self._jit_pool_write(
+                        self.encoder_pool,
+                        jnp.full(N * P_img, 1 << 30, jnp.int32), feats)
+                    n += 1
         logger.info("precompiled %d buckets in %.1fs", n, time.time() - start)
         self._warmup_graph_count = self._graph_count()
 
@@ -2006,19 +2023,26 @@ class ModelRunner:
         if not items:
             return
         P_img = self.mm_tokens_per_image
-        N = pick_padding(self._img_paddings, len(items))
-        px = np.zeros((N, *items[0].data.shape), np.float32)
-        idx = np.full(N * P_img, 1 << 30, np.int32)  # pad images drop
-        for j, item in enumerate(items):
-            px[j] = item.data
-            slot = self.mm_free_slots.pop()
-            self.mm_slot_of[item.hash] = slot
-            idx[j * P_img:(j + 1) * P_img] = np.arange(
-                slot * P_img, (slot + 1) * P_img)
-        feats = self._jit_encode(self.params,
-                                 jnp.asarray(px, self.dtype))
-        self.encoder_pool = self._jit_pool_write(
-            self.encoder_pool, jnp.asarray(idx), feats)
+        # one encoder batch per modality (video slices carry a real
+        # frame pair [tps, 3, S, S] through encode_video_slices)
+        for modality, enc in (("image", self._jit_encode),
+                              ("video", self._jit_encode_video)):
+            batch = [it for it in items if it.modality == modality]
+            if not batch:
+                continue
+            assert enc is not None, f"model lacks a {modality} encoder"
+            N = pick_padding(self._img_paddings, len(batch))
+            px = np.zeros((N, *batch[0].data.shape), np.float32)
+            idx = np.full(N * P_img, 1 << 30, np.int32)  # pad rows drop
+            for j, item in enumerate(batch):
+                px[j] = item.data
+                slot = self.mm_free_slots.pop()
+                self.mm_slot_of[item.hash] = slot
+                idx[j * P_img:(j + 1) * P_img] = np.arange(
+                    slot * P_img, (slot + 1) * P_img)
+            feats = enc(self.params, jnp.asarray(px, self.dtype))
+            self.encoder_pool = self._jit_pool_write(
+                self.encoder_pool, jnp.asarray(idx), feats)
 
     def _fill_cross_kv(self, scheduler_output: SchedulerOutput) -> None:
         """Write per-layer cross-attention K/V for requests starting
@@ -2228,7 +2252,10 @@ class ModelRunner:
             if getattr(state, "_mrope_table", None) is None:
                 table, nxt = mrope_position_table(
                     state.token_ids[:state.prompt_len],
-                    self.cfg.image_token_index, self.cfg.vision.llm_grid)
+                    self.cfg.image_token_index, self.cfg.vision.llm_grid,
+                    video_token_id=getattr(self.cfg, "video_token_index",
+                                           None),
+                    video_t_scale=getattr(self.cfg, "video_t_scale", 1.0))
                 state._mrope_table = table.astype(np.int32)
                 state._mrope_delta = nxt - state.prompt_len
             row0 = int(query_start_loc[i])
