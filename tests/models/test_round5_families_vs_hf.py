@@ -204,3 +204,62 @@ def test_hunyuan_dense_prefill_matches_hf():
     cfg = hunyuan.HunYuanDenseConfig.from_hf_config(hf_kw)
     assert cfg.use_qk_norm
     check(hunyuan, cfg, hf)
+
+
+def test_granitemoe_shared_prefill_matches_hf():
+    from transformers import GraniteMoeSharedConfig as HFCfg
+    from transformers import GraniteMoeSharedForCausalLM
+
+    from vllm_trianglemix_tpu.models import granitemoe
+
+    hf_kw = dict(COMMON, rope_theta=10_000.0, rms_norm_eps=1e-6,
+                 num_local_experts=4, num_experts_per_tok=2,
+                 shared_intermediate_size=48, embedding_multiplier=1.0,
+                 residual_multiplier=1.0, attention_multiplier=0.25,
+                 logits_scaling=1.0, tie_word_embeddings=False,
+                 pad_token_id=0)
+    torch.manual_seed(9)
+    hf = GraniteMoeSharedForCausalLM(HFCfg(**hf_kw)).eval().float()
+    assert any("shared_mlp" in k for k in hf.state_dict())
+    cfg = granitemoe.GraniteMoeSharedConfig.from_hf_config(hf_kw)
+    assert cfg.shared_expert_intermediate_size == 48
+    check(granitemoe, cfg, hf)
+
+
+def test_seq_cls_heads_load_and_classify():
+    """Qwen3/Llama sequence-classification heads: score weights ingest
+    and the registry resolves the new architectures."""
+    from transformers import (
+        LlamaConfig,
+        LlamaForSequenceClassification,
+        Qwen3Config,
+        Qwen3ForSequenceClassification,
+    )
+
+    from vllm_trianglemix_tpu.models import seq_cls
+    from vllm_trianglemix_tpu.models.registry import resolve_architecture
+
+    for arch, HFC, HFM, extra in (
+        ("Qwen3ForSequenceClassification", Qwen3Config,
+         Qwen3ForSequenceClassification, dict(head_dim=16)),
+        ("LlamaForSequenceClassification", LlamaConfig,
+         LlamaForSequenceClassification, {}),
+    ):
+        module, cfg_cls = resolve_architecture(arch)
+        assert module is seq_cls
+        hf_kw = dict(COMMON, num_labels=3, pad_token_id=0, **extra)
+        torch.manual_seed(10)
+        hf = HFM(HFC(**hf_kw)).eval().float()
+        cfg = cfg_cls.from_hf_config(hf_kw)
+        assert cfg.num_labels == 3
+        params = seq_cls.params_from_hf_state_dict(
+            cfg, torch_state_dict_reader(hf.state_dict()),
+            dtype=jnp.float32)
+        assert params["score"].shape == (64, 3)
+        # score head on a hidden state matches HF's score linear
+        rng = np.random.default_rng(0)
+        h = rng.standard_normal((1, 64)).astype(np.float32)
+        ours = h @ np.asarray(params["score"])
+        with torch.no_grad():
+            ref = hf.score(torch.tensor(h)).numpy()
+        np.testing.assert_allclose(ours, ref, atol=1e-5)

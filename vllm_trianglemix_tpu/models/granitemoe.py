@@ -69,10 +69,45 @@ class GraniteMoeConfig(DecoderConfig):
         )
 
 
+@dataclass(frozen=True)
+class GraniteMoeSharedConfig(GraniteMoeConfig):
+    """GraniteMoeShared (Granite 3.1+): the MoE block plus one dense
+    shared MLP added to every token's routed output (reference
+    granitemoeshared.py), stored fused like the experts:
+    shared_mlp.input_linear [2*Is, D] (gate/up halves) +
+    shared_mlp.output_linear [D, Is]."""
+
+    @classmethod
+    def from_hf_config(cls, cfg):
+        import dataclasses
+
+        base = super().from_hf_config(cfg)
+        return dataclasses.replace(
+            base,
+            shared_expert_intermediate_size=cfg.get(
+                "shared_intermediate_size", 0),
+        )
+
+
+_SHARED_RX = re.compile(
+    r"model\.layers\.(\d+)\.mlp\.shared_expert\.(gate|up|down)_proj"
+    r"\.weight")
+
+
 def _shim(cfg: GraniteMoeConfig, get_tensor):
     inter = cfg.moe_intermediate_size
+    shared_i = cfg.shared_expert_intermediate_size
 
     def shim(name: str):
+        m = _SHARED_RX.fullmatch(name)
+        if m:
+            i, which = m.group(1), m.group(2)
+            if which == "down":
+                return np.asarray(get_tensor(
+                    f"model.layers.{i}.shared_mlp.output_linear.weight"))
+            w = np.asarray(get_tensor(
+                f"model.layers.{i}.shared_mlp.input_linear.weight"))
+            return w[:shared_i] if which == "gate" else w[shared_i:]
         m = _EXPERT_RX.fullmatch(name)
         if m:
             i, e, which = m.group(1), int(m.group(2)), m.group(3)

@@ -122,6 +122,14 @@ _REGISTRY: dict[str, tuple[str, str]] = {
                           "HeliumConfig"),
     "HunYuanDenseV1ForCausalLM": ("vllm_trianglemix_tpu.models.hunyuan",
                                   "HunYuanDenseConfig"),
+    "GraniteMoeSharedForCausalLM": (
+        "vllm_trianglemix_tpu.models.granitemoe", "GraniteMoeSharedConfig"),
+    "Qwen3ForSequenceClassification": (
+        "vllm_trianglemix_tpu.models.seq_cls", "Qwen3ClsConfig"),
+    "LlamaForSequenceClassification": (
+        "vllm_trianglemix_tpu.models.seq_cls", "LlamaClsConfig"),
+    "MistralForSequenceClassification": (
+        "vllm_trianglemix_tpu.models.seq_cls", "LlamaClsConfig"),
 }
 
 
