@@ -113,3 +113,39 @@ def test_fallback_non_canonical_weights_fail_loudly(tmp_path):
 
     with pytest.raises(UnsupportedModelError, match="llama-canonical"):
         params_from_hf_state_dict(cfg, get_tensor)
+
+
+def test_registry_alias_architectures_resolve():
+    """Llama-structured aliases and respelled names route to the real
+    family modules, not the fallback (reference registry.py alias rows)."""
+    from vllm_trianglemix_tpu.models.registry import resolve_architecture
+
+    expect = {
+        "AquilaForCausalLM": "llama",
+        "AquilaModel": "llama",
+        "CwmForCausalLM": "llama",
+        "InternLM3ForCausalLM": "llama",
+        "LLaMAForCausalLM": "llama",
+        "MiMoForCausalLM": "qwen2",
+        "PhiMoEForCausalLM": "phimoe",
+        "RWForCausalLM": "falcon",
+        "StableLMEpochForCausalLM": "stablelm",
+    }
+    for arch, mod in expect.items():
+        module, _cfg = resolve_architecture(arch)
+        assert module.__name__.rsplit(".", 1)[-1] == mod, arch
+
+
+def test_attention_bias_key_honored_only_when_present():
+    from vllm_trianglemix_tpu.models.llama import LlamaConfig
+    from vllm_trianglemix_tpu.models.qwen2 import Qwen2Config
+
+    base = dict(vocab_size=256, hidden_size=64, intermediate_size=128,
+                num_hidden_layers=1, num_attention_heads=4)
+    assert not LlamaConfig.from_hf_config(base).use_qkv_bias
+    assert LlamaConfig.from_hf_config(
+        {**base, "attention_bias": True}).use_qkv_bias
+    assert LlamaConfig.from_hf_config(
+        {**base, "qkv_bias": True}).use_qkv_bias
+    # Absent key must not clobber a bias-on subclass default (Qwen2).
+    assert Qwen2Config.from_hf_config(base).use_qkv_bias

@@ -244,6 +244,12 @@ class DecoderConfig:
             sliding_window=(cfg.get("sliding_window") or 0
                             if cfg.get("use_sliding_window", True) else 0),
             attention_chunk_size=cfg.get("attention_chunk_size") or 0,
+            # Only honored when the checkpoint states it (llama-family
+            # attention_bias / InternLM qkv_bias); absent keys must not
+            # clobber subclass defaults (Qwen2's bias-on default).
+            **({"use_qkv_bias": bool(cfg.get("attention_bias")
+                                     or cfg.get("qkv_bias"))}
+               if ("attention_bias" in cfg or "qkv_bias" in cfg) else {}),
         )
 
     @classmethod

@@ -130,6 +130,27 @@ _REGISTRY: dict[str, tuple[str, str]] = {
         "vllm_trianglemix_tpu.models.seq_cls", "LlamaClsConfig"),
     "MistralForSequenceClassification": (
         "vllm_trianglemix_tpu.models.seq_cls", "LlamaClsConfig"),
+    # Llama-structured aliases (reference registry.py maps these to
+    # llama.py): AquilaChat2, Meta CWM, InternLM3 (qkv_bias via the
+    # config key), legacy LLaMA spelling.
+    "AquilaModel": ("vllm_trianglemix_tpu.models.llama", "LlamaConfig"),
+    "AquilaForCausalLM": ("vllm_trianglemix_tpu.models.llama",
+                          "LlamaConfig"),
+    "CwmForCausalLM": ("vllm_trianglemix_tpu.models.llama", "LlamaConfig"),
+    "InternLM3ForCausalLM": ("vllm_trianglemix_tpu.models.llama",
+                             "LlamaConfig"),
+    "LLaMAForCausalLM": ("vllm_trianglemix_tpu.models.llama",
+                         "LlamaConfig"),
+    # MiMo's decode path is Qwen2; its MTP draft layers (model.mtp_layers)
+    # are simply never requested by the loader (reference mimo.py).
+    "MiMoForCausalLM": ("vllm_trianglemix_tpu.models.qwen2", "Qwen2Config"),
+    # vLLM-side spelling of the HF Phimoe class name.
+    "PhiMoEForCausalLM": ("vllm_trianglemix_tpu.models.phimoe",
+                          "PhimoeConfig"),
+    # Pre-rename Falcon-7B/40B checkpoints.
+    "RWForCausalLM": ("vllm_trianglemix_tpu.models.falcon", "FalconConfig"),
+    "StableLMEpochForCausalLM": ("vllm_trianglemix_tpu.models.stablelm",
+                                 "StableLmConfig"),
 }
 
 
