@@ -263,3 +263,40 @@ def test_seq_cls_heads_load_and_classify():
         with torch.no_grad():
             ref = hf.score(torch.tensor(h)).numpy()
         np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+def test_olmoe_prefill_matches_hf():
+    from transformers import OlmoeConfig as HFCfg
+    from transformers import OlmoeForCausalLM
+
+    from vllm_trianglemix_tpu.models import olmoe
+
+    hf_kw = dict(COMMON, rope_theta=10_000.0, rms_norm_eps=1e-5,
+                 num_experts=4, num_experts_per_tok=2,
+                 norm_topk_prob=False, tie_word_embeddings=False,
+                 pad_token_id=1)
+    torch.manual_seed(7)
+    hf = OlmoeForCausalLM(HFCfg(**hf_kw)).eval().float()
+    assert any("q_norm" in k for k in hf.state_dict())
+    cfg = olmoe.OlmoeConfig.from_hf_config(hf_kw)
+    assert cfg.qk_norm_flat and not cfg.norm_topk_prob
+    assert cfg.num_experts == 4
+    check(olmoe, cfg, hf)
+
+
+def test_olmoe_norm_topk_variant_matches_hf():
+    """norm_topk_prob=True renormalizes the selected router weights."""
+    from transformers import OlmoeConfig as HFCfg
+    from transformers import OlmoeForCausalLM
+
+    from vllm_trianglemix_tpu.models import olmoe
+
+    hf_kw = dict(COMMON, rope_theta=10_000.0, rms_norm_eps=1e-5,
+                 num_experts=4, num_experts_per_tok=2,
+                 norm_topk_prob=True, tie_word_embeddings=False,
+                 pad_token_id=1)
+    torch.manual_seed(8)
+    hf = OlmoeForCausalLM(HFCfg(**hf_kw)).eval().float()
+    cfg = olmoe.OlmoeConfig.from_hf_config(hf_kw)
+    assert cfg.norm_topk_prob
+    check(olmoe, cfg, hf)

@@ -129,7 +129,8 @@ def write_kv(kv_cache: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 @partial(jax.jit, static_argnames=("sink", "window", "last",
                                    "dense_threshold", "soft_cap", "scale",
                                    "k_scale", "v_scale", "attn_window",
-                                   "attn_chunk", "tri_enabled"))
+                                   "attn_chunk", "tri_enabled",
+                                   "alibi_slopes"))
 def ragged_paged_attention_xla(
     q: jnp.ndarray,               # [T, HQ, D]
     kv_cache: jnp.ndarray,        # [num_blocks, page, 2*KH, D]
@@ -153,6 +154,12 @@ def ragged_paged_attention_xla(
                                   # absorbs probability mass and is dropped
                                   # from the value sum (HF modeling_gpt_oss
                                   # eager_attention_forward).
+    alibi_slopes=None,            # per-head ALiBi slopes, tuple[HQ]
+                                  # (MPT/Bloom; reference mpt.py:36,
+                                  # bloom.py:52). Bias slope * key_pos is
+                                  # added to the scores — equal to the
+                                  # relative -slope*(q_pos - key_pos) form
+                                  # by softmax shift-invariance.
 ) -> jnp.ndarray:
     """Reference ragged paged attention, O(T × max_ctx) but pure XLA.
 
@@ -184,6 +191,10 @@ def ragged_paged_attention_xla(
     scores = jnp.einsum("tkgd,tckd->tkgc", qf * scale, k_f)
     if soft_cap > 0.0:
         scores = soft_cap * jnp.tanh(scores / soft_cap)
+    if alibi_slopes is not None:
+        sl = jnp.asarray(alibi_slopes, jnp.float32).reshape(1, KH, G, 1)
+        cols = jnp.arange(max_ctx, dtype=jnp.float32).reshape(1, 1, 1, -1)
+        scores = scores + sl * cols
 
     # --- visibility -----------------------------------------------------
     key_pos = jnp.arange(max_ctx, dtype=jnp.int32)[None, :]     # [1, C]
@@ -249,14 +260,15 @@ def ragged_paged_attention(q, kv_cache, md, use_triangle=False, **kwargs):
             q, kv_cache, md, scale=kwargs.get("scale", 1.0),
             soft_cap=kwargs.get("soft_cap", 0.0))
         return out[..., :D] if Dc != D else out
-    if kwargs.get("attn_chunk"):
-        # Chunked-local masking runs the XLA reference path (the Pallas
-        # kernel's chunk predicate is future work; no in-tree model uses
-        # chunked-local yet).
+    if kwargs.get("attn_chunk") or kwargs.get("alibi_slopes") is not None:
+        # Chunked-local masking and ALiBi biases run the XLA reference
+        # path (the Pallas kernels carry neither predicate; ALiBi models
+        # are small/legacy families where XLA attention suffices).
         out = ragged_paged_attention_xla(q, kv_cache, md, use_triangle,
                                          **kwargs)
         return out[..., :D] if Dc != D else out
     kwargs.pop("attn_chunk", None)
+    kwargs.pop("alibi_slopes", None)
     if not envs.VTT_DISABLE_PALLAS and _pallas_supported(q):
         from vllm_trianglemix_tpu.ops.ragged_paged_attention import (
             ragged_paged_attention_pallas,
@@ -300,7 +312,8 @@ def fused_decode_attention(q, k_new, v_new, kv_cache, md,
         return out[..., :D]
 
     if (envs.VTT_DISABLE_PALLAS or not _pallas_supported(q)
-            or kwargs.get("attn_chunk")):
+            or kwargs.get("attn_chunk")
+            or kwargs.get("alibi_slopes") is not None):
         # Semantics reference: write this layer's K/V, then plain
         # attention over kv_len = pos + 1 (the pre-fusion decode path).
         # Chunked-local masking always takes this path (the decode

@@ -45,22 +45,22 @@ class BaichuanConfig(DecoderConfig):
     @classmethod
     def from_hf_config(cls, cfg) -> "BaichuanConfig":
         arch = (cfg.get("architectures") or [""])[0]
-        # 13B layout ("BaichuanForCausalLM", position_embedding alibi)
-        # has no rope; serve it via the alibi attention path when that
-        # lands — reject for now rather than produce wrong positions.
-        if arch == "BaichuanForCausalLM" and (
-                cfg.get("num_attention_heads", 0) >= 40
-                or cfg.get("position_embedding_type") == "alibi"):
-            raise ValueError(
-                "Baichuan-13B (ALiBi) checkpoints are not supported yet; "
-                "7B rope variants are")
         base = super().from_hf_config(cfg)
-        return dataclasses.replace(
-            base,
+        kw = dict(
             rms_norm_eps=cfg.get("rms_norm_eps", 1e-6),
             rope_theta=cfg.get("rope_theta", 10_000.0),
             tie_word_embeddings=cfg.get("tie_word_embeddings", False),
         )
+        # 13B layout ("BaichuanForCausalLM", >= 40 heads or explicit
+        # alibi key) has no rope: ALiBi biases with the closest-pow2
+        # slopes (reference baichuan.py:57,154-166), XLA attention path.
+        if arch == "BaichuanForCausalLM" and (
+                cfg.get("num_attention_heads", 0) >= 40
+                or cfg.get("position_embedding_type") == "alibi"):
+            kw["use_rope"] = False
+            kw["alibi_slopes"] = _dec.alibi_slopes_closest_pow2(
+                cfg["num_attention_heads"])
+        return dataclasses.replace(base, **kw)
 
 
 def _shim(cfg: BaichuanConfig, get_tensor):

@@ -199,6 +199,17 @@ class DecoderConfig:
     lm_head_bias: bool = False
     # Clamp q/k/v projections to [-clip, clip] (OLMo-1 clip_qkv); 0 = off.
     qkv_clip: float = 0.0
+    # ALiBi position biases (MPT/Bloom/falcon-rw/Baichuan-13B): per-head
+    # slopes (see alibi_slopes_mpt / alibi_slopes_closest_pow2), set by
+    # the family module together with use_rope=False. Attention adds
+    # slope * key_pos to the scores — softmax shift-invariance makes that
+    # identical to the relative -slope * (q_pos - key_pos) form (HF
+    # build_alibi_tensor). ALiBi models serve via the XLA attention path
+    # (attention/backend.py dispatch routes on this kwarg).
+    alibi_slopes: "tuple[float, ...] | None" = None
+    # LayerNorm directly after the token embedding (Bloom
+    # word_embeddings_layernorm).
+    embedding_layernorm: bool = False
     # Per-layer rope enable (SmolLM3 NoPE: no_rope_layers, 1 = rotate);
     # None = rope on every layer.
     rope_layers: "tuple[int, ...] | None" = None
@@ -329,6 +340,9 @@ def shape_tree(cfg: DecoderConfig) -> dict:
     if cfg.learned_pos_embeddings:
         tree["embed_positions"] = (
             cfg.max_position_embeddings + cfg.pos_embedding_offset, D)
+    if cfg.embedding_layernorm:
+        tree["embed_layernorm"] = (D,)
+        tree["embed_layernorm_bias"] = (D,)
     if cfg.norm_type in ("layernorm", "layernorm1p") and cfg.norm_bias:
         tree["norm_bias"] = (D,)
     if not cfg.tie_word_embeddings:
@@ -436,6 +450,9 @@ def partition_specs(cfg: DecoderConfig, quantized: str | None = None) -> dict:
     specs = {"embed_tokens": P("tp", None), "layers": layers, "norm": P(None)}
     if cfg.learned_pos_embeddings:
         specs["embed_positions"] = P(None, None)
+    if cfg.embedding_layernorm:
+        specs["embed_layernorm"] = P(None)
+        specs["embed_layernorm_bias"] = P(None)
     if cfg.norm_type in ("layernorm", "layernorm1p") and cfg.norm_bias:
         specs["norm_bias"] = P(None)
     if not cfg.tie_word_embeddings:
@@ -461,6 +478,36 @@ def init_random(cfg: DecoderConfig, seed: int = 0, dtype=jnp.bfloat16) -> dict:
 
     return jax.tree_util.tree_unflatten(
         treedef, [init_one(k, s) for k, s in zip(keys, leaves)])
+
+
+def alibi_slopes_mpt(n_heads: int, bias_max: float = 8.0) -> tuple:
+    """MPT-style ALiBi slopes (reference mpt.py:36-46 / HF
+    build_mpt_alibi_tensor): spread bias_max over the NEXT power of two
+    of n_heads, then interleave-slice for non-power-of-two counts."""
+    import math
+
+    next_p2 = 2 ** math.ceil(math.log2(n_heads))
+    m = np.arange(1, next_p2 + 1, dtype=np.float64) * bias_max / next_p2
+    slopes = 1.0 / np.exp2(m)
+    if next_p2 != n_heads:
+        slopes = np.concatenate([slopes[1::2], slopes[::2]])[:n_heads]
+    return tuple(float(s) for s in slopes)
+
+
+def alibi_slopes_closest_pow2(n_heads: int) -> tuple:
+    """Press et al. ALiBi slopes as Bloom/Baichuan-13B build them
+    (reference bloom.py:52-74, baichuan.py:57): geometric in the CLOSEST
+    (floor) power of two, with interleaved extra slopes for the rest."""
+    import math
+
+    closest_p2 = 2 ** math.floor(math.log2(n_heads))
+    base = 2.0 ** (-(2.0 ** -(math.log2(closest_p2) - 3)))
+    slopes = [base ** i for i in range(1, closest_p2 + 1)]
+    if closest_p2 != n_heads:
+        extra_base = 2.0 ** (-(2.0 ** -(math.log2(2 * closest_p2) - 3)))
+        slopes += [extra_base ** i
+                   for i in range(1, 2 * (n_heads - closest_p2), 2)]
+    return tuple(slopes)
 
 
 _HF_LAYER_MAP = {
@@ -612,6 +659,15 @@ def params_from_hf_state_dict(cfg: DecoderConfig, get_tensor,
     if cfg.learned_pos_embeddings:
         params["embed_positions"] = jnp.asarray(
             np.asarray(get_tensor("model.embed_positions.weight")),
+            dtype=dtype)
+    if cfg.embedding_layernorm:
+        # Canonical names; family shims (Bloom word_embeddings_layernorm)
+        # rename to these.
+        params["embed_layernorm"] = jnp.asarray(
+            np.asarray(get_tensor("model.embed_layernorm.weight")),
+            dtype=dtype)
+        params["embed_layernorm_bias"] = jnp.asarray(
+            np.asarray(get_tensor("model.embed_layernorm.bias")),
             dtype=dtype)
     if cfg.norm_type in ("layernorm", "layernorm1p") and cfg.norm_bias:
         params["norm_bias"] = jnp.asarray(
@@ -815,6 +871,9 @@ def forward(
         # clamps padded out-of-range positions to the last row.
         x = x + params["embed_positions"][
             md.positions + cfg.pos_embedding_offset].astype(x.dtype)
+    if cfg.embedding_layernorm:
+        x = decoder_norm(x, params["embed_layernorm"], cfg,
+                         params.get("embed_layernorm_bias"))
     if not cfg.use_rope:
         cos = sin = None
     elif cfg.mrope_section is not None and md.mrope_positions is not None:
@@ -944,6 +1003,9 @@ def build_attn_kwargs(cfg: DecoderConfig, tri_cfg: TriangleMixConfig,
         # per KV tile otherwise spent on an always-false traced flag).
         tri_enabled=bool(tri_cfg.enabled),
     )
+    if cfg.alibi_slopes:
+        # Routes attention to the XLA path (backend.py dispatch).
+        kw["alibi_slopes"] = tuple(cfg.alibi_slopes)
     if kv_quant is not None:
         kw["k_scale"] = kv_quant[0]
         kw["v_scale"] = kv_quant[1]

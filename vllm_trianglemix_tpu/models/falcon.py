@@ -6,7 +6,8 @@ transformers/models/falcon/modeling_falcon.py — parallel attn+MLP
 residual; 7B: multi-query (1 KV head), ONE shared input LayerNorm;
 40B+: grouped KV with per-group (q..., k, v) fused rows and separate
 ln_attn / ln_mlp norms. Non-gated GELU MLP, bias-free projections,
-rope. Alibi checkpoints are rejected (no alibi path in the kernels).
+rope. falcon-rw (alibi=True, parallel_attn=False) runs the SERIAL
+block with ALiBi score biases on the XLA attention path.
 """
 
 from __future__ import annotations
@@ -29,6 +30,20 @@ from vllm_trianglemix_tpu.models.decoder import (  # noqa: F401 (re-export)
 )
 
 
+def _falcon_slopes(heads: int, head_dim: int) -> tuple:
+    """Falcon folds 1/sqrt(head_dim) INTO the ALiBi bias (HF falcon
+    scales alibi with the scores, reference falcon.py:171 multiplies the
+    slopes by inv_norm_factor) and HF builds the bias from
+    bfloat16-rounded slopes — both matched here for token parity."""
+    import math
+
+    import ml_dtypes
+
+    s = np.asarray(decoder.alibi_slopes_closest_pow2(heads), np.float32)
+    s = s.astype(ml_dtypes.bfloat16).astype(np.float32)
+    return tuple(float(x) / math.sqrt(head_dim) for x in s)
+
+
 @dataclass(frozen=True)
 class FalconConfig(DecoderConfig):
     norm_type: str = "layernorm"
@@ -46,12 +61,12 @@ class FalconConfig(DecoderConfig):
     @classmethod
     def from_hf_config(cls, cfg) -> "FalconConfig":
         d = dict(cfg)
-        if d.get("alibi", False):
-            raise ValueError("Falcon alibi checkpoints are not supported "
-                             "(no alibi path in the attention kernels)")
-        if not d.get("parallel_attn", True):
-            raise ValueError("Falcon parallel_attn=False (falcon-rw) is "
-                             "not supported yet")
+        # falcon-rw: alibi=True + parallel_attn=False — a SERIAL block
+        # (input_layernorm -> attn, post_attention_layernorm -> MLP) with
+        # Bloom-style closest-pow2 ALiBi slopes (HF build_alibi_tensor),
+        # served via the XLA attention path.
+        alibi = bool(d.get("alibi", False))
+        parallel = bool(d.get("parallel_attn", True))
         heads = d["num_attention_heads"]
         hidden = d["hidden_size"]
         new_arch = bool(d.get("new_decoder_architecture", False))
@@ -74,7 +89,11 @@ class FalconConfig(DecoderConfig):
             use_qkv_bias=bool(d.get("bias", False)),
             use_o_bias=bool(d.get("bias", False)),
             use_mlp_bias=bool(d.get("bias", False)),
-            parallel_block_shared_norm=not new_arch,
+            use_rope=not alibi,
+            alibi_slopes=(_falcon_slopes(heads, hidden // heads)
+                          if alibi else None),
+            parallel_block=parallel,
+            parallel_block_shared_norm=parallel and not new_arch,
             new_decoder_architecture=new_arch,
             max_position_embeddings=d.get("max_position_embeddings", 2048),
             tie_word_embeddings=d.get("tie_word_embeddings", True),
@@ -115,6 +134,9 @@ def _split_qkv(cfg: FalconConfig, fused: np.ndarray, which: str
 def _shim(cfg: FalconConfig, get_tensor):
     new_arch = cfg.new_decoder_architecture
     ln_attn = "ln_attn" if new_arch else "input_layernorm"
+    # 40B two-norm parallel block stores the MLP norm as ln_mlp;
+    # falcon-rw's serial block uses the standard name.
+    ln_mlp = "ln_mlp" if cfg.parallel_block else "post_attention_layernorm"
 
     def shim(name: str):
         top = {
@@ -137,8 +159,8 @@ def _shim(cfg: FalconConfig, get_tensor):
         table = {
             "input_layernorm.weight": f"{h}.{ln_attn}.weight",
             "input_layernorm.bias": f"{h}.{ln_attn}.bias",
-            "post_attention_layernorm.weight": f"{h}.ln_mlp.weight",
-            "post_attention_layernorm.bias": f"{h}.ln_mlp.bias",
+            "post_attention_layernorm.weight": f"{h}.{ln_mlp}.weight",
+            "post_attention_layernorm.bias": f"{h}.{ln_mlp}.bias",
             "self_attn.o_proj.weight": f"{h}.self_attention.dense.weight",
             "self_attn.o_proj.bias": f"{h}.self_attention.dense.bias",
             "mlp.up_proj.weight": f"{h}.mlp.dense_h_to_4h.weight",

@@ -151,6 +151,12 @@ _REGISTRY: dict[str, tuple[str, str]] = {
     "RWForCausalLM": ("vllm_trianglemix_tpu.models.falcon", "FalconConfig"),
     "StableLMEpochForCausalLM": ("vllm_trianglemix_tpu.models.stablelm",
                                  "StableLmConfig"),
+    "MptForCausalLM": ("vllm_trianglemix_tpu.models.mpt", "MptConfig"),
+    "MPTForCausalLM": ("vllm_trianglemix_tpu.models.mpt", "MptConfig"),
+    "BloomForCausalLM": ("vllm_trianglemix_tpu.models.bloom",
+                         "BloomConfig"),
+    "OlmoeForCausalLM": ("vllm_trianglemix_tpu.models.olmoe",
+                         "OlmoeConfig"),
 }
 
 
