@@ -300,3 +300,51 @@ def test_olmoe_norm_topk_variant_matches_hf():
     cfg = olmoe.OlmoeConfig.from_hf_config(hf_kw)
     assert cfg.norm_topk_prob
     check(olmoe, cfg, hf)
+
+
+def test_glm4_moe_prefill_matches_hf():
+    """GLM-4.5 MoE: dense prefix + DeepSeek-V3 routing (sigmoid +
+    e_score_correction_bias + group top-k) + shared experts."""
+    from transformers import Glm4MoeConfig as HFCfg
+    from transformers import Glm4MoeForCausalLM
+
+    from vllm_trianglemix_tpu.models import glm4_moe
+
+    hf_kw = dict(COMMON, head_dim=16, rope_theta=10_000.0,
+                 moe_intermediate_size=64, n_routed_experts=4,
+                 num_experts_per_tok=2, n_shared_experts=1,
+                 first_k_dense_replace=1, n_group=2, topk_group=1,
+                 routed_scaling_factor=1.5, norm_topk_prob=True,
+                 partial_rotary_factor=0.5, attention_bias=True,
+                 use_qk_norm=False, rms_norm_eps=1e-5,
+                 tie_word_embeddings=False, pad_token_id=0)
+    torch.manual_seed(9)
+    hf = Glm4MoeForCausalLM(HFCfg(**hf_kw)).eval().float()
+    assert any("e_score_correction_bias" in k for k in hf.state_dict())
+    assert any("shared_experts" in k for k in hf.state_dict())
+    cfg = glm4_moe.Glm4MoeConfig.from_hf_config(hf_kw)
+    assert cfg.first_k_dense_replace == 1 and cfg.n_group == 2
+    assert cfg.scoring_func == "sigmoid"
+    check(glm4_moe, cfg, hf)
+
+
+def test_glm4_moe_qk_norm_variant_matches_hf():
+    from transformers import Glm4MoeConfig as HFCfg
+    from transformers import Glm4MoeForCausalLM
+
+    from vllm_trianglemix_tpu.models import glm4_moe
+
+    hf_kw = dict(COMMON, head_dim=16, rope_theta=10_000.0,
+                 moe_intermediate_size=64, n_routed_experts=4,
+                 num_experts_per_tok=2, n_shared_experts=1,
+                 first_k_dense_replace=1, n_group=1, topk_group=1,
+                 routed_scaling_factor=1.0, norm_topk_prob=True,
+                 partial_rotary_factor=0.5, attention_bias=False,
+                 use_qk_norm=True, rms_norm_eps=1e-5,
+                 tie_word_embeddings=False, pad_token_id=0)
+    torch.manual_seed(10)
+    hf = Glm4MoeForCausalLM(HFCfg(**hf_kw)).eval().float()
+    assert any("q_norm" in k for k in hf.state_dict())
+    cfg = glm4_moe.Glm4MoeConfig.from_hf_config(hf_kw)
+    assert cfg.use_qk_norm and not cfg.use_qkv_bias
+    check(glm4_moe, cfg, hf)

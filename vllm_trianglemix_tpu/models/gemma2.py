@@ -62,6 +62,9 @@ def _min_period(types: tuple) -> int:
     return len(types)
 
 
+SUPPORTS_FUSED_DECODE = False  # custom forward, no fused-decode path
+
+
 @dataclass(frozen=True)
 class Gemma2Config:
     vocab_size: int = 256000

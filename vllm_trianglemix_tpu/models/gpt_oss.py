@@ -46,6 +46,9 @@ from vllm_trianglemix_tpu.models.decoder import RopeScalingConfig
 from vllm_trianglemix_tpu.models.gemma2 import _min_period
 
 
+SUPPORTS_FUSED_DECODE = False  # custom forward, no fused-decode path
+
+
 @dataclass(frozen=True)
 class GptOssConfig:
     vocab_size: int = 201088

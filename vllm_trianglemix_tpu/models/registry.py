@@ -157,6 +157,8 @@ _REGISTRY: dict[str, tuple[str, str]] = {
                          "BloomConfig"),
     "OlmoeForCausalLM": ("vllm_trianglemix_tpu.models.olmoe",
                          "OlmoeConfig"),
+    "Glm4MoeForCausalLM": ("vllm_trianglemix_tpu.models.glm4_moe",
+                           "Glm4MoeConfig"),
 }
 
 

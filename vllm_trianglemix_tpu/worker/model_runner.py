@@ -363,6 +363,13 @@ class ModelRunner:
         if self.is_mrope and engine_config.scheduler.multi_step_decode > 1:
             raise ValueError("multi_step_decode unsupported with mrope "
                              "models")
+        if (engine_config.scheduler.multi_step_decode > 1
+                and not getattr(self.model, "SUPPORTS_FUSED_DECODE", True)):
+            # Custom-forward families (two-stack / non-GQA scans) that
+            # have no fused-decode path fail fast instead of asserting
+            # inside the jitted step.
+            raise ValueError("multi_step_decode unsupported with this "
+                             "model family (no fused-decode path)")
         if self.is_multimodal:
             for flag, why in (
                 (engine_config.speculative.enabled, "speculative decoding"),
