@@ -348,3 +348,44 @@ def test_glm4_moe_qk_norm_variant_matches_hf():
     cfg = glm4_moe.Glm4MoeConfig.from_hf_config(hf_kw)
     assert cfg.use_qk_norm and not cfg.use_qkv_bias
     check(glm4_moe, cfg, hf)
+
+
+def test_ernie45_moe_prefill_matches_hf():
+    """ERNIE 4.5 MoE: dense prefix + softmax routing with moe_statics
+    bias selection and clamped renorm + shared experts."""
+    from transformers import Ernie4_5_MoeConfig as HFCfg
+    from transformers import Ernie4_5_MoeForCausalLM
+
+    from vllm_trianglemix_tpu.models import ernie4_5_moe
+
+    hf_kw = dict(COMMON, head_dim=16, rope_theta=500_000.0,
+                 moe_intermediate_size=64, moe_num_experts=4, moe_k=2,
+                 moe_num_shared_experts=1, moe_layer_start_index=1,
+                 use_bias=False, rms_norm_eps=1e-5,
+                 tie_word_embeddings=True, pad_token_id=0)
+    torch.manual_seed(11)
+    hf = Ernie4_5_MoeForCausalLM(HFCfg(**hf_kw)).eval().float()
+    assert any("moe_statics" in k for k in hf.state_dict())
+    cfg = ernie4_5_moe.Ernie45MoeConfig.from_hf_config(hf_kw)
+    assert cfg.scoring_func == "softmax" and cfg.moe_renorm_min == 1e-12
+    assert cfg.first_k_dense_replace == 1 and cfg.rope_interleaved
+    check(ernie4_5_moe, cfg, hf)
+
+
+def test_ernie45_moe_no_shared_experts_matches_hf():
+    from transformers import Ernie4_5_MoeConfig as HFCfg
+    from transformers import Ernie4_5_MoeForCausalLM
+
+    from vllm_trianglemix_tpu.models import ernie4_5_moe
+
+    hf_kw = dict(COMMON, head_dim=16, rope_theta=500_000.0,
+                 moe_intermediate_size=64, moe_num_experts=4, moe_k=2,
+                 moe_num_shared_experts=0, moe_layer_start_index=1,
+                 use_bias=False, rms_norm_eps=1e-5,
+                 tie_word_embeddings=True, pad_token_id=0)
+    torch.manual_seed(12)
+    hf = Ernie4_5_MoeForCausalLM(HFCfg(**hf_kw)).eval().float()
+    assert not any("shared_experts" in k for k in hf.state_dict())
+    cfg = ernie4_5_moe.Ernie45MoeConfig.from_hf_config(hf_kw)
+    assert cfg.shared_expert_intermediate_size == 0
+    check(ernie4_5_moe, cfg, hf)

@@ -445,6 +445,12 @@ def _routed_moe(h, lp, cfg: DeepseekV2Config):
     topv = jnp.take_along_axis(scores, topi, axis=-1)
     if cfg.scoring_func == "sigmoid" and cfg.norm_topk_prob:
         topv = topv / (topv.sum(-1, keepdims=True) + 1e-20)
+    elif getattr(cfg, "moe_renorm_min", 0.0) > 0.0:
+        # Ernie 4.5 MoE: softmax weights are ALWAYS renormalized over the
+        # selected experts with a clamped denominator (HF ernie4_5_moe
+        # moe_norm_min).
+        topv = topv / jnp.maximum(topv.sum(-1, keepdims=True),
+                                  cfg.moe_renorm_min)
     topv = topv * cfg.routed_scaling_factor
 
     flat_e = topi.reshape(-1)
@@ -460,6 +466,8 @@ def _routed_moe(h, lp, cfg: DeepseekV2Config):
     routed = jax.ops.segment_sum(ys.astype(jnp.float32) * w[:, None],
                                  token_of, num_segments=T)
 
+    if "shared_gate_proj" not in lp:     # Glm4Moe/Ernie with 0 shared
+        return routed.astype(h.dtype)
     shared = silu_and_mul(h @ lp["shared_gate_proj"],
                           h @ lp["shared_up_proj"]) @ lp["shared_down_proj"]
     return routed.astype(h.dtype) + shared

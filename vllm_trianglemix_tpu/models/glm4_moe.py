@@ -157,7 +157,10 @@ def _moe_shim(cfg: Glm4MoeConfig, get_tensor, offset: int):
 
 
 def params_from_hf_state_dict(cfg: Glm4MoeConfig, get_tensor,
-                              dtype=jnp.bfloat16, quant=None, **kw):
+                              dtype=jnp.bfloat16, quant=None,
+                              gate_bias_fmt: str = (
+                                  "model.layers.{i}.mlp.gate"
+                                  ".e_score_correction_bias"), **kw):
     if quant is not None:
         raise ValueError("quantized GLM-4-MoE checkpoints are not "
                          "supported yet")
@@ -179,7 +182,7 @@ def params_from_hf_state_dict(cfg: Glm4MoeConfig, get_tensor,
         ml = pm["layers"]
         ml["moe_gate_bias"] = jnp.asarray(np.stack([
             np.asarray(get_tensor(
-                f"model.layers.{i + Ld}.mlp.gate.e_score_correction_bias"))
+                gate_bias_fmt.format(i=i + Ld))).reshape(-1)
             for i in range(Lm)]), jnp.float32)
         params["moe_layers"] = ml
     else:

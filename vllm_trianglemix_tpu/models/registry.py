@@ -159,6 +159,8 @@ _REGISTRY: dict[str, tuple[str, str]] = {
                          "OlmoeConfig"),
     "Glm4MoeForCausalLM": ("vllm_trianglemix_tpu.models.glm4_moe",
                            "Glm4MoeConfig"),
+    "Ernie4_5_MoeForCausalLM": ("vllm_trianglemix_tpu.models.ernie4_5_moe",
+                                "Ernie45MoeConfig"),
 }
 
 
