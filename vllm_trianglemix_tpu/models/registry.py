@@ -161,6 +161,12 @@ _REGISTRY: dict[str, tuple[str, str]] = {
                            "Glm4MoeConfig"),
     "Ernie4_5_MoeForCausalLM": ("vllm_trianglemix_tpu.models.ernie4_5_moe",
                                 "Ernie45MoeConfig"),
+    "Olmo3ForCausalLM": ("vllm_trianglemix_tpu.models.olmo3",
+                         "Olmo3Config"),
+    "Exaone4ForCausalLM": ("vllm_trianglemix_tpu.models.exaone4",
+                           "Exaone4Config"),
+    "Cohere2ForCausalLM": ("vllm_trianglemix_tpu.models.cohere2",
+                           "Cohere2Config"),
 }
 
 
