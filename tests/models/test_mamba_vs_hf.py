@@ -182,3 +182,33 @@ def test_mamba_engine_e2e(tmp_path):
             ref = hf.generate(torch.tensor([prompt]), do_sample=False,
                               max_new_tokens=8)[0, len(prompt):].tolist()
         assert got == ref
+
+
+def test_falcon_mamba_prefill_matches_hf():
+    """FalconMamba: Mamba-1 + weightless RMS on dt/B/C in the mixer."""
+    from transformers import FalconMambaConfig as HFFMCfg
+    from transformers import FalconMambaForCausalLM
+
+    torch.manual_seed(3)
+    hf = FalconMambaForCausalLM(HFFMCfg(
+        vocab_size=256, hidden_size=64, state_size=8,
+        num_hidden_layers=2, expand=2, conv_kernel=4,
+        tie_word_embeddings=True)).eval().float()
+    cfg = mamba.FalconMambaConfig.from_hf_config(
+        json.loads(hf.config.to_json_string()))
+    assert cfg.mixer_rms_eps > 0
+    params = mamba.params_from_hf_state_dict(
+        cfg, torch_state_dict_reader(hf.state_dict()), dtype=jnp.float32)
+    rng = np.random.default_rng(3)
+    ids = rng.integers(1, 256, size=23).tolist()
+    states = jnp.zeros((cfg.num_hidden_layers, 4, cfg.state_row_width),
+                       jnp.float32)
+    md = seq_md([ids], slots=[1])
+    hidden, _ = mamba.forward(
+        params, cfg, TriangleMixConfig(),
+        jnp.asarray(ids, jnp.int32), states, md,
+        jnp.zeros(cfg.num_hidden_layers, bool))
+    ours = np.asarray(mamba.compute_logits(params, cfg, hidden))
+    with torch.no_grad():
+        ref = hf(torch.tensor([ids])).logits[0].numpy()
+    np.testing.assert_allclose(ours, ref, atol=5e-4, rtol=5e-3)

@@ -58,6 +58,8 @@ class MambaConfig:
     sliding_window: int = 0
     rope_scaling: Any = None
     num_experts: int = 0
+    # FalconMamba: weightless RMS on dt/B/C inside the mixer; 0 = off.
+    mixer_rms_eps: float = 0.0
     # runner-facing geometry (unused by the state cache, kept for shape
     # plumbing): one "KV head" of the state-row width
     num_attention_heads: int = 1
@@ -239,7 +241,8 @@ def partition_specs(cfg: MambaConfig, quantized=None) -> dict:
 # --- forward ------------------------------------------------------------------
 
 def mamba_mixer(lp, h, conv_hist, ssm0, rq, off, is_start, li, *,
-                din: int, N: int, K: int, tsr: int, eps: float = 1e-6):
+                din: int, N: int, K: int, tsr: int, eps: float = 1e-6,
+                bcdt_rms_eps: float = 0.0):
     """The selective-scan mixer shared by pure-Mamba and hybrid (Jamba)
     models: in_proj -> cached causal depthwise conv -> (softplus dt, B,
     C) -> ragged-segment associative scan -> silu(z) gate -> out_proj.
@@ -296,6 +299,15 @@ def mamba_mixer(lp, h, conv_hist, ssm0, rq, off, is_start, li, *,
         dt_r = rms_norm(dt_r, lp["dt_norm"], eps)
         B = rms_norm(B, lp["b_norm"], eps)
         C = rms_norm(C, lp["c_norm"], eps)
+    elif bcdt_rms_eps > 0.0:
+        # FalconMamba: WEIGHTLESS RMS normalization of dt/B/C
+        # (HF modeling_falcon_mamba rms_forward, mixer_rms_eps).
+        def _rms(t):
+            tf = t.astype(jnp.float32)
+            var = jnp.mean(jnp.square(tf), axis=-1, keepdims=True)
+            return (tf * jax.lax.rsqrt(var + bcdt_rms_eps)).astype(t.dtype)
+
+        dt_r, B, C = _rms(dt_r), _rms(B), _rms(C)
     dt = jax.nn.softplus(
         (dt_r @ lp["dt_proj"] + lp["dt_bias"]).astype(jnp.float32))
     A = -jnp.exp(lp["A_log"].astype(jnp.float32))             # [din, N]
@@ -352,7 +364,8 @@ def forward(params, cfg: MambaConfig, tri_cfg, token_ids, states, md,
         h = rms_norm(x, lp["norm"], eps)
         out, hist_new, ssm_new = mamba_mixer(
             lp, h, conv_hist, ssm0, rq, off, is_start, li,
-            din=din, N=N, K=K, tsr=cfg.time_step_rank, eps=eps)
+            din=din, N=N, K=K, tsr=cfg.time_step_rank, eps=eps,
+            bcdt_rms_eps=getattr(cfg, "mixer_rms_eps", 0.0))
 
         # --- state writeback ---------------------------------------------------
         rows_new = jnp.concatenate(
@@ -377,3 +390,21 @@ def compute_logits(params, cfg: MambaConfig, hidden):
     w = (params["embed_tokens"].T if cfg.tie_word_embeddings
          else params["lm_head"])
     return jnp.dot(hidden, w, preferred_element_type=jnp.float32)
+
+
+@dataclass(frozen=True)
+class FalconMambaConfig(MambaConfig):
+    """FalconMamba (FalconMambaForCausalLM): the exact Mamba-1 layout
+    plus a weightless RMS normalization of dt/B/C inside every mixer
+    (reference falcon_mamba... HF modeling_falcon_mamba rms_forward with
+    config.mixer_rms_eps). Weight names are identical to Mamba."""
+
+    mixer_rms_eps: float = 1e-6
+
+    @classmethod
+    def from_hf_config(cls, cfg: dict) -> "FalconMambaConfig":
+        import dataclasses
+
+        base = MambaConfig.from_hf_config.__func__(cls, cfg)
+        return dataclasses.replace(
+            base, mixer_rms_eps=cfg.get("mixer_rms_eps", 1e-6))

@@ -167,6 +167,8 @@ _REGISTRY: dict[str, tuple[str, str]] = {
                            "Exaone4Config"),
     "Cohere2ForCausalLM": ("vllm_trianglemix_tpu.models.cohere2",
                            "Cohere2Config"),
+    "FalconMambaForCausalLM": ("vllm_trianglemix_tpu.models.mamba",
+                               "FalconMambaConfig"),
 }
 
 
