@@ -241,6 +241,89 @@ def partition_specs(cfg: Mamba2Config, quantized=None) -> dict:
 
 # --- forward ------------------------------------------------------------------
 
+
+def mamba2_mixer(lp, h, conv_hist, ssm0, rq, off, is_start, li, *,
+                 H: int, P_: int, N: int, G: int, din: int, cd: int,
+                 K: int, eps: float, time_step_min: float = 0.0,
+                 time_step_max: float = float("inf")):
+    """The Mamba-2 (SSD) mixer shared by pure-Mamba2 and hybrid (Bamba)
+    models: fused in_proj -> cached causal conv over [x|B|C] -> per-head
+    dt -> ragged-segment associative scan over [H, P, N] states ->
+    gated RMSNorm -> out_proj.
+
+    Returns (out [T, D], hist_new [R, cd, K-1], ssm_new [R, H, P, N]).
+    """
+    import numpy as _np
+
+    T = h.shape[0]
+    R = conv_hist.shape[0]
+    zxbcdt = h @ lp["in_proj"]
+    if "in_bias" in lp:
+        zxbcdt = zxbcdt + lp["in_bias"]
+    z = zxbcdt[:, :din]
+    xbc = zxbcdt[:, din:din + cd].astype(jnp.float32)
+    dt_raw = zxbcdt[:, din + cd:]                         # [T, H]
+
+    # --- causal depthwise conv over [x | B | C] with cached history
+    taps = [xbc]
+    acc = xbc * lp["conv_w"][:, K - 1].astype(jnp.float32)
+    for d in range(1, K):
+        shifted = jnp.concatenate(
+            [jnp.zeros((d, cd), jnp.float32), xbc], axis=0)[:T]
+        hidx = jnp.clip(K - 1 - d + off, 0, K - 2)
+        hval = jnp.take_along_axis(
+            conv_hist[rq], hidx[:, None, None], axis=2)[:, :, 0]
+        xd = jnp.where((off >= d)[:, None], shifted, hval)
+        taps.append(xd)
+        acc = acc + xd * lp["conv_w"][:, K - 1 - d].astype(jnp.float32)
+    if "conv_b" in lp:
+        acc = acc + lp["conv_b"].astype(jnp.float32)
+    u = jax.nn.silu(acc)                                  # [T, cd] fp32
+    hist_new = jnp.stack(
+        [taps[d][li] for d in range(K - 2, -1, -1)], axis=2)
+
+    xs = u[:, :din].reshape(T, H, P_)
+    B = u[:, din:din + G * N].reshape(T, G, N)
+    C = u[:, din + G * N:].reshape(T, G, N)
+    # heads share B/C within their group (GQA-style)
+    gh = jnp.arange(H) // (H // G)
+
+    dt = jax.nn.softplus(
+        dt_raw.astype(jnp.float32) + lp["dt_bias"].astype(jnp.float32))
+    if time_step_min > 0.0 or _np.isfinite(time_step_max):
+        dt = jnp.clip(dt, time_step_min, time_step_max)
+    A = -jnp.exp(lp["A_log"].astype(jnp.float32))         # [H]
+    dA = jnp.exp(dt * A[None])                            # [T, H]
+    # dBx[t,h,p,n] = dt[t,h] * x[t,h,p] * B[t,g(h),n]
+    dBx = (dt[:, :, None, None] * xs[:, :, :, None]
+           * B[:, gh][:, :, None, :])
+
+    b0 = jnp.where(is_start[:, None, None, None],
+                   dBx + dA[:, :, None, None] * ssm0[rq], dBx)
+    a0 = jnp.where(is_start[:, None, None, None],
+                   jnp.zeros_like(dA[:, :, None, None]),
+                   dA[:, :, None, None])
+
+    def combine(left, right):
+        al, bl = left
+        ar, br = right
+        return al * ar, bl * ar + br
+
+    _, hs = jax.lax.associative_scan(combine, (a0, b0), axis=0)
+    y = jnp.einsum("thpn,thn->thp", hs, C[:, gh])          # [T,H,P]
+    y = y + xs * lp["D"].astype(jnp.float32)[None, :, None]
+    y = y.reshape(T, din)
+    # gated RMSNorm (MambaRMSNormGated): normalize y * silu(z)
+    y = y * jax.nn.silu(z.astype(jnp.float32))
+    var = jnp.mean(jnp.square(y), axis=-1, keepdims=True)
+    y = y * jax.lax.rsqrt(var + eps) * lp["gated_norm"].astype(
+        jnp.float32)
+    out = y.astype(h.dtype) @ lp["out_proj"]
+    if "out_bias" in lp:
+        out = out + lp["out_bias"]
+    return out, hist_new, hs[li]
+
+
 def forward(params, cfg: Mamba2Config, tri_cfg, token_ids, states, md,
             tri_flags, lora=None, kv_quant=None, moe_fn=None,
             fused_decode=False):
@@ -272,72 +355,11 @@ def forward(params, cfg: Mamba2Config, tri_cfg, token_ids, states, md,
         ssm0 = rows[:, cd * (K - 1):].reshape(R, H, P_, N)
 
         h = rms_norm(x, lp["norm"], eps)
-        zxbcdt = h @ lp["in_proj"]
-        if "in_bias" in lp:
-            zxbcdt = zxbcdt + lp["in_bias"]
-        z = zxbcdt[:, :din]
-        xbc = zxbcdt[:, din:din + cd].astype(jnp.float32)
-        dt_raw = zxbcdt[:, din + cd:]                         # [T, H]
-
-        # --- causal depthwise conv over [x | B | C] with cached history
-        taps = [xbc]
-        acc = xbc * lp["conv_w"][:, K - 1].astype(jnp.float32)
-        for d in range(1, K):
-            shifted = jnp.concatenate(
-                [jnp.zeros((d, cd), jnp.float32), xbc], axis=0)[:T]
-            hidx = jnp.clip(K - 1 - d + off, 0, K - 2)
-            hval = jnp.take_along_axis(
-                conv_hist[rq], hidx[:, None, None], axis=2)[:, :, 0]
-            xd = jnp.where((off >= d)[:, None], shifted, hval)
-            taps.append(xd)
-            acc = acc + xd * lp["conv_w"][:, K - 1 - d].astype(jnp.float32)
-        if "conv_b" in lp:
-            acc = acc + lp["conv_b"].astype(jnp.float32)
-        u = jax.nn.silu(acc)                                  # [T, cd] fp32
-        hist_new = jnp.stack(
-            [taps[d][li] for d in range(K - 2, -1, -1)], axis=2)
-
-        xs = u[:, :din].reshape(T, H, P_)
-        B = u[:, din:din + G * N].reshape(T, G, N)
-        C = u[:, din + G * N:].reshape(T, G, N)
-        # heads share B/C within their group (GQA-style)
-        gh = jnp.arange(H) // (H // G)
-
-        dt = jax.nn.softplus(
-            dt_raw.astype(jnp.float32) + lp["dt_bias"].astype(jnp.float32))
-        if cfg.time_step_min > 0.0 or np.isfinite(cfg.time_step_max):
-            dt = jnp.clip(dt, cfg.time_step_min, cfg.time_step_max)
-        A = -jnp.exp(lp["A_log"].astype(jnp.float32))         # [H]
-        dA = jnp.exp(dt * A[None])                            # [T, H]
-        # dBx[t,h,p,n] = dt[t,h] * x[t,h,p] * B[t,g(h),n]
-        dBx = (dt[:, :, None, None] * xs[:, :, :, None]
-               * B[:, gh][:, :, None, :])
-
-        b0 = jnp.where(is_start[:, None, None, None],
-                       dBx + dA[:, :, None, None] * ssm0[rq], dBx)
-        a0 = jnp.where(is_start[:, None, None, None],
-                       jnp.zeros_like(dA[:, :, None, None]),
-                       dA[:, :, None, None])
-
-        def combine(l, r):
-            al, bl = l
-            ar, br = r
-            return al * ar, bl * ar + br
-
-        _, hs = jax.lax.associative_scan(combine, (a0, b0), axis=0)
-        y = jnp.einsum("thpn,thn->thp", hs, C[:, gh])          # [T,H,P]
-        y = y + xs * lp["D"].astype(jnp.float32)[None, :, None]
-        y = y.reshape(T, din)
-        # gated RMSNorm (MambaRMSNormGated): normalize y * silu(z)
-        y = y * jax.nn.silu(z.astype(jnp.float32))
-        var = jnp.mean(jnp.square(y), axis=-1, keepdims=True)
-        y = y * jax.lax.rsqrt(var + eps) * lp["gated_norm"].astype(
-            jnp.float32)
-        out = y.astype(x.dtype) @ lp["out_proj"]
-        if "out_bias" in lp:
-            out = out + lp["out_bias"]
-
-        ssm_new = hs[li]                                       # [R,H,P,N]
+        out, hist_new, ssm_new = mamba2_mixer(
+            lp, h, conv_hist, ssm0, rq, off, is_start, li,
+            H=H, P_=P_, N=N, G=G, din=din, cd=cd, K=K, eps=eps,
+            time_step_min=cfg.time_step_min,
+            time_step_max=cfg.time_step_max)
         rows_new = jnp.concatenate(
             [hist_new.reshape(R, -1), ssm_new.reshape(R, -1)], axis=1)
         write_slots = jnp.where(has_tokens, slots, st.shape[0])

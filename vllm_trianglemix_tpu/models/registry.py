@@ -169,6 +169,8 @@ _REGISTRY: dict[str, tuple[str, str]] = {
                            "Cohere2Config"),
     "FalconMambaForCausalLM": ("vllm_trianglemix_tpu.models.mamba",
                                "FalconMambaConfig"),
+    "BambaForCausalLM": ("vllm_trianglemix_tpu.models.bamba",
+                         "BambaConfig"),
 }
 
 
