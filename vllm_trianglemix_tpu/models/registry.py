@@ -171,6 +171,9 @@ _REGISTRY: dict[str, tuple[str, str]] = {
                                "FalconMambaConfig"),
     "BambaForCausalLM": ("vllm_trianglemix_tpu.models.bamba",
                          "BambaConfig"),
+    "GraniteMoeHybridForCausalLM": (
+        "vllm_trianglemix_tpu.models.granitemoe_hybrid",
+        "GraniteMoeHybridConfig"),
 }
 
 
