@@ -22,7 +22,25 @@ PromptType = Union[str, list[int], dict]
 
 
 def load_tokenizer(path: str):
-    """Best-effort HF tokenizer load; None in token-id-only mode."""
+    """Best-effort tokenizer load; None in token-id-only mode. Mistral
+    tekken.json checkpoints load through the in-repo tiktoken-based
+    reader (utils/mistral_format.py, the reference's
+    tokenizers/mistral.py role)."""
+    import os
+
+    tekken = os.path.join(path, "tekken.json") if os.path.isdir(path) \
+        else ""
+    if tekken and os.path.isfile(tekken) and not os.path.isfile(
+            os.path.join(path, "tokenizer_config.json")):
+        try:
+            from vllm_trianglemix_tpu.utils.mistral_format import (
+                TekkenTokenizer,
+            )
+
+            return TekkenTokenizer(tekken)
+        except Exception as e:  # noqa: BLE001
+            logger.warning("tekken tokenizer unavailable (%s)",
+                           type(e).__name__)
     try:
         from transformers import AutoTokenizer
 

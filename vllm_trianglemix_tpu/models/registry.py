@@ -204,10 +204,21 @@ def resolve_architecture(arch: str, allow_fallback: bool = False):
 
 
 def resolve_model(path_or_arch: str):
-    """Resolve from a checkpoint dir (reads config.json) or an arch name."""
+    """Resolve from a checkpoint dir (config.json, or Mistral-format
+    params.json — reference configs/mistral.py adapt_config_dict) or an
+    arch name."""
     if os.path.isdir(path_or_arch):
-        with open(os.path.join(path_or_arch, "config.json")) as f:
-            hf_cfg = json.load(f)
+        cfg_path = os.path.join(path_or_arch, "config.json")
+        if os.path.isfile(cfg_path):
+            with open(cfg_path) as f:
+                hf_cfg = json.load(f)
+        else:
+            from vllm_trianglemix_tpu.utils.mistral_format import (
+                params_json_to_hf_config,
+            )
+
+            with open(os.path.join(path_or_arch, "params.json")) as f:
+                hf_cfg = params_json_to_hf_config(json.load(f))
         arch = hf_cfg["architectures"][0]
         module, cfg_cls = resolve_architecture(arch, allow_fallback=True)
         return module, cfg_cls.from_hf_config(hf_cfg)

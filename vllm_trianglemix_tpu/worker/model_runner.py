@@ -543,9 +543,13 @@ class ModelRunner:
         path = self.model_config.model
         checkpoint_quant = None
         if os.path.isdir(path):
-            with open(os.path.join(path, "config.json")) as f:
-                checkpoint_quant = detect_checkpoint_quantization(
-                    json.load(f))
+            cfg_path = os.path.join(path, "config.json")
+            if os.path.isfile(cfg_path):
+                with open(cfg_path) as f:
+                    checkpoint_quant = detect_checkpoint_quantization(
+                        json.load(f))
+            # Mistral-format dirs (params.json) carry no HF quant
+            # config; quantized consolidated checkpoints unsupported.
 
         from vllm_trianglemix_tpu.models.weights import (
             has_native_state,
@@ -566,8 +570,19 @@ class ModelRunner:
             from vllm_trianglemix_tpu.models.weights import SafetensorsReader
 
             reader = SafetensorsReader(path)
+            get_tensor = reader
+            from vllm_trianglemix_tpu.utils.mistral_format import (
+                consolidated_shim,
+                is_consolidated,
+            )
+
+            if is_consolidated(reader.names()):
+                # Mistral consolidated.safetensors naming (layers.N.
+                # attention.wq, tok_embeddings, ...) -> canonical HF.
+                get_tensor = consolidated_shim(reader)
             params = self.model.params_from_hf_state_dict(
-                self.cfg, reader, dtype=self.dtype, quant=checkpoint_quant)
+                self.cfg, get_tensor, dtype=self.dtype,
+                quant=checkpoint_quant)
             self.quant_method = (checkpoint_quant["method"]
                                  if checkpoint_quant else None)
         else:
