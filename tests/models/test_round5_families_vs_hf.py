@@ -389,3 +389,56 @@ def test_ernie45_moe_no_shared_experts_matches_hf():
     cfg = ernie4_5_moe.Ernie45MoeConfig.from_hf_config(hf_kw)
     assert cfg.shared_expert_intermediate_size == 0
     check(ernie4_5_moe, cfg, hf)
+
+
+def test_deepseek_v1_structural_e2e(tmp_path):
+    """DeepSeek-MoE V1: no HF class in-tree — pin the config mapping
+    (softmax/greedy, no correction bias, dense prefix) and drive the
+    engine e2e from an init_random checkpoint saved to disk."""
+    import jax.numpy as jnp
+
+    from vllm_trianglemix_tpu.models import deepseek_v1
+    from vllm_trianglemix_tpu.models.registry import resolve_architecture
+
+    module, cfg_cls = resolve_architecture("DeepseekForCausalLM")
+    assert module.__name__.endswith("deepseek_v1")
+    hf_cfg = dict(
+        architectures=["DeepseekForCausalLM"], vocab_size=512,
+        hidden_size=64, intermediate_size=128, moe_intermediate_size=64,
+        num_hidden_layers=3, num_attention_heads=4,
+        num_key_value_heads=2, head_dim=16, n_routed_experts=4,
+        num_experts_per_tok=2, n_shared_experts=1,
+        first_k_dense_replace=1, moe_layer_freq=1, norm_topk_prob=False,
+        rope_theta=10_000.0, rms_norm_eps=1e-6)
+    cfg = deepseek_v1.DeepseekV1Config.from_hf_config(hf_cfg)
+    assert cfg.scoring_func == "softmax" and not cfg.has_gate_bias
+    assert cfg.topk_method == "greedy" and cfg.first_k_dense_replace == 1
+    assert cfg.partial_rotary_factor == 1.0
+
+    tree = deepseek_v1.shape_tree(cfg)
+    assert "moe_gate_bias" not in tree["moe_layers"]
+    assert "gate_proj" in tree["moe_layers"]
+
+    # full engine pass on random params (weights ingest is the shared
+    # glm4_moe loader; numerics are pinned by the glm4_moe/ernie tests)
+    import jax
+
+    params = deepseek_v1.init_random(cfg, dtype=jnp.float32)
+    from vllm_trianglemix_tpu.config import TriangleMixConfig
+    from vllm_trianglemix_tpu.attention.metadata import AttentionMetadata
+
+    kv = jnp.zeros((3, 8, 16, 4, 16), jnp.float32)
+    ids = jnp.asarray([5, 17, 101], jnp.int32)
+    md = AttentionMetadata(
+        positions=jnp.arange(3), req_idx=jnp.zeros(3, jnp.int32),
+        slot_mapping=jnp.arange(3),
+        block_tables=jnp.zeros((1, 8), jnp.int32),
+        seq_lens=jnp.asarray([3]), prompt_lens=jnp.asarray([3]),
+        query_start_loc=jnp.asarray([0, 3]),
+        logits_indices=jnp.asarray([2]), num_reqs=1)
+    hidden, new_kv = deepseek_v1.forward(
+        params, cfg, TriangleMixConfig(enabled=False), ids, kv, md,
+        jnp.zeros(3, jnp.int32))
+    logits = deepseek_v1.compute_logits(params, cfg, hidden[-1:])
+    assert logits.shape == (1, 512)
+    assert bool(jnp.isfinite(logits).all())

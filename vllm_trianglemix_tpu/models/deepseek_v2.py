@@ -445,6 +445,11 @@ def _routed_moe(h, lp, cfg: DeepseekV2Config):
     topv = jnp.take_along_axis(scores, topi, axis=-1)
     if cfg.scoring_func == "sigmoid" and cfg.norm_topk_prob:
         topv = topv / (topv.sum(-1, keepdims=True) + 1e-20)
+    elif cfg.scoring_func == "softmax" and cfg.norm_topk_prob:
+        # DeepSeek V1/V2 norm_topk_prob configs renormalize the selected
+        # softmax weights (HF modeling denominator; reference
+        # deepseek.py:170 fused_topk renormalize).
+        topv = topv / (topv.sum(-1, keepdims=True) + 1e-20)
     elif getattr(cfg, "moe_renorm_min", 0.0) > 0.0:
         # Ernie 4.5 MoE: softmax weights are ALWAYS renormalized over the
         # selected experts with a clamped denominator (HF ernie4_5_moe

@@ -53,6 +53,9 @@ class Glm4MoeConfig(DecoderConfig):
     routed_scaling_factor: float = 1.0
     scoring_func: str = "sigmoid"
     topk_method: str = "noaux_tc"
+    # e_score_correction_bias present in the checkpoint (GLM-4.5/ERNIE
+    # yes; DeepSeek-V1 no)
+    has_gate_bias: bool = True
     eos_token_id: int = 151329
     bos_token_id: int = 151329
 
@@ -101,7 +104,8 @@ def shape_tree(cfg: Glm4MoeConfig) -> dict:
     tree = {k: v for k, v in td.items() if k != "layers"}
     tree["dense_layers"] = td["layers"] if Ld else {}
     moe_layers = dict(tm["layers"])
-    moe_layers["moe_gate_bias"] = (Lm, cfg.num_experts)
+    if cfg.has_gate_bias:
+        moe_layers["moe_gate_bias"] = (Lm, cfg.num_experts)
     tree["moe_layers"] = moe_layers if Lm else {}
     return tree
 
@@ -115,7 +119,8 @@ def partition_specs(cfg: Glm4MoeConfig, quantized=None) -> dict:
     specs = {k: v for k, v in sd.items() if k != "layers"}
     specs["dense_layers"] = sd["layers"] if Ld else {}
     moe_specs = dict(sm["layers"])
-    moe_specs["moe_gate_bias"] = P(None, None)
+    if cfg.has_gate_bias:
+        moe_specs["moe_gate_bias"] = P(None, None)
     specs["moe_layers"] = moe_specs if Lm else {}
     return specs
 
@@ -180,10 +185,11 @@ def params_from_hf_state_dict(cfg: Glm4MoeConfig, get_tensor,
         if not Ld:
             params.update({k: v for k, v in pm.items() if k != "layers"})
         ml = pm["layers"]
-        ml["moe_gate_bias"] = jnp.asarray(np.stack([
-            np.asarray(get_tensor(
-                gate_bias_fmt.format(i=i + Ld))).reshape(-1)
-            for i in range(Lm)]), jnp.float32)
+        if cfg.has_gate_bias:
+            ml["moe_gate_bias"] = jnp.asarray(np.stack([
+                np.asarray(get_tensor(
+                    gate_bias_fmt.format(i=i + Ld))).reshape(-1)
+                for i in range(Lm)]), jnp.float32)
         params["moe_layers"] = ml
     else:
         params["moe_layers"] = {}

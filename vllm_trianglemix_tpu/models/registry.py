@@ -174,6 +174,8 @@ _REGISTRY: dict[str, tuple[str, str]] = {
     "GraniteMoeHybridForCausalLM": (
         "vllm_trianglemix_tpu.models.granitemoe_hybrid",
         "GraniteMoeHybridConfig"),
+    "DeepseekForCausalLM": ("vllm_trianglemix_tpu.models.deepseek_v1",
+                            "DeepseekV1Config"),
 }
 
 
