@@ -176,6 +176,7 @@ _REGISTRY: dict[str, tuple[str, str]] = {
         "GraniteMoeHybridConfig"),
     "DeepseekForCausalLM": ("vllm_trianglemix_tpu.models.deepseek_v1",
                             "DeepseekV1Config"),
+    "Lfm2ForCausalLM": ("vllm_trianglemix_tpu.models.lfm2", "Lfm2Config"),
 }
 
 
