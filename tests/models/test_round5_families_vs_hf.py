@@ -442,3 +442,26 @@ def test_deepseek_v1_structural_e2e(tmp_path):
     logits = deepseek_v1.compute_logits(params, cfg, hidden[-1:])
     assert logits.shape == (1, 512)
     assert bool(jnp.isfinite(logits).all())
+
+
+def test_persimmon_prefill_matches_hf():
+    """Persimmon: fused per-head qkv + qk LayerNorm (with bias) +
+    partial rotary + relu^2 biased non-gated MLP."""
+    import json
+
+    from transformers import PersimmonConfig as HFCfg
+    from transformers import PersimmonForCausalLM
+
+    from vllm_trianglemix_tpu.models import persimmon
+
+    torch.manual_seed(13)
+    hf = PersimmonForCausalLM(HFCfg(
+        vocab_size=512, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4,
+        rope_theta=25_000.0, partial_rotary_factor=0.5,
+        tie_word_embeddings=False, pad_token_id=0)).eval().float()
+    cfg = persimmon.PersimmonConfig.from_hf_config(
+        json.loads(hf.config.to_json_string()))
+    assert cfg.qk_norm_type == "layernorm" and cfg.use_qk_norm
+    assert cfg.hidden_act == "relu2" and not cfg.gated_mlp
+    check(persimmon, cfg, hf)

@@ -165,6 +165,9 @@ class DecoderConfig:
     # OLMo-2 q/k norm over the FLAT projection (HQ*Dh / KH*Dh) instead
     # of per-head head_dim.
     qk_norm_flat: bool = False
+    # q/k norm family: "rmsnorm" (Qwen3/OLMo-2) or "layernorm"
+    # (Persimmon qk_layernorm: per-head LayerNorm WITH bias before rope).
+    qk_norm_type: str = "rmsnorm"
     # Multimodal rotary sections (Qwen2-VL mrope): three frequency-chunk
     # widths summing to head_dim/2; None = standard 1-D rope. Needs
     # AttentionMetadata.mrope_positions [3, T] from the runner.
@@ -310,6 +313,9 @@ def shape_tree(cfg: DecoderConfig) -> dict:
         kn = KH * Dh if cfg.qk_norm_flat else Dh
         layers["q_norm"] = (L, qn)
         layers["k_norm"] = (L, kn)
+        if cfg.qk_norm_type == "layernorm":
+            layers["q_norm_bias"] = (L, qn)
+            layers["k_norm_bias"] = (L, kn)
     if cfg.use_qkv_bias:
         layers["q_bias"] = (L, HQ * Dh)
         layers["k_bias"] = (L, KH * Dh)
@@ -389,6 +395,9 @@ def partition_specs(cfg: DecoderConfig, quantized: str | None = None) -> dict:
     if cfg.use_qk_norm:
         layers["q_norm"] = P(None, None)
         layers["k_norm"] = P(None, None)
+        if cfg.qk_norm_type == "layernorm":
+            layers["q_norm_bias"] = P(None, None)
+            layers["k_norm_bias"] = P(None, None)
     if cfg.use_qkv_bias:
         layers["q_bias"] = P(None, "tp")
         layers["k_bias"] = P(None, "tp")
@@ -533,6 +542,8 @@ _HF_LAYER_MAP = {
     "v_proj": "model.layers.{i}.self_attn.v_proj.weight",
     "q_norm": "model.layers.{i}.self_attn.q_norm.weight",
     "k_norm": "model.layers.{i}.self_attn.k_norm.weight",
+    "q_norm_bias": "model.layers.{i}.self_attn.q_norm.bias",
+    "k_norm_bias": "model.layers.{i}.self_attn.k_norm.bias",
     "q_bias": "model.layers.{i}.self_attn.q_proj.bias",
     "k_bias": "model.layers.{i}.self_attn.k_proj.bias",
     "v_bias": "model.layers.{i}.self_attn.v_proj.bias",
@@ -1076,8 +1087,21 @@ def _layer_compute(x, lp, lmods, onehot, cfg: DecoderConfig, cos, sin,
     k = k.reshape(T, KH, Dh)
     v = v.reshape(T, KH, Dh)
     if cfg.use_qk_norm and not cfg.qk_norm_flat:
-        q = rms_norm(q, lp["q_norm"], eps)
-        k = rms_norm(k, lp["k_norm"], eps)
+        if cfg.qk_norm_type == "layernorm":
+            # Persimmon qk_layernorm: per-head LayerNorm with bias.
+            def _ln(t, w, b):
+                tf = t.astype(jnp.float32)
+                mu = tf.mean(-1, keepdims=True)
+                var = ((tf - mu) ** 2).mean(-1, keepdims=True)
+                y = (tf - mu) * jax.lax.rsqrt(var + eps)
+                return (y * w.astype(jnp.float32)
+                        + b.astype(jnp.float32)).astype(t.dtype)
+
+            q = _ln(q, lp["q_norm"], lp["q_norm_bias"])
+            k = _ln(k, lp["k_norm"], lp["k_norm_bias"])
+        else:
+            q = rms_norm(q, lp["q_norm"], eps)
+            k = rms_norm(k, lp["k_norm"], eps)
     if cos is not None:
         qr, kr = apply_rope(q, k, cos, sin,
                             interleaved=cfg.rope_interleaved)

@@ -177,6 +177,8 @@ _REGISTRY: dict[str, tuple[str, str]] = {
     "DeepseekForCausalLM": ("vllm_trianglemix_tpu.models.deepseek_v1",
                             "DeepseekV1Config"),
     "Lfm2ForCausalLM": ("vllm_trianglemix_tpu.models.lfm2", "Lfm2Config"),
+    "PersimmonForCausalLM": ("vllm_trianglemix_tpu.models.persimmon",
+                             "PersimmonConfig"),
 }
 
 
