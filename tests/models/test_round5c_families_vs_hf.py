@@ -1,0 +1,142 @@
+"""Numerics parity for the round-5c model families vs HuggingFace torch:
+Apertus (xIELU non-gated MLP with per-layer learnable alphas + qk-norm),
+dots.llm1 (qk-norm + DeepSeek-V3 sigmoid/correction-bias routing).
+
+Same strategy as test_model_families_vs_hf.py: seeded random HF model,
+token-level logit comparison through our paged forward.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+
+from tests.models.test_model_families_vs_hf import run_prefill  # noqa: E402
+from vllm_trianglemix_tpu.models.weights import torch_state_dict_reader  # noqa: E402
+
+COMMON = dict(
+    vocab_size=512,
+    hidden_size=64,
+    intermediate_size=128,
+    num_hidden_layers=2,
+    num_attention_heads=4,
+    num_key_value_heads=2,
+    max_position_embeddings=512,
+    eos_token_id=3,
+    bos_token_id=2,
+)
+
+
+def check(module, cfg, hf, seq=37, atol=3e-4, seed=0):
+    params = module.params_from_hf_state_dict(
+        cfg, torch_state_dict_reader(hf.state_dict()), dtype=jnp.float32)
+    rng = np.random.default_rng(seed)
+    token_ids = rng.integers(0, cfg.vocab_size, size=seq).tolist()
+    with torch.no_grad():
+        hf_logits = hf(torch.tensor([token_ids])).logits[0].numpy()
+    ours = run_prefill(module, cfg, params, token_ids)
+    np.testing.assert_allclose(ours, hf_logits, atol=atol, rtol=2e-3)
+
+
+def test_apertus_prefill_matches_hf():
+    from transformers import ApertusConfig as HFCfg
+    from transformers import ApertusForCausalLM
+
+    from vllm_trianglemix_tpu.models import apertus
+
+    hf_kw = dict(COMMON, rms_norm_eps=1e-5, rope_theta=12_000_000.0,
+                 rope_scaling={"rope_type": "llama3", "factor": 8.0,
+                               "original_max_position_embeddings": 64,
+                               "low_freq_factor": 1.0,
+                               "high_freq_factor": 4.0},
+                 attention_bias=False, tie_word_embeddings=False,
+                 hidden_act="xielu")
+    torch.manual_seed(0)
+    hf = ApertusForCausalLM(HFCfg(**hf_kw)).eval().float()
+    sd = hf.state_dict()
+    assert "model.layers.0.mlp.act_fn.alpha_p" in sd
+    assert not any("gate_proj" in k for k in sd)
+    cfg = apertus.ApertusConfig.from_hf_config(hf_kw)
+    assert not cfg.gated_mlp and cfg.hidden_act == "xielu"
+    assert cfg.use_qk_norm and cfg.rope_scaling is not None
+    check(apertus, cfg, hf)
+
+
+def test_apertus_attention_bias_variant_matches_hf():
+    from transformers import ApertusConfig as HFCfg
+    from transformers import ApertusForCausalLM
+
+    from vllm_trianglemix_tpu.models import apertus
+
+    hf_kw = dict(COMMON, rms_norm_eps=1e-5, rope_theta=10_000.0,
+                 rope_scaling=None, attention_bias=True,
+                 tie_word_embeddings=True, hidden_act="xielu")
+    torch.manual_seed(1)
+    hf = ApertusForCausalLM(HFCfg(**hf_kw)).eval().float()
+    assert "model.layers.0.self_attn.o_proj.bias" in hf.state_dict()
+    cfg = apertus.ApertusConfig.from_hf_config(hf_kw)
+    assert cfg.use_qkv_bias and cfg.use_o_bias and cfg.tie_word_embeddings
+    check(apertus, cfg, hf)
+
+
+def _dots1_kw(**over):
+    kw = dict(COMMON, rms_norm_eps=1e-6, rope_theta=10_000.0,
+              n_routed_experts=4, num_experts_per_tok=2,
+              moe_intermediate_size=32, n_shared_experts=1,
+              n_group=2, topk_group=2, routed_scaling_factor=2.5,
+              norm_topk_prob=True, first_k_dense_replace=1,
+              attention_bias=False, tie_word_embeddings=False,
+              sliding_window=None,
+              layer_types=["full_attention"] * COMMON["num_hidden_layers"])
+    kw.update(over)
+    return kw
+
+
+def test_dots1_prefill_matches_hf():
+    from transformers import Dots1Config as HFCfg
+    from transformers import Dots1ForCausalLM
+
+    from vllm_trianglemix_tpu.models import dots1
+
+    hf_kw = _dots1_kw()
+    torch.manual_seed(2)
+    hf = Dots1ForCausalLM(HFCfg(**hf_kw)).eval().float()
+    sd = hf.state_dict()
+    # layer 0 dense, layer 1 MoE with correction bias + shared experts
+    assert "model.layers.0.mlp.gate_proj.weight" in sd
+    assert "model.layers.1.mlp.gate.e_score_correction_bias" in sd
+    assert "model.layers.1.mlp.shared_experts.gate_proj.weight" in sd
+    # make the correction bias matter for selection
+    with torch.no_grad():
+        sd["model.layers.1.mlp.gate.e_score_correction_bias"].copy_(
+            torch.tensor([1.0, -1.0, 0.5, -0.5]))
+    cfg = dots1.Dots1Config.from_hf_config(hf_kw)
+    assert cfg.use_qk_norm and cfg.scoring_func == "sigmoid"
+    assert cfg.partial_rotary_factor == 1.0
+    check(dots1, cfg, hf)
+
+
+def test_dots1_all_moe_no_dense_prefix_matches_hf():
+    from transformers import Dots1Config as HFCfg
+    from transformers import Dots1ForCausalLM
+
+    from vllm_trianglemix_tpu.models import dots1
+
+    hf_kw = _dots1_kw(first_k_dense_replace=0, norm_topk_prob=False,
+                      n_group=1, topk_group=1, routed_scaling_factor=1.0)
+    torch.manual_seed(3)
+    hf = Dots1ForCausalLM(HFCfg(**hf_kw)).eval().float()
+    assert "model.layers.0.mlp.gate.weight" in hf.state_dict()
+    cfg = dots1.Dots1Config.from_hf_config(hf_kw)
+    assert cfg.first_k_dense_replace == 0 and not cfg.norm_topk_prob
+    check(dots1, cfg, hf)
+
+
+def test_dots1_sliding_layer_types_rejected():
+    from vllm_trianglemix_tpu.models import dots1
+
+    with pytest.raises(ValueError, match="sliding"):
+        dots1.Dots1Config.from_hf_config(
+            _dots1_kw(layer_types=["sliding_attention", "full_attention"]))

@@ -308,6 +308,10 @@ def shape_tree(cfg: DecoderConfig) -> dict:
         # non-gated MLP (StarCoder2 c_fc/c_proj)
         layers["up_proj"] = (L, D, I)
         layers["down_proj"] = (L, I, D)
+        if cfg.hidden_act == "xielu":
+            # Apertus: per-layer learnable xIELU alpha scalars
+            layers["act_alpha_p"] = (L, 1)
+            layers["act_alpha_n"] = (L, 1)
     if cfg.use_qk_norm:
         qn = HQ * Dh if cfg.qk_norm_flat else Dh
         kn = KH * Dh if cfg.qk_norm_flat else Dh
@@ -392,6 +396,9 @@ def partition_specs(cfg: DecoderConfig, quantized: str | None = None) -> dict:
     else:
         layers["up_proj"] = P(None, None, "tp")
         layers["down_proj"] = P(None, "tp", None)
+        if cfg.hidden_act == "xielu":
+            layers["act_alpha_p"] = P(None, None)
+            layers["act_alpha_n"] = P(None, None)
     if cfg.use_qk_norm:
         layers["q_norm"] = P(None, None)
         layers["k_norm"] = P(None, None)
@@ -554,6 +561,9 @@ _HF_LAYER_MAP = {
     "up_proj": "model.layers.{i}.mlp.up_proj.weight",
     "down_proj": "model.layers.{i}.mlp.down_proj.weight",
     "gate_bias": "model.layers.{i}.mlp.gate_proj.bias",
+    # Apertus per-layer xIELU activation scalars (shape [1])
+    "act_alpha_p": "model.layers.{i}.mlp.act_fn.alpha_p",
+    "act_alpha_n": "model.layers.{i}.mlp.act_fn.alpha_n",
 }
 # HF nn.Linear stores [out_features, in_features]; we store [in, out].
 _TRANSPOSED = {"q_proj", "k_proj", "v_proj", "o_proj", "gate_proj",
@@ -731,6 +741,21 @@ def _act_only(cfg: DecoderConfig, x: jnp.ndarray) -> jnp.ndarray:
         # Nemotron relu^2 (reference nemotron.py ReLUSquaredActivation)
         return jnp.square(jax.nn.relu(x))
     raise ValueError(f"unsupported hidden_act {cfg.hidden_act!r}")
+
+
+def _xielu(x: jnp.ndarray, alpha_p: jnp.ndarray,
+           alpha_n: jnp.ndarray) -> jnp.ndarray:
+    """Apertus xIELU (HF activations.py XIELUActivation._xielu_python,
+    arXiv:2411.13010) with PER-LAYER learnable alpha scalars and the HF
+    constant beta=0.5 / eps=-1e-6 buffers: quadratic a_p x^2 + b x for
+    x > 0, saturating (expm1(min(x, eps)) - x) a_n + b x below."""
+    beta, eps = 0.5, -1e-6
+    xf = x.astype(jnp.float32)
+    ap = jax.nn.softplus(alpha_p.astype(jnp.float32).reshape(()))
+    an = beta + jax.nn.softplus(alpha_n.astype(jnp.float32).reshape(()))
+    pos = ap * jnp.square(xf) + beta * xf
+    neg = (jnp.expm1(jnp.minimum(xf, eps)) - xf) * an + beta * xf
+    return jnp.where(xf > 0, pos, neg).astype(x.dtype)
 
 
 def act_and_mul(cfg: DecoderConfig, gate: jnp.ndarray,
@@ -1139,7 +1164,11 @@ def _layer_compute(x, lp, lmods, onehot, cfg: DecoderConfig, cos, sin,
         up = proj(h2, "up_proj")
         if cfg.use_mlp_bias:
             up = up + lp["up_bias"]
-        mlp_out = proj(_act_only(cfg, up), "down_proj")
+        if cfg.hidden_act == "xielu":
+            act = _xielu(up, lp["act_alpha_p"], lp["act_alpha_n"])
+        else:
+            act = _act_only(cfg, up)
+        mlp_out = proj(act, "down_proj")
         if cfg.use_mlp_bias:
             mlp_out = mlp_out + lp["down_bias"]
     else:

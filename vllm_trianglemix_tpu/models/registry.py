@@ -179,6 +179,15 @@ _REGISTRY: dict[str, tuple[str, str]] = {
     "Lfm2ForCausalLM": ("vllm_trianglemix_tpu.models.lfm2", "Lfm2Config"),
     "PersimmonForCausalLM": ("vllm_trianglemix_tpu.models.persimmon",
                              "PersimmonConfig"),
+    "ApertusForCausalLM": ("vllm_trianglemix_tpu.models.apertus",
+                           "ApertusConfig"),
+    "Dots1ForCausalLM": ("vllm_trianglemix_tpu.models.dots1",
+                         "Dots1Config"),
+    # DeepSeek-V3.2 serves through the V3 path (reference registry.py:73
+    # maps it to deepseek_v2.DeepseekV3ForCausalLM; the V3.2 sparse
+    # indexer is a training-time addition).
+    "DeepseekV32ForCausalLM": ("vllm_trianglemix_tpu.models.deepseek_v2",
+                               "DeepseekV3Config"),
 }
 
 
