@@ -188,6 +188,19 @@ _REGISTRY: dict[str, tuple[str, str]] = {
     # indexer is a training-time addition).
     "DeepseekV32ForCausalLM": ("vllm_trianglemix_tpu.models.deepseek_v2",
                                "DeepseekV3Config"),
+    "QWenLMHeadModel": ("vllm_trianglemix_tpu.models.qwen_v1",
+                        "QwenV1Config"),
+    "ChatGLMModel": ("vllm_trianglemix_tpu.models.chatglm",
+                     "ChatGlmConfig"),
+    "ChatGLMForConditionalGeneration": (
+        "vllm_trianglemix_tpu.models.chatglm", "ChatGlmConfig"),
+    "TeleChat2ForCausalLM": ("vllm_trianglemix_tpu.models.telechat2",
+                             "TeleChat2Config"),
+    "TeleFLMForCausalLM": ("vllm_trianglemix_tpu.models.teleflm",
+                           "TeleFLMConfig"),
+    "Fairseq2LlamaForCausalLM": (
+        "vllm_trianglemix_tpu.models.fairseq2_llama",
+        "Fairseq2LlamaConfig"),
 }
 
 

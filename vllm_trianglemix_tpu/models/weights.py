@@ -31,7 +31,24 @@ class SafetensorsReader:
         self._name_to_file: dict[str, str] = {}
         files = sorted(glob.glob(os.path.join(path, "*.safetensors")))
         if not files:
+            # fairseq2 checkpoints ship torch pickles (model.pt, or
+            # model.{rank}.pt tp shards) wrapped as
+            # {"model_key": name, name: state_dict} — reference
+            # fairseq2_llama.py load_weights unwraps the same way.
+            pt = os.path.join(path, "model.pt")
+            if os.path.exists(pt):
+                import torch
+
+                blob = torch.load(pt, map_location="cpu",
+                                  weights_only=True)
+                if "model_key" in blob:
+                    blob = blob[blob["model_key"]]
+                self._pt_state = {
+                    k: v for k, v in blob.items()
+                    if hasattr(v, "detach")}
+                return
             raise FileNotFoundError(f"no *.safetensors under {path}")
+        self._pt_state = None
         index_file = os.path.join(path, "model.safetensors.index.json")
         if os.path.exists(index_file):
             with open(index_file) as f:
@@ -47,12 +64,16 @@ class SafetensorsReader:
         self._safe_open = safe_open
 
     def __call__(self, name: str) -> np.ndarray:
+        if self._pt_state is not None:
+            return self._pt_state[name].detach().float().numpy()
         fname = self._name_to_file[name]
         if fname not in self._handles:
             self._handles[fname] = self._safe_open(fname, framework="numpy")
         return self._handles[fname].get_tensor(name)
 
     def names(self) -> list[str]:
+        if self._pt_state is not None:
+            return list(self._pt_state)
         return list(self._name_to_file)
 
 

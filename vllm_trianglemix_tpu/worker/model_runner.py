@@ -566,7 +566,9 @@ class ModelRunner:
             self.quant_method = self.model_config.quantization
         elif (os.path.isdir(path)
                 and self.model_config.load_format != "dummy"
-                and glob.glob(os.path.join(path, "*.safetensors"))):
+                and (glob.glob(os.path.join(path, "*.safetensors"))
+                     # fairseq2 torch-pickle container (model.pt)
+                     or os.path.exists(os.path.join(path, "model.pt")))):
             from vllm_trianglemix_tpu.models.weights import SafetensorsReader
 
             reader = SafetensorsReader(path)
