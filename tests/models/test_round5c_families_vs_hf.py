@@ -140,3 +140,98 @@ def test_dots1_sliding_layer_types_rejected():
     with pytest.raises(ValueError, match="sliding"):
         dots1.Dots1Config.from_hf_config(
             _dots1_kw(layer_types=["sliding_attention", "full_attention"]))
+
+
+def _llama4_kw(**over):
+    kw = dict(COMMON, head_dim=16, rms_norm_eps=1e-5,
+              rope_theta=500_000.0, rope_scaling=None,
+              num_hidden_layers=4, no_rope_layer_interval=4,
+              interleave_moe_layer_step=2, num_local_experts=4,
+              num_experts_per_tok=2, intermediate_size=32,
+              intermediate_size_mlp=128, use_qk_norm=True,
+              attn_temperature_tuning=True, floor_scale=8.0,
+              attn_scale=0.1, attention_chunk_size=16,
+              tie_word_embeddings=False, pad_token_id=0)
+    kw.update(over)
+    return kw
+
+
+def test_llama4_text_prefill_matches_hf():
+    from transformers import Llama4ForCausalLM
+    from transformers import Llama4TextConfig as HFCfg
+
+    from vllm_trianglemix_tpu.models import llama4
+
+    hf_kw = _llama4_kw()
+    torch.manual_seed(5)
+    hf = Llama4ForCausalLM(HFCfg(**hf_kw)).eval().float()
+    sd = hf.state_dict()
+    # layer 0 dense / layer 1 MoE / layer 3 NoPE-full per the defaults
+    assert "model.layers.0.feed_forward.gate_proj.weight" in sd
+    assert "model.layers.1.feed_forward.experts.gate_up_proj" in sd
+    assert "model.layers.1.feed_forward.shared_expert.gate_proj.weight" in sd
+    cfg = llama4.Llama4Config.from_hf_config(hf_kw)
+    assert cfg.rope_layers == (1, 1, 1, 0)
+    assert cfg.moe_layer_flags == (0, 1, 0, 1)
+    assert cfg.layer_types == ("chunked_attention",) * 3 + (
+        "full_attention",)
+    check(llama4, cfg, hf, seq=37, atol=5e-4)
+
+
+def test_llama4_text_llama3_rope_and_128e_no_qknorm_matches_hf():
+    from transformers import Llama4ForCausalLM
+    from transformers import Llama4TextConfig as HFCfg
+
+    from vllm_trianglemix_tpu.models import llama4
+
+    hf_kw = _llama4_kw(
+        use_qk_norm=False, interleave_moe_layer_step=1,
+        rope_scaling={"rope_type": "llama3", "factor": 8.0,
+                      "original_max_position_embeddings": 64,
+                      "low_freq_factor": 1.0, "high_freq_factor": 4.0})
+    torch.manual_seed(6)
+    hf = Llama4ForCausalLM(HFCfg(**hf_kw)).eval().float()
+    assert "model.layers.0.feed_forward.experts.gate_up_proj" \
+        in hf.state_dict()
+    cfg = llama4.Llama4Config.from_hf_config(hf_kw)
+    assert cfg.moe_layer_flags == (1, 1, 1, 1)
+    assert not cfg.use_qk_norm and cfg.rope_scaling is not None
+    check(llama4, cfg, hf, seq=37, atol=5e-4)
+
+
+def test_llama4_engine_greedy_matches_hf(tmp_path):
+    """e2e: chunked-local + full KV-cache groups through the engine."""
+    import json
+
+    from safetensors.torch import save_file
+    from transformers import Llama4ForCausalLM
+    from transformers import Llama4TextConfig as HFCfg
+
+    from vllm_trianglemix_tpu.entrypoints.llm import LLM
+    from vllm_trianglemix_tpu.sampling_params import SamplingParams
+
+    hf_kw = _llama4_kw()
+    torch.manual_seed(7)
+    hf = Llama4ForCausalLM(HFCfg(**hf_kw)).eval().float()
+    d = tmp_path / "llama4"
+    d.mkdir()
+    cfg_dict = json.loads(hf.config.to_json_string())
+    cfg_dict["architectures"] = ["Llama4ForCausalLM"]
+    with open(d / "config.json", "w") as f:
+        json.dump(cfg_dict, f)
+    save_file({k: v.clone().contiguous()
+               for k, v in hf.state_dict().items()},
+              str(d / "model.safetensors"))
+
+    llm = LLM(model=str(d), dtype="float32", max_model_len=128,
+              max_num_seqs=2, max_num_batched_tokens=64, num_kv_blocks=32,
+              skip_tokenizer_init=True)
+    prompt = list(range(5, 30))     # longer than the 16-token chunk
+    out = llm.generate([prompt], SamplingParams(
+        temperature=0.0, max_tokens=6, ignore_eos=True))[0]
+    got = list(out.outputs[0].token_ids)
+    with torch.no_grad():
+        ref = hf.generate(input_ids=torch.tensor([prompt]),
+                          do_sample=False, max_new_tokens=6,
+                          eos_token_id=None)[0, len(prompt):].tolist()
+    assert got == ref

@@ -201,6 +201,8 @@ _REGISTRY: dict[str, tuple[str, str]] = {
     "Fairseq2LlamaForCausalLM": (
         "vllm_trianglemix_tpu.models.fairseq2_llama",
         "Fairseq2LlamaConfig"),
+    "Llama4ForCausalLM": ("vllm_trianglemix_tpu.models.llama4",
+                          "Llama4Config"),
 }
 
 
