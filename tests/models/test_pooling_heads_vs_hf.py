@@ -1,0 +1,200 @@
+"""Round-5c pooling/classification/reward heads vs HuggingFace:
+BERT/XLM-R cross-encoder classifiers (CLS pooling + dense->tanh->linear
+heads), GPT-2 classification (last pooling + bias-less score), Qwen2
+reward models (dense->relu->linear, raw value / softmax), and the
+RobertaForMaskedLM prefixed-checkpoint embedding path."""
+
+import json
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+
+def serve(tmp_path, hf, arch, name="m", **llm_kw):
+    from safetensors.torch import save_file
+
+    from vllm_trianglemix_tpu.entrypoints.llm import LLM
+
+    d = tmp_path / name
+    d.mkdir()
+    cfg = json.loads(hf.config.to_json_string())
+    cfg["architectures"] = [arch]
+    with open(d / "config.json", "w") as f:
+        json.dump(cfg, f)
+    save_file({k: v.clone().contiguous()
+               for k, v in hf.state_dict().items()},
+              str(d / "model.safetensors"))
+    kw = dict(dtype="float32", max_model_len=64, max_num_seqs=2,
+              max_num_batched_tokens=64, num_kv_blocks=16,
+              skip_tokenizer_init=True)
+    kw.update(llm_kw)
+    return LLM(model=str(d), **kw)
+
+
+BERT_GEOM = dict(vocab_size=256, hidden_size=64, intermediate_size=128,
+                 num_hidden_layers=2, num_attention_heads=4,
+                 max_position_embeddings=128, type_vocab_size=2,
+                 num_labels=3, pad_token_id=0)
+
+
+def test_bert_classifier_matches_hf(tmp_path):
+    from transformers import BertConfig, BertForSequenceClassification
+
+    torch.manual_seed(0)
+    hf = BertForSequenceClassification(
+        BertConfig(**BERT_GEOM)).eval().float()
+    llm = serve(tmp_path, hf, "BertForSequenceClassification")
+    rng = np.random.default_rng(0)
+    prompts = [rng.integers(1, 256, size=n).tolist() for n in (7, 12)]
+    outs = llm.classify(prompts)
+    for prompt, out in zip(prompts, outs):
+        with torch.no_grad():
+            ref = torch.softmax(
+                hf(torch.tensor([prompt])).logits[0], -1).numpy()
+        np.testing.assert_allclose(np.asarray(out.pooled), ref,
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_xlm_roberta_classifier_matches_hf(tmp_path):
+    from transformers import (
+        XLMRobertaConfig,
+        XLMRobertaForSequenceClassification,
+    )
+
+    torch.manual_seed(1)
+    hf = XLMRobertaForSequenceClassification(
+        XLMRobertaConfig(**{**BERT_GEOM, "pad_token_id": 1,
+                            "num_labels": 2})).eval().float()
+    llm = serve(tmp_path, hf, "XLMRobertaForSequenceClassification")
+    rng = np.random.default_rng(1)
+    prompts = [rng.integers(2, 256, size=n).tolist() for n in (9, 5)]
+    outs = llm.classify(prompts)
+    for prompt, out in zip(prompts, outs):
+        with torch.no_grad():
+            ref = torch.softmax(
+                hf(torch.tensor([prompt])).logits[0], -1).numpy()
+        np.testing.assert_allclose(np.asarray(out.pooled), ref,
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_roberta_masked_lm_embeds_match_hf(tmp_path):
+    """Prefixed ('roberta.') checkpoint through the embedding path."""
+    from transformers import RobertaConfig, RobertaForMaskedLM
+
+    geom = {k: v for k, v in BERT_GEOM.items() if k != "num_labels"}
+    torch.manual_seed(2)
+    hf = RobertaForMaskedLM(
+        RobertaConfig(**{**geom, "pad_token_id": 1})).eval().float()
+    assert any(k.startswith("roberta.") for k in hf.state_dict())
+    llm = serve(tmp_path, hf, "RobertaForMaskedLM")
+    from vllm_trianglemix_tpu.pooling_params import PoolingParams
+
+    prompt = list(range(4, 16))
+    out = llm.encode([prompt], PoolingParams(pooling_type="cls",
+                                             normalize=False))[0]
+    with torch.no_grad():
+        ref = hf.roberta(torch.tensor([prompt])
+                         ).last_hidden_state[0, 0].numpy()
+    np.testing.assert_allclose(np.asarray(out.pooled), ref,
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_gpt2_classifier_matches_hf(tmp_path):
+    from transformers import GPT2Config, GPT2ForSequenceClassification
+
+    torch.manual_seed(3)
+    hf = GPT2ForSequenceClassification(GPT2Config(
+        vocab_size=256, n_embd=64, n_inner=128, n_layer=2, n_head=4,
+        n_positions=128, num_labels=3, pad_token_id=0)).eval().float()
+    llm = serve(tmp_path, hf, "GPT2ForSequenceClassification")
+    rng = np.random.default_rng(3)
+    prompts = [rng.integers(1, 256, size=n).tolist() for n in (6, 11)]
+    outs = llm.classify(prompts)
+    for prompt, out in zip(prompts, outs):
+        with torch.no_grad():
+            # HF pools at the last non-pad token == last token here
+            ref = torch.softmax(
+                hf(torch.tensor([prompt])).logits[0], -1).numpy()
+        np.testing.assert_allclose(np.asarray(out.pooled), ref,
+                                   rtol=1e-4, atol=1e-5)
+
+
+def _qwen2_with_reward_head(num_labels, seed):
+    from transformers import Qwen2Config, Qwen2ForCausalLM
+
+    torch.manual_seed(seed)
+    hf = Qwen2ForCausalLM(Qwen2Config(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=2, pad_token_id=0)).eval().float()
+    sd = {k: v for k, v in hf.state_dict().items() if k != "lm_head.weight"}
+    head = {
+        "score.0.weight": torch.randn(64, 64) * 0.1,
+        "score.0.bias": torch.randn(64) * 0.1,
+        "score.2.weight": torch.randn(num_labels, 64) * 0.1,
+        "score.2.bias": torch.randn(num_labels) * 0.1,
+    }
+    sd.update(head)
+    return hf, sd, head
+
+
+def _reward_ref(hf, head, prompt, num_labels):
+    with torch.no_grad():
+        h = hf.model(torch.tensor([prompt]),
+                     output_hidden_states=True).hidden_states[-1][0, -1]
+        z = torch.relu(h @ head["score.0.weight"].T + head["score.0.bias"])
+        return (z @ head["score.2.weight"].T + head["score.2.bias"]).numpy()
+
+
+def test_qwen2_reward_model_raw_value(tmp_path):
+    from safetensors.torch import save_file
+
+    from vllm_trianglemix_tpu.entrypoints.llm import LLM
+
+    hf, sd, head = _qwen2_with_reward_head(num_labels=1, seed=4)
+    d = tmp_path / "rm"
+    d.mkdir()
+    cfg = json.loads(hf.config.to_json_string())
+    cfg["architectures"] = ["Qwen2ForRewardModel"]
+    cfg["num_labels"] = 1
+    with open(d / "config.json", "w") as f:
+        json.dump(cfg, f)
+    save_file({k: v.clone().contiguous() for k, v in sd.items()},
+              str(d / "model.safetensors"))
+    llm = LLM(model=str(d), dtype="float32", max_model_len=64,
+              max_num_seqs=2, max_num_batched_tokens=64, num_kv_blocks=16,
+              skip_tokenizer_init=True)
+    prompt = list(range(5, 17))
+    out = llm.classify([prompt])[0]
+    ref = _reward_ref(hf, head, prompt, 1)
+    np.testing.assert_allclose(np.asarray(out.pooled), ref,
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_qwen2_process_reward_softmax(tmp_path):
+    from safetensors.torch import save_file
+
+    from vllm_trianglemix_tpu.entrypoints.llm import LLM
+
+    hf, sd, head = _qwen2_with_reward_head(num_labels=2, seed=5)
+    d = tmp_path / "prm"
+    d.mkdir()
+    cfg = json.loads(hf.config.to_json_string())
+    cfg["architectures"] = ["Qwen2ForProcessRewardModel"]
+    cfg["num_labels"] = 2
+    with open(d / "config.json", "w") as f:
+        json.dump(cfg, f)
+    save_file({k: v.clone().contiguous() for k, v in sd.items()},
+              str(d / "model.safetensors"))
+    llm = LLM(model=str(d), dtype="float32", max_model_len=64,
+              max_num_seqs=2, max_num_batched_tokens=64, num_kv_blocks=16,
+              skip_tokenizer_init=True)
+    prompt = list(range(5, 14))
+    out = llm.classify([prompt])[0]
+    logits = _reward_ref(hf, head, prompt, 2)
+    ref = np.exp(logits - logits.max())
+    ref = ref / ref.sum()
+    np.testing.assert_allclose(np.asarray(out.pooled), ref,
+                               rtol=1e-4, atol=1e-5)

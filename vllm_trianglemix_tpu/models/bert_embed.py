@@ -138,7 +138,15 @@ def params_from_hf_state_dict(cfg: BertEmbedConfig, get_tensor,
     L = cfg.num_hidden_layers
 
     def get(name):
-        return np.asarray(get_tensor(name))
+        # Task-model checkpoints keep the encoder under a "bert." /
+        # "roberta." prefix (RobertaForMaskedLM, *ForSequence-
+        # Classification); bare BertModel/XLMRobertaModel dumps don't.
+        for prefix in ("", "bert.", "roberta."):
+            try:
+                return np.asarray(get_tensor(prefix + name))
+            except KeyError:
+                continue
+        raise KeyError(name)
 
     def stack(fmt, transpose=False):
         mats = [get(fmt.format(i=i)) for i in range(L)]

@@ -203,6 +203,26 @@ _REGISTRY: dict[str, tuple[str, str]] = {
         "Fairseq2LlamaConfig"),
     "Llama4ForCausalLM": ("vllm_trianglemix_tpu.models.llama4",
                           "Llama4Config"),
+    # encoder-only embedders (reference roberta.py RobertaEmbeddingModel)
+    "RobertaModel": ("vllm_trianglemix_tpu.models.bert_embed",
+                     "BertEmbedConfig"),
+    "RobertaForMaskedLM": ("vllm_trianglemix_tpu.models.bert_embed",
+                           "BertEmbedConfig"),
+    # encoder-only cross-encoder classifiers
+    "BertForSequenceClassification": (
+        "vllm_trianglemix_tpu.models.encoder_cls", "EncoderClsConfig"),
+    "RobertaForSequenceClassification": (
+        "vllm_trianglemix_tpu.models.encoder_cls", "EncoderClsConfig"),
+    "XLMRobertaForSequenceClassification": (
+        "vllm_trianglemix_tpu.models.encoder_cls", "EncoderClsConfig"),
+    "GPT2ForSequenceClassification": (
+        "vllm_trianglemix_tpu.models.gpt2_cls", "Gpt2ClsConfig"),
+    # reward models (reference qwen2_rm.py)
+    "Qwen2ForRewardModel": ("vllm_trianglemix_tpu.models.qwen2_rm",
+                            "Qwen2RewardConfig"),
+    "Qwen2ForProcessRewardModel": (
+        "vllm_trianglemix_tpu.models.qwen2_rm",
+        "Qwen2ProcessRewardConfig"),
 }
 
 

@@ -340,11 +340,22 @@ class ModelRunner:
             donate_argnums=(0,))
         self._jit_kv_gather = jax.jit(lambda kv, ids: kv[:, ids])
 
-        # Classification score head (models/qwen2_cls.py): host-side copy
-        # for the pooler's classify task.
-        self._score_head = (np.asarray(self.params["score"], np.float32)
-                            if isinstance(self.params, dict)
-                            and "score" in self.params else None)
+        # Classification score head: host-side copy for the pooler's
+        # classify task — either a single [D, num_labels] matrix
+        # (models/qwen2_cls.py) or a 2-layer MLP head dict
+        # (models/encoder_cls.py dense->tanh->out_proj,
+        # models/qwen2_rm.py dense->relu->out).
+        self._score_head = None
+        if isinstance(self.params, dict):
+            if "score" in self.params:
+                self._score_head = np.asarray(self.params["score"],
+                                              np.float32)
+            elif "score_mlp" in self.params:
+                self._score_head = {
+                    k: np.asarray(v, np.float32)
+                    for k, v in self.params["score_mlp"].items()}
+                self._score_head["act"] = getattr(
+                    self.cfg, "score_act", "tanh")
 
         # --- multimodal (models/llava.py): vision-encoder jit + device
         # pool of projected image embeddings -------------------------------
@@ -1603,7 +1614,21 @@ class ModelRunner:
                             raise ValueError(
                                 "classify task needs a model with a "
                                 "score head")
-                        logits = vec.astype(np.float64) @ self._score_head
+                        if isinstance(self._score_head, dict):
+                            h = self._score_head
+                            z = (vec.astype(np.float64) @ h["w1"]
+                                 + h["b1"])
+                            z = (np.tanh(z) if h["act"] == "tanh"
+                                 else np.maximum(z, 0.0))
+                            logits = z @ h["w2"] + h["b2"]
+                        else:
+                            logits = (vec.astype(np.float64)
+                                      @ self._score_head)
+                        if logits.shape[-1] == 1:
+                            # reward heads (num_labels == 1): raw value,
+                            # no softmax (reference encode pooler)
+                            pooled_out[rid] = logits
+                            continue
                         logits -= logits.max()
                         e = np.exp(logits)
                         pooled_out[rid] = e / e.sum()
