@@ -245,7 +245,9 @@ def partition_specs(cfg: Mamba2Config, quantized=None) -> dict:
 def mamba2_mixer(lp, h, conv_hist, ssm0, rq, off, is_start, li, *,
                  H: int, P_: int, N: int, G: int, din: int, cd: int,
                  K: int, eps: float, time_step_min: float = 0.0,
-                 time_step_max: float = float("inf")):
+                 time_step_max: float = float("inf"),
+                 gate_mode: str = "gate_then_norm",
+                 norm_groups: int = 1):
     """The Mamba-2 (SSD) mixer shared by pure-Mamba2 and hybrid (Bamba)
     models: fused in_proj -> cached causal conv over [x|B|C] -> per-head
     dt -> ragged-segment associative scan over [H, P, N] states ->
@@ -313,11 +315,22 @@ def mamba2_mixer(lp, h, conv_hist, ssm0, rq, off, is_start, li, *,
     y = jnp.einsum("thpn,thn->thp", hs, C[:, gh])          # [T,H,P]
     y = y + xs * lp["D"].astype(jnp.float32)[None, :, None]
     y = y.reshape(T, din)
-    # gated RMSNorm (MambaRMSNormGated): normalize y * silu(z)
-    y = y * jax.nn.silu(z.astype(jnp.float32))
-    var = jnp.mean(jnp.square(y), axis=-1, keepdims=True)
-    y = y * jax.lax.rsqrt(var + eps) * lp["gated_norm"].astype(
-        jnp.float32)
+    # Gate/norm family: standard Mamba-2 (MambaRMSNormGated) normalizes
+    # y * silu(z); FalconH1RMSNormGated can norm BEFORE gating
+    # ("norm_then_gate", group-wise variance) or skip the norm entirely
+    # ("gate_only", falcon_h1 mamba_rms_norm=False).
+    def _group_rms(t):
+        tg = t.reshape(T, norm_groups, din // norm_groups)
+        var = jnp.mean(jnp.square(tg), axis=-1, keepdims=True)
+        tg = tg * jax.lax.rsqrt(var + eps)
+        return tg.reshape(T, din) * lp["gated_norm"].astype(jnp.float32)
+
+    if gate_mode == "gate_only":
+        y = y * jax.nn.silu(z.astype(jnp.float32))
+    elif gate_mode == "norm_then_gate":
+        y = _group_rms(y) * jax.nn.silu(z.astype(jnp.float32))
+    else:  # "gate_then_norm" (Mamba-2 default)
+        y = _group_rms(y * jax.nn.silu(z.astype(jnp.float32)))
     out = y.astype(h.dtype) @ lp["out_proj"]
     if "out_bias" in lp:
         out = out + lp["out_bias"]

@@ -223,6 +223,8 @@ _REGISTRY: dict[str, tuple[str, str]] = {
     "Qwen2ForProcessRewardModel": (
         "vllm_trianglemix_tpu.models.qwen2_rm",
         "Qwen2ProcessRewardConfig"),
+    "FalconH1ForCausalLM": ("vllm_trianglemix_tpu.models.falcon_h1",
+                            "FalconH1Config"),
 }
 
 
