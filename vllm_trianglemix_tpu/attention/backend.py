@@ -130,7 +130,7 @@ def write_kv(kv_cache: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                                    "dense_threshold", "soft_cap", "scale",
                                    "k_scale", "v_scale", "attn_window",
                                    "attn_chunk", "tri_enabled",
-                                   "alibi_slopes"))
+                                   "alibi_slopes", "prefix_lm"))
 def ragged_paged_attention_xla(
     q: jnp.ndarray,               # [T, HQ, D]
     kv_cache: jnp.ndarray,        # [num_blocks, page, 2*KH, D]
@@ -160,6 +160,13 @@ def ragged_paged_attention_xla(
                                   # added to the scores — equal to the
                                   # relative -slope*(q_pos - key_pos) form
                                   # by softmax shift-invariance.
+    prefix_lm: bool = False,      # PaliGemma-style prefix LM: PROMPT
+                                  # tokens attend bidirectionally over the
+                                  # whole prompt (HF modeling_paligemma
+                                  # _update_causal_mask inference branch:
+                                  # "attend to the whole prefix"); decode
+                                  # tokens stay causal. Requires one-shot
+                                  # prefill (no_chunking requests).
 ) -> jnp.ndarray:
     """Reference ragged paged attention, O(T × max_ctx) but pure XLA.
 
@@ -201,6 +208,11 @@ def ragged_paged_attention_xla(
     q_pos = md.positions[:, None]                               # [T, 1]
     ctx_len = md.seq_lens[md.req_idx][:, None]                  # [T, 1]
     visible = (key_pos <= q_pos) & (key_pos < ctx_len)
+    if prefix_lm:
+        # prompt rows see the WHOLE prompt (bidirectional prefix)
+        plen = md.prompt_lens[md.req_idx][:, None]              # [T, 1]
+        visible |= ((key_pos < plen) & (q_pos < plen)
+                    & (key_pos < ctx_len))
     if attn_window > 0:
         # Sliding-window attention (Mistral): every token sees at most the
         # previous attn_window positions (itself included).
@@ -260,15 +272,19 @@ def ragged_paged_attention(q, kv_cache, md, use_triangle=False, **kwargs):
             q, kv_cache, md, scale=kwargs.get("scale", 1.0),
             soft_cap=kwargs.get("soft_cap", 0.0))
         return out[..., :D] if Dc != D else out
-    if kwargs.get("attn_chunk") or kwargs.get("alibi_slopes") is not None:
-        # Chunked-local masking and ALiBi biases run the XLA reference
-        # path (the Pallas kernels carry neither predicate; ALiBi models
-        # are small/legacy families where XLA attention suffices).
+    if kwargs.get("attn_chunk") or kwargs.get("alibi_slopes") is not None \
+            or kwargs.get("prefix_lm"):
+        # Chunked-local masking, ALiBi biases and prefix-LM visibility
+        # (PaliGemma bidirectional prefill) run the XLA reference path
+        # (the Pallas kernels carry none of these predicates; the
+        # affected models are small/legacy families where XLA attention
+        # suffices).
         out = ragged_paged_attention_xla(q, kv_cache, md, use_triangle,
                                          **kwargs)
         return out[..., :D] if Dc != D else out
     kwargs.pop("attn_chunk", None)
     kwargs.pop("alibi_slopes", None)
+    kwargs.pop("prefix_lm", None)
     if not envs.VTT_DISABLE_PALLAS and _pallas_supported(q):
         from vllm_trianglemix_tpu.ops.ragged_paged_attention import (
             ragged_paged_attention_pallas,

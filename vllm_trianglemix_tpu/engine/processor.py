@@ -67,6 +67,7 @@ class Processor:
         # vision-language model.
         self.mm_config = None
         self.encoder_only = False
+        self.prefix_lm = False
         self.default_pooling_type = None
         module = model_cfg = None
         try:
@@ -80,6 +81,7 @@ class Processor:
         if module is not None:
             self.encoder_only = bool(getattr(module, "IS_ENCODER_ONLY",
                                              False))
+            self.prefix_lm = bool(getattr(model_cfg, "prefix_lm", False))
             self.default_pooling_type = getattr(module,
                                                 "DEFAULT_POOLING_TYPE",
                                                 None)
@@ -283,6 +285,8 @@ class Processor:
             pooling_params=pooling_params,
             mm_items=mm_items,
         )
-        if self.encoder_only:
+        if self.encoder_only or self.prefix_lm:
+            # bidirectional (encoder / prefix-LM) prompts must prefill in
+            # one shot — later prompt tokens are visible to earlier ones
             request.no_chunking = True
         return request

@@ -225,6 +225,9 @@ class DecoderConfig:
     # iterative top-1 with threshold masking, modeling_phimoe.py).
     moe_routing: str = "softmax_topk"
     router_jitter_noise: float = 0.01  # sparsemixer threshold 2*eps
+    # PaliGemma prefix LM: prompt tokens attend bidirectionally over the
+    # whole prompt (XLA attention path; requests prefill in one shot).
+    prefix_lm: bool = False
 
     @classmethod
     def from_hf_config(cls, cfg: dict[str, Any]) -> "DecoderConfig":
@@ -1042,6 +1045,9 @@ def build_attn_kwargs(cfg: DecoderConfig, tri_cfg: TriangleMixConfig,
     if cfg.alibi_slopes:
         # Routes attention to the XLA path (backend.py dispatch).
         kw["alibi_slopes"] = tuple(cfg.alibi_slopes)
+    if cfg.prefix_lm:
+        # PaliGemma bidirectional prefix (XLA path).
+        kw["prefix_lm"] = True
     if kv_quant is not None:
         kw["k_scale"] = kv_quant[0]
         kw["v_scale"] = kv_quant[1]

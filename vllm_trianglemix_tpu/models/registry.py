@@ -225,6 +225,16 @@ _REGISTRY: dict[str, tuple[str, str]] = {
         "Qwen2ProcessRewardConfig"),
     "FalconH1ForCausalLM": ("vllm_trianglemix_tpu.models.falcon_h1",
                             "FalconH1Config"),
+    "PaliGemmaForConditionalGeneration": (
+        "vllm_trianglemix_tpu.models.paligemma", "PaliGemmaConfig"),
+    # llava-weight-layout aliases (reference registry.py: Mantis ->
+    # llava.py; Tarsier2 -> qwen2_vl.py)
+    "MantisForConditionalGeneration": (
+        "vllm_trianglemix_tpu.models.llava", "LlavaConfig"),
+    "TarsierForConditionalGeneration": (
+        "vllm_trianglemix_tpu.models.llava", "LlavaConfig"),
+    "Tarsier2ForConditionalGeneration": (
+        "vllm_trianglemix_tpu.models.qwen2_vl", "Qwen2VLConfig"),
 }
 
 
