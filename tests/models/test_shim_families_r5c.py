@@ -267,3 +267,42 @@ def test_fairseq2_llama_permuted_parity(tmp_path):
     with open(os.path.join(d2, "config.json"), "w") as f:
         json.dump(cfg, f)
     assert generate(d2) == ref
+
+
+def test_solar_no_blend_equals_llama(tmp_path):
+    # bskcn_tv[1] == 0 -> the skip blends are inert; SOLAR must serve a
+    # llama checkpoint identically (validates naming/config intake)
+    hf = build_llama(tmp_path)
+    ref = llama_reference(tmp_path, hf)
+    d = os.path.join(str(tmp_path), "solar0")
+    cfg = json.loads(hf.config.to_json_string())
+    cfg.update(architectures=["SolarForCausalLM"],
+               bskcn_1=[0], bskcn_3=[1], bskcn_tv=[0.9, 0.0])
+    save(d, hf.state_dict(), cfg)
+    assert generate(d) == ref
+
+
+def test_solar_full_blend_skips_layers(tmp_path):
+    # tv == 1 with snapshot at layer 0's input restored at layer 1's
+    # input makes layer 0 a pure no-op: output must equal a 1-layer
+    # llama built from layer 1's weights (reference solar.py:341-344)
+    hf = build_llama(tmp_path)
+    sd = dict(hf.state_dict())
+    d = os.path.join(str(tmp_path), "solar1")
+    cfg = json.loads(hf.config.to_json_string())
+    cfg.update(architectures=["SolarForCausalLM"],
+               bskcn_1=[0], bskcn_3=[1], bskcn_tv=[0.9, 1.0])
+    save(d, sd, cfg)
+    got = generate(d)
+
+    one = {"model.embed_tokens.weight": sd["model.embed_tokens.weight"],
+           "model.norm.weight": sd["model.norm.weight"],
+           "lm_head.weight": sd["lm_head.weight"]}
+    for k, v in sd.items():
+        if k.startswith("model.layers.1."):
+            one[k.replace("model.layers.1.", "model.layers.0.")] = v
+    d2 = os.path.join(str(tmp_path), "llama_l1")
+    cfg2 = json.loads(hf.config.to_json_string())
+    cfg2.update(architectures=["LlamaForCausalLM"], num_hidden_layers=1)
+    save(d2, one, cfg2)
+    assert got == generate(d2)

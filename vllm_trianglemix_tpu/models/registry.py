@@ -235,6 +235,8 @@ _REGISTRY: dict[str, tuple[str, str]] = {
         "vllm_trianglemix_tpu.models.llava", "LlavaConfig"),
     "Tarsier2ForConditionalGeneration": (
         "vllm_trianglemix_tpu.models.qwen2_vl", "Qwen2VLConfig"),
+    "SolarForCausalLM": ("vllm_trianglemix_tpu.models.solar",
+                         "SolarConfig"),
 }
 
 
