@@ -198,3 +198,69 @@ def test_qwen2_process_reward_softmax(tmp_path):
     ref = ref / ref.sum()
     np.testing.assert_allclose(np.asarray(out.pooled), ref,
                                rtol=1e-4, atol=1e-5)
+
+
+def test_internlm2_reward_model_raw_value(tmp_path):
+    """InternLM2 name shim + v_head: reward = v_head @ h_last, checked
+    against a hand-renamed llama with hand-computed head output."""
+    from safetensors.torch import save_file
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    from vllm_trianglemix_tpu.entrypoints.llm import LLM
+
+    geom = dict(vocab_size=256, hidden_size=64, intermediate_size=128,
+                num_hidden_layers=2, num_attention_heads=4,
+                num_key_value_heads=2, max_position_embeddings=256,
+                rms_norm_eps=1e-6, rope_theta=10_000.0,
+                tie_word_embeddings=False, eos_token_id=3, bos_token_id=2)
+    torch.manual_seed(6)
+    hf = LlamaForCausalLM(LlamaConfig(**geom)).eval().float()
+    sd = dict(hf.state_dict())
+    # rename into InternLM2's scheme (fused wqkv per-kv-head groups)
+    out = {"model.tok_embeddings.weight": sd.pop(
+               "model.embed_tokens.weight"),
+           "model.norm.weight": sd.pop("model.norm.weight")}
+    sd.pop("lm_head.weight")
+    kh, g, hd, d = 2, 2, 16, 64
+    for i in range(geom["num_hidden_layers"]):
+        p = f"model.layers.{i}"
+        q = sd.pop(f"{p}.self_attn.q_proj.weight").reshape(kh, g, hd, d)
+        k = sd.pop(f"{p}.self_attn.k_proj.weight").reshape(kh, 1, hd, d)
+        v = sd.pop(f"{p}.self_attn.v_proj.weight").reshape(kh, 1, hd, d)
+        out[f"{p}.attention.wqkv.weight"] = torch.cat(
+            [q, k, v], dim=1).reshape(kh * (g + 2) * hd, d)
+        out[f"{p}.attention.wo.weight"] = sd.pop(
+            f"{p}.self_attn.o_proj.weight")
+        out[f"{p}.attention_norm.weight"] = sd.pop(
+            f"{p}.input_layernorm.weight")
+        out[f"{p}.ffn_norm.weight"] = sd.pop(
+            f"{p}.post_attention_layernorm.weight")
+        out[f"{p}.feed_forward.w1.weight"] = sd.pop(
+            f"{p}.mlp.gate_proj.weight")
+        out[f"{p}.feed_forward.w3.weight"] = sd.pop(
+            f"{p}.mlp.up_proj.weight")
+        out[f"{p}.feed_forward.w2.weight"] = sd.pop(
+            f"{p}.mlp.down_proj.weight")
+    assert not sd, sd.keys()
+    v_head = torch.randn(1, 64) * 0.1
+    out["v_head.weight"] = v_head
+
+    d2 = tmp_path / "ilm2rm"
+    d2.mkdir()
+    cfg = json.loads(hf.config.to_json_string())
+    cfg.update(architectures=["InternLM2ForRewardModel"], bias=False)
+    with open(d2 / "config.json", "w") as f:
+        json.dump(cfg, f)
+    save_file({k: v.clone().contiguous() for k, v in out.items()},
+              str(d2 / "model.safetensors"))
+    llm = LLM(model=str(d2), dtype="float32", max_model_len=64,
+              max_num_seqs=2, max_num_batched_tokens=64, num_kv_blocks=16,
+              skip_tokenizer_init=True)
+    prompt = list(range(5, 16))
+    got = llm.classify([prompt])[0]
+    with torch.no_grad():
+        h = hf.model(torch.tensor([prompt]),
+                     output_hidden_states=True).hidden_states[-1][0, -1]
+        ref = (h @ v_head.T).numpy()
+    np.testing.assert_allclose(np.asarray(got.pooled), ref,
+                               rtol=1e-4, atol=1e-5)

@@ -237,6 +237,9 @@ _REGISTRY: dict[str, tuple[str, str]] = {
         "vllm_trianglemix_tpu.models.qwen2_vl", "Qwen2VLConfig"),
     "SolarForCausalLM": ("vllm_trianglemix_tpu.models.solar",
                          "SolarConfig"),
+    "InternLM2ForRewardModel": (
+        "vllm_trianglemix_tpu.models.internlm2_rm",
+        "InternLM2RewardConfig"),
 }
 
 
