@@ -235,3 +235,25 @@ def test_llama4_engine_greedy_matches_hf(tmp_path):
                           do_sample=False, max_new_tokens=6,
                           eos_token_id=None)[0, len(prompt):].tolist()
     assert got == ref
+
+
+def test_hunyuan_moe_prefill_matches_hf():
+    from transformers import HunYuanMoEV1Config as HFCfg
+    from transformers import HunYuanMoEV1ForCausalLM
+
+    from vllm_trianglemix_tpu.models import hunyuan
+
+    hf_kw = dict(COMMON, head_dim=16, attention_head_dim=16,
+                 rope_theta=10_000.0, rms_norm_eps=1e-5,
+                 num_experts=4, moe_topk=2, use_mixed_mlp_moe=1,
+                 num_shared_expert=1, moe_intermediate_size=32,
+                 tie_word_embeddings=False, pad_token_id=0)
+    torch.manual_seed(9)
+    hf = HunYuanMoEV1ForCausalLM(HFCfg(**hf_kw)).eval().float()
+    sd = hf.state_dict()
+    assert "model.layers.0.mlp.gate.wg.weight" in sd
+    cfg = hunyuan.HunYuanMoEConfig.from_hf_config(hf_kw)
+    assert cfg.num_experts == 4 and cfg.norm_topk_prob
+    assert cfg.shared_expert_intermediate_size == COMMON[
+        "intermediate_size"]
+    check(hunyuan, cfg, hf, seq=33)

@@ -57,7 +57,64 @@ class HunYuanDenseConfig(DecoderConfig):
         )
 
 
+@dataclass(frozen=True)
+class HunYuanMoEConfig(HunYuanDenseConfig):
+    """HunYuan-A13B/A52B MoE (HunYuanMoEV1ForCausalLM).
+
+    Reference: hunyuan_v1.py HunYuanSparseMoeBlock — softmax top-k
+    routing (renormalized when top_k > 1, :409), plus an UNGATED shared
+    MLP of width ``intermediate_size * num_shared_expert`` added to the
+    routed output (:421-437) — the decoder's shared-expert knob with
+    use_shared_expert_gate=False. Per-layer list-valued ``moe_topk`` /
+    ``num_experts`` / ``num_shared_expert`` variants are rejected.
+    """
+
+    @classmethod
+    def from_hf_config(cls, cfg) -> "HunYuanMoEConfig":
+        d = dict(cfg)
+        for key in ("num_experts", "moe_topk", "num_shared_expert",
+                    "moe_intermediate_size"):
+            if isinstance(d.get(key), list):
+                vals = set(d[key])
+                if len(vals) != 1:
+                    raise ValueError(
+                        f"heterogeneous per-layer {key} lists are not "
+                        "supported")
+                d[key] = d[key][0]
+        base = super().from_hf_config(d)
+        topk = int(d.get("moe_topk", 1))
+        shared = (int(d.get("num_shared_expert", 1))
+                  * d["intermediate_size"]
+                  if d.get("use_mixed_mlp_moe", 0) else 0)
+        return dataclasses.replace(
+            base,
+            num_experts=int(d["num_experts"]),
+            num_experts_per_tok=topk,
+            moe_intermediate_size=(d.get("moe_intermediate_size")
+                                   or d["intermediate_size"]),
+            norm_topk_prob=topk > 1,
+            shared_expert_intermediate_size=shared,
+            use_shared_expert_gate=False,
+        )
+
+
+_MOE_LAYER_MAP = dict(
+    _LAYER_MAP,
+    moe_gate="model.layers.{i}.mlp.gate.wg.weight",
+    shared_gate_proj=(
+        "model.layers.{i}.mlp.shared_mlp.gate_proj.weight"),
+    shared_up_proj="model.layers.{i}.mlp.shared_mlp.up_proj.weight",
+    shared_down_proj="model.layers.{i}.mlp.shared_mlp.down_proj.weight",
+)
+
+
 def params_from_hf_state_dict(cfg: HunYuanDenseConfig, get_tensor,
                               dtype=jnp.bfloat16, quant=None, **kw):
+    if isinstance(cfg, HunYuanMoEConfig):
+        if quant is not None:
+            raise ValueError("quantized HunYuan-MoE checkpoints are not "
+                             "supported")
+        return _dec.params_from_hf_state_dict(
+            cfg, get_tensor, dtype=dtype, layer_map=_MOE_LAYER_MAP)
     return _dec.params_from_hf_state_dict(
         cfg, get_tensor, dtype=dtype, quant=quant, layer_map=_LAYER_MAP)

@@ -240,6 +240,8 @@ _REGISTRY: dict[str, tuple[str, str]] = {
     "InternLM2ForRewardModel": (
         "vllm_trianglemix_tpu.models.internlm2_rm",
         "InternLM2RewardConfig"),
+    "HunYuanMoEV1ForCausalLM": ("vllm_trianglemix_tpu.models.hunyuan",
+                                "HunYuanMoEConfig"),
 }
 
 
