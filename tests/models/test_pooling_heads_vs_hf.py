@@ -264,3 +264,33 @@ def test_internlm2_reward_model_raw_value(tmp_path):
         ref = (h @ v_head.T).numpy()
     np.testing.assert_allclose(np.asarray(got.pooled), ref,
                                rtol=1e-4, atol=1e-5)
+
+
+def test_modernbert_embeds_match_hf(tmp_path):
+    """ModernBERT: rope encoder with alternating local/global attention
+    and GeGLU MLP; CLS-pooled hidden must match HF exactly — the prompt
+    is longer than the +-local window so local masking matters."""
+    from transformers import ModernBertConfig as HFCfg
+    from transformers import ModernBertModel
+
+    from vllm_trianglemix_tpu.pooling_params import PoolingParams
+
+    torch.manual_seed(7)
+    hf = ModernBertModel(HFCfg(
+        vocab_size=256, hidden_size=64, intermediate_size=96,
+        num_hidden_layers=4, num_attention_heads=4,
+        max_position_embeddings=128, global_attn_every_n_layers=3,
+        local_attention=8, global_rope_theta=160_000.0,
+        local_rope_theta=10_000.0, pad_token_id=0,
+        attn_implementation="sdpa",
+        reference_compile=False)).eval().float()
+    llm = serve(tmp_path, hf, "ModernBertModel", name="modernbert")
+    for n, seed in ((23, 0), (6, 1)):
+        prompt = np.random.default_rng(seed).integers(
+            1, 256, size=n).tolist()
+        out = llm.encode([prompt], PoolingParams(pooling_type="cls",
+                                                 normalize=False))[0]
+        with torch.no_grad():
+            ref = hf(torch.tensor([prompt])).last_hidden_state[0, 0]
+        np.testing.assert_allclose(np.asarray(out.pooled), ref.numpy(),
+                                   rtol=1e-4, atol=2e-4)

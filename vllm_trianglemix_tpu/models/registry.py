@@ -242,6 +242,8 @@ _REGISTRY: dict[str, tuple[str, str]] = {
         "InternLM2RewardConfig"),
     "HunYuanMoEV1ForCausalLM": ("vllm_trianglemix_tpu.models.hunyuan",
                                 "HunYuanMoEConfig"),
+    "ModernBertModel": ("vllm_trianglemix_tpu.models.modernbert",
+                        "ModernBertConfig"),
 }
 
 
