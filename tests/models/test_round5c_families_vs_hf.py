@@ -257,3 +257,107 @@ def test_hunyuan_moe_prefill_matches_hf():
     assert cfg.shared_expert_intermediate_size == COMMON[
         "intermediate_size"]
     check(hunyuan, cfg, hf, seq=33)
+
+
+def _jais_torch_reference(sd, cfg, token_ids):
+    """Independent torch forward for JAIS semantics (vllm jais.py):
+    GPT-2 blocks + ALiBi + SwiGLU + muP scales."""
+    import math
+
+    from vllm_trianglemix_tpu.models.decoder import (
+        alibi_slopes_closest_pow2,
+    )
+
+    d, heads = cfg["n_embd"], cfg["n_head"]
+    hd = d // heads
+    x = torch.tensor(sd["transformer.wte.weight"])[
+        torch.tensor(token_ids)] * cfg["embeddings_scale"]
+    T = len(token_ids)
+    slopes = torch.tensor(alibi_slopes_closest_pow2(heads))
+    pos = torch.arange(T)
+    # relative form -slope * (q - k); equal to ours by shift-invariance
+    bias = -slopes[:, None, None] * (pos[None, None, :] * -1
+                                     + pos[None, :, None])
+    causal = torch.where(pos[None, :] <= pos[:, None], 0.0, -1e30)
+    scale = hd ** (-1.0 if cfg["mup_scale_qk_dot_by_d"] else -0.5)
+
+    def ln(v, w, b):
+        return torch.nn.functional.layer_norm(
+            v, (d,), torch.tensor(sd[w]), torch.tensor(sd[b]),
+            cfg["layer_norm_epsilon"])
+
+    for i in range(cfg["n_layer"]):
+        p = f"transformer.h.{i}"
+        h = ln(x, f"{p}.ln_1.weight", f"{p}.ln_1.bias")
+        qkv = h @ torch.tensor(sd[f"{p}.attn.c_attn.weight"]) \
+            + torch.tensor(sd[f"{p}.attn.c_attn.bias"])
+        q, k, v = qkv.split(d, dim=-1)
+        q = q.view(T, heads, hd).transpose(0, 1)
+        k = k.view(T, heads, hd).transpose(0, 1)
+        v = v.view(T, heads, hd).transpose(0, 1)
+        s = (q @ k.transpose(-1, -2)) * scale + bias + causal[None]
+        a = torch.softmax(s, dim=-1) @ v
+        a = a.transpose(0, 1).reshape(T, d)
+        x = x + a @ torch.tensor(sd[f"{p}.attn.c_proj.weight"]) \
+            + torch.tensor(sd[f"{p}.attn.c_proj.bias"])
+        h2 = ln(x, f"{p}.ln_2.weight", f"{p}.ln_2.bias")
+        up = h2 @ torch.tensor(sd[f"{p}.mlp.c_fc.weight"]) \
+            + torch.tensor(sd[f"{p}.mlp.c_fc.bias"])
+        gate = h2 @ torch.tensor(sd[f"{p}.mlp.c_fc2.weight"]) \
+            + torch.tensor(sd[f"{p}.mlp.c_fc2.bias"])
+        m = up * torch.nn.functional.silu(gate)
+        x = x + m @ torch.tensor(sd[f"{p}.mlp.c_proj.weight"]) \
+            + torch.tensor(sd[f"{p}.mlp.c_proj.bias"])
+    x = ln(x, "transformer.ln_f.weight", "transformer.ln_f.bias")
+    return (x @ torch.tensor(sd["transformer.wte.weight"]).T
+            ) * cfg["width_scale"]
+
+
+@pytest.mark.parametrize("scale_by_d", [False, True])
+def test_jais_prefill_matches_torch_reference(scale_by_d):
+    import jax.numpy as jnp
+
+    from vllm_trianglemix_tpu.models import jais
+
+    torch.manual_seed(10)
+    d, heads, L, inner, V = 64, 4, 2, 96, 512
+    cfg_d = dict(vocab_size=V, n_embd=d, n_head=heads, n_layer=L,
+                 n_inner=inner, n_positions=256,
+                 layer_norm_epsilon=1e-5, activation_function="swiglu",
+                 position_embedding_type="alibi",
+                 embeddings_scale=2.5, width_scale=0.4,
+                 mup_scale_qk_dot_by_d=scale_by_d,
+                 tie_word_embeddings=True, eos_token_id=0)
+    sd = {"transformer.wte.weight": torch.randn(V, d) * 0.05,
+          "transformer.ln_f.weight": torch.randn(d) * 0.1 + 1,
+          "transformer.ln_f.bias": torch.randn(d) * 0.05}
+    for i in range(L):
+        p = f"transformer.h.{i}"
+        sd[f"{p}.ln_1.weight"] = torch.randn(d) * 0.1 + 1
+        sd[f"{p}.ln_1.bias"] = torch.randn(d) * 0.05
+        sd[f"{p}.ln_2.weight"] = torch.randn(d) * 0.1 + 1
+        sd[f"{p}.ln_2.bias"] = torch.randn(d) * 0.05
+        sd[f"{p}.attn.c_attn.weight"] = torch.randn(d, 3 * d) * 0.05
+        sd[f"{p}.attn.c_attn.bias"] = torch.randn(3 * d) * 0.02
+        sd[f"{p}.attn.c_proj.weight"] = torch.randn(d, d) * 0.05
+        sd[f"{p}.attn.c_proj.bias"] = torch.randn(d) * 0.02
+        sd[f"{p}.mlp.c_fc.weight"] = torch.randn(d, inner) * 0.05
+        sd[f"{p}.mlp.c_fc.bias"] = torch.randn(inner) * 0.02
+        sd[f"{p}.mlp.c_fc2.weight"] = torch.randn(d, inner) * 0.05
+        sd[f"{p}.mlp.c_fc2.bias"] = torch.randn(inner) * 0.02
+        sd[f"{p}.mlp.c_proj.weight"] = torch.randn(inner, d) * 0.05
+        sd[f"{p}.mlp.c_proj.bias"] = torch.randn(d) * 0.02
+
+    cfg = jais.JaisConfig.from_hf_config(cfg_d)
+    assert cfg.alibi_slopes and cfg.embedding_multiplier == 2.5
+    assert abs(cfg.logits_scaling - 2.5) < 1e-9
+    params = jais.params_from_hf_state_dict(
+        cfg, lambda n: sd[n].numpy(), dtype=jnp.float32)
+    token_ids = np.random.default_rng(1).integers(
+        0, V, size=21).tolist()
+    with torch.no_grad():
+        ref = _jais_torch_reference(
+            {k: v.numpy() for k, v in sd.items()}, cfg_d,
+            token_ids).numpy()
+    ours = run_prefill(jais, cfg, params, token_ids)
+    np.testing.assert_allclose(ours, ref, atol=5e-4, rtol=2e-3)

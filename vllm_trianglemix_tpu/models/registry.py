@@ -244,6 +244,8 @@ _REGISTRY: dict[str, tuple[str, str]] = {
                                 "HunYuanMoEConfig"),
     "ModernBertModel": ("vllm_trianglemix_tpu.models.modernbert",
                         "ModernBertConfig"),
+    "JAISLMHeadModel": ("vllm_trianglemix_tpu.models.jais",
+                        "JaisConfig"),
 }
 
 
