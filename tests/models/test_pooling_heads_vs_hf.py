@@ -294,3 +294,26 @@ def test_modernbert_embeds_match_hf(tmp_path):
             ref = hf(torch.tensor([prompt])).last_hidden_state[0, 0]
         np.testing.assert_allclose(np.asarray(out.pooled), ref.numpy(),
                                    rtol=1e-4, atol=2e-4)
+
+
+def test_bare_qwen2_model_embedder(tmp_path):
+    """gte-Qwen2-style bare backbone dump (no "model." prefix, no
+    lm_head) serves through the embedding path."""
+    from transformers import Qwen2Config, Qwen2Model
+
+    from vllm_trianglemix_tpu.pooling_params import PoolingParams
+
+    torch.manual_seed(8)
+    hf = Qwen2Model(Qwen2Config(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=2, pad_token_id=0)).eval().float()
+    assert "embed_tokens.weight" in hf.state_dict()
+    llm = serve(tmp_path, hf, "Qwen2Model", name="bare_qwen2")
+    prompt = list(range(5, 20))
+    out = llm.encode([prompt], PoolingParams(pooling_type="last",
+                                             normalize=False))[0]
+    with torch.no_grad():
+        ref = hf(torch.tensor([prompt])).last_hidden_state[0, -1]
+    np.testing.assert_allclose(np.asarray(out.pooled), ref.numpy(),
+                               rtol=1e-4, atol=2e-4)

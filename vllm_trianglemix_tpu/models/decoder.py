@@ -603,6 +603,24 @@ def params_from_hf_state_dict(cfg: DecoderConfig, get_tensor,
     if layer_map:
         name_map.update(layer_map)
 
+    # Bare-backbone dumps (reference registry.py "Qwen2Model" /
+    # "LlamaModel" / "Gemma2Model" embedder rows): names lack the
+    # "model." prefix and there is no lm_head — fall back to the
+    # stripped name, and resolve a missing lm_head against the
+    # embedding (tied-weights semantics).
+    inner_get = get_tensor
+
+    def get_tensor(name):  # noqa: F811 (deliberate shadow)
+        try:
+            return inner_get(name)
+        except KeyError:
+            if name.startswith("model."):
+                return inner_get(name[len("model."):])
+            if name == "lm_head.weight":
+                return np.asarray(
+                    get_tensor("model.embed_tokens.weight"))
+            raise
+
     def stack(key: str) -> jnp.ndarray:
         mats = []
         for i in range(L):

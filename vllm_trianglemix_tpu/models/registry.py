@@ -246,6 +246,14 @@ _REGISTRY: dict[str, tuple[str, str]] = {
                         "ModernBertConfig"),
     "JAISLMHeadModel": ("vllm_trianglemix_tpu.models.jais",
                         "JaisConfig"),
+    # bare-backbone embedder rows (reference registry.py:163-183 maps
+    # them to the causal modules; decoder loader strips the missing
+    # "model." prefix and ties a missing lm_head)
+    "Qwen2Model": ("vllm_trianglemix_tpu.models.qwen2", "Qwen2Config"),
+    "LlamaModel": ("vllm_trianglemix_tpu.models.llama", "LlamaConfig"),
+    "MistralModel": ("vllm_trianglemix_tpu.models.mistral",
+                     "MistralConfig"),
+    "Gemma2Model": ("vllm_trianglemix_tpu.models.gemma2", "Gemma2Config"),
 }
 
 
