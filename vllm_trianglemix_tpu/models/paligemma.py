@@ -26,7 +26,7 @@ from __future__ import annotations
 
 import json
 import os
-from dataclasses import dataclass, replace
+from dataclasses import dataclass, field, replace
 from typing import Any
 
 import jax
@@ -167,8 +167,9 @@ def siglip_encode(vp: dict, vc: SiglipVisionConfig,
 
 @dataclass(frozen=True)
 class PaliGemmaConfig:
-    text: GemmaConfig
-    vision: SiglipVisionConfig
+    text: GemmaConfig = field(default_factory=GemmaConfig)
+    vision: SiglipVisionConfig = field(
+        default_factory=SiglipVisionConfig)
     image_token_index: int = 257152
 
     # engine-facing delegation (models/llava.py convention)
