@@ -317,3 +317,28 @@ def test_bare_qwen2_model_embedder(tmp_path):
         ref = hf(torch.tensor([prompt])).last_hidden_state[0, -1]
     np.testing.assert_allclose(np.asarray(out.pooled), ref.numpy(),
                                rtol=1e-4, atol=2e-4)
+
+
+def test_bare_gemma2_model_embedder(tmp_path):
+    """Bare Gemma2Model dump through the gemma2 loader's prefix
+    fallback + hybrid sliding/full groups."""
+    from transformers import Gemma2Config, Gemma2Model
+
+    from vllm_trianglemix_tpu.pooling_params import PoolingParams
+
+    torch.manual_seed(9)
+    hf = Gemma2Model(Gemma2Config(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=2, head_dim=16, sliding_window=8,
+        pad_token_id=0)).eval().float()
+    assert "embed_tokens.weight" in hf.state_dict()
+    llm = serve(tmp_path, hf, "Gemma2Model", name="bare_gemma2",
+                num_kv_blocks=32)
+    prompt = list(range(5, 20))
+    out = llm.encode([prompt], PoolingParams(pooling_type="last",
+                                             normalize=False))[0]
+    with torch.no_grad():
+        ref = hf(torch.tensor([prompt])).last_hidden_state[0, -1]
+    np.testing.assert_allclose(np.asarray(out.pooled), ref.numpy(),
+                               rtol=1e-4, atol=3e-4)

@@ -233,6 +233,18 @@ def params_from_hf_state_dict(cfg: Gemma2Config, get_tensor,
         raise ValueError("quantized Gemma-2 checkpoints not wired yet")
     L = cfg.num_hidden_layers
 
+    # Bare-backbone dumps ("Gemma2Model" embedder row): names lack the
+    # "model." prefix — same fallback as the shared decoder loader.
+    inner_get = get_tensor
+
+    def get_tensor(name):  # noqa: F811 (deliberate shadow)
+        try:
+            return inner_get(name)
+        except KeyError:
+            if name.startswith("model."):
+                return inner_get(name[len("model."):])
+            raise
+
     def stack(sub: str, transpose: bool) -> jnp.ndarray:
         mats = []
         for i in range(L):
