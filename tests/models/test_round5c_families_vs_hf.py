@@ -361,3 +361,122 @@ def test_jais_prefill_matches_torch_reference(scale_by_d):
             token_ids).numpy()
     ours = run_prefill(jais, cfg, params, token_ids)
     np.testing.assert_allclose(ours, ref, atol=5e-4, rtol=2e-3)
+
+
+def _grok1_torch_reference(sd, gcfg, token_ids):
+    """Independent torch forward for Grok-1 semantics (vllm grok1.py):
+    sandwich RMSNorms, soft-capped attention + router logits,
+    renormalized top-2 MoE, muP multipliers."""
+    d, heads, kv = gcfg["hidden_size"], gcfg["num_attention_heads"], \
+        gcfg["num_key_value_heads"]
+    hd = d // heads
+    E, K = gcfg["num_experts"], 2
+    T = len(token_ids)
+    x = torch.tensor(sd["model.embed_tokens.weight"])[
+        torch.tensor(token_ids)] * gcfg["embedding_multiplier_scale"]
+
+    def rms(v, w):
+        vf = v.float()
+        return (vf * torch.rsqrt(vf.pow(2).mean(-1, keepdim=True) + 1e-5)
+                * torch.tensor(sd[w]))
+
+    pos = torch.arange(T).float()
+    inv = 1.0 / (10_000.0 ** (torch.arange(0, hd, 2).float() / hd))
+    ang = pos[:, None] * inv[None, :]
+    cos, sin = torch.cos(ang), torch.sin(ang)
+
+    def rope(t, n):
+        t = t.view(T, n, hd)
+        t1, t2 = t[..., :hd // 2], t[..., hd // 2:]
+        return torch.cat([t1 * cos[:, None] - t2 * sin[:, None],
+                          t2 * cos[:, None] + t1 * sin[:, None]], -1)
+
+    causal = torch.where(pos[None, :] <= pos[:, None], 0.0, -1e30)
+    for i in range(gcfg["num_hidden_layers"]):
+        p = f"model.layers.{i}"
+        h = rms(x, f"{p}.pre_attn_norm.scale")
+        q = rope(h @ torch.tensor(sd[f"{p}.attn.q_proj.weight"]).T, heads)
+        k = rope(h @ torch.tensor(sd[f"{p}.attn.k_proj.weight"]).T, kv)
+        v = (h @ torch.tensor(sd[f"{p}.attn.v_proj.weight"]).T
+             ).view(T, kv, hd)
+        g = heads // kv
+        kx = k.repeat_interleave(g, dim=1)
+        vx = v.repeat_interleave(g, dim=1)
+        s = torch.einsum("qhd,khd->hqk", q, kx) * hd ** -0.5
+        s = 30.0 * torch.tanh(s / 30.0) + causal[None]
+        a = torch.einsum("hqk,khd->qhd", torch.softmax(s, -1), vx)
+        a = a.reshape(T, d) @ torch.tensor(
+            sd[f"{p}.attn.o_proj.weight"]).T
+        a = a * gcfg["attn_output_multiplier"]
+        x = x + rms(a, f"{p}.post_attn_norm.scale")
+        h2 = rms(x, f"{p}.pre_moe_norm.scale")
+        logits = h2 @ torch.tensor(
+            sd[f"{p}.moe_block.gate.weight"]).T
+        logits = 30.0 * torch.tanh(logits / 30.0)
+        probs = torch.softmax(logits, -1)
+        topv, topi = torch.topk(probs, K, dim=-1)
+        topv = topv / topv.sum(-1, keepdim=True)
+        out = torch.zeros_like(h2)
+        for e in range(E):
+            w1 = torch.tensor(
+                sd[f"{p}.moe_block.experts.{e}.linear.weight"])
+            wv = torch.tensor(
+                sd[f"{p}.moe_block.experts.{e}.linear_v.weight"])
+            w2 = torch.tensor(
+                sd[f"{p}.moe_block.experts.{e}.linear_1.weight"])
+            y = (torch.nn.functional.silu(h2 @ w1.T) * (h2 @ wv.T)) @ w2.T
+            wsel = (topi == e).float() * topv
+            out = out + wsel.sum(-1, keepdim=True) * y
+        x = x + rms(out, f"{p}.post_moe_norm.scale")
+    x = rms(x, "model.norm.scale")
+    return (x @ torch.tensor(sd["model.embed_tokens.weight"]).T
+            ) * gcfg["output_multiplier_scale"]
+
+
+def test_grok1_prefill_matches_torch_reference():
+    import jax.numpy as jnp
+
+    from vllm_trianglemix_tpu.models import grok1
+
+    torch.manual_seed(11)
+    d, heads, kv, L, V, E, I = 64, 4, 2, 2, 512, 4, 32
+    gcfg = dict(vocab_size=V, hidden_size=d, num_attention_heads=heads,
+                num_key_value_heads=kv, num_hidden_layers=L,
+                intermediate_size=I, num_experts=E,
+                num_experts_per_tok=2, moe_intermediate_size=I,
+                rms_norm_eps=1e-5, rope_theta=10_000.0,
+                embedding_multiplier_scale=5.0,
+                output_multiplier_scale=0.25,
+                attn_output_multiplier=0.7,
+                attn_logit_softcapping=30.0,
+                tie_word_embeddings=True, eos_token_id=2)
+    sd = {"model.embed_tokens.weight": torch.randn(V, d) * 0.05,
+          "model.norm.scale": torch.randn(d) * 0.1 + 1}
+    for i in range(L):
+        p = f"model.layers.{i}"
+        for n in ("pre_attn_norm", "post_attn_norm", "pre_moe_norm",
+                  "post_moe_norm"):
+            sd[f"{p}.{n}.scale"] = torch.randn(d) * 0.1 + 1
+        sd[f"{p}.attn.q_proj.weight"] = torch.randn(d, d) * 0.05
+        sd[f"{p}.attn.k_proj.weight"] = torch.randn(kv * 16, d) * 0.05
+        sd[f"{p}.attn.v_proj.weight"] = torch.randn(kv * 16, d) * 0.05
+        sd[f"{p}.attn.o_proj.weight"] = torch.randn(d, d) * 0.05
+        sd[f"{p}.moe_block.gate.weight"] = torch.randn(E, d) * 0.5
+        for e in range(E):
+            q = f"{p}.moe_block.experts.{e}"
+            sd[f"{q}.linear.weight"] = torch.randn(I, d) * 0.05
+            sd[f"{q}.linear_v.weight"] = torch.randn(I, d) * 0.05
+            sd[f"{q}.linear_1.weight"] = torch.randn(d, I) * 0.05
+
+    cfg = grok1.Grok1Config.from_hf_config(gcfg)
+    assert cfg.sandwich_norm and cfg.attn_soft_cap == 30.0
+    assert cfg.router_logit_softcapping == 30.0
+    params = grok1.params_from_hf_state_dict(
+        cfg, lambda n: sd[n].numpy(), dtype=jnp.float32)
+    token_ids = np.random.default_rng(2).integers(0, V, size=19).tolist()
+    with torch.no_grad():
+        ref = _grok1_torch_reference(
+            {k: v.numpy() for k, v in sd.items()}, gcfg,
+            token_ids).numpy()
+    ours = run_prefill(grok1, cfg, params, token_ids)
+    np.testing.assert_allclose(ours, ref, atol=5e-4, rtol=2e-3)

@@ -228,6 +228,12 @@ class DecoderConfig:
     # PaliGemma prefix LM: prompt tokens attend bidirectionally over the
     # whole prompt (XLA attention path; requests prefill in one shot).
     prefix_lm: bool = False
+    # Attention-logit soft cap s*tanh(x/s) (Grok-1 attn_logit_softcapping
+    # 30.0; Gemma-2 carries its own forward). 0 = off.
+    attn_soft_cap: float = 0.0
+    # Router-logit soft cap before softmax routing (Grok-1:
+    # 30 * tanh(logits / 30), grok1.py:109). 0 = off.
+    router_logit_softcapping: float = 0.0
 
     @classmethod
     def from_hf_config(cls, cfg: dict[str, Any]) -> "DecoderConfig":
@@ -824,6 +830,10 @@ def _moe_mlp(h: jnp.ndarray, lp: dict, cfg: DecoderConfig) -> jnp.ndarray:
     T, D = h.shape
     E, K = cfg.num_experts, cfg.num_experts_per_tok
     logits = (h @ lp["moe_gate"]).astype(jnp.float32)       # [T, E]
+    if cfg.router_logit_softcapping:
+        # Grok-1: 30 * tanh(logits / 30) before softmax (grok1.py:109)
+        c = cfg.router_logit_softcapping
+        logits = c * jnp.tanh(logits / c)
     if cfg.moe_routing == "sparsemixer":
         topv, topi = _sparsemixer_route(logits, K,
                                         cfg.router_jitter_noise)
@@ -1066,6 +1076,8 @@ def build_attn_kwargs(cfg: DecoderConfig, tri_cfg: TriangleMixConfig,
     if cfg.prefix_lm:
         # PaliGemma bidirectional prefix (XLA path).
         kw["prefix_lm"] = True
+    if cfg.attn_soft_cap:
+        kw["soft_cap"] = cfg.attn_soft_cap
     if kv_quant is not None:
         kw["k_scale"] = kv_quant[0]
         kw["v_scale"] = kv_quant[1]

@@ -254,6 +254,8 @@ _REGISTRY: dict[str, tuple[str, str]] = {
     "MistralModel": ("vllm_trianglemix_tpu.models.mistral",
                      "MistralConfig"),
     "Gemma2Model": ("vllm_trianglemix_tpu.models.gemma2", "Gemma2Config"),
+    "Grok1ModelForCausalLM": ("vllm_trianglemix_tpu.models.grok1",
+                              "Grok1Config"),
 }
 
 
