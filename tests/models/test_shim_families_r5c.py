@@ -306,3 +306,76 @@ def test_solar_full_blend_skips_layers(tmp_path):
     cfg2.update(architectures=["LlamaForCausalLM"], num_hidden_layers=1)
     save(d2, one, cfg2)
     assert got == generate(d2)
+
+
+def test_bailing_moe_rename_parity(tmp_path):
+    # twin: HF Glm4Moe (dense prefix + sigmoid/correction-bias routing +
+    # shared experts, partial rotary 0.5) renamed into Bailing's fused
+    # query_key_value / gate_up_proj / word_embeddings scheme
+    import torch as _torch
+    from transformers import Glm4MoeConfig, Glm4MoeForCausalLM
+
+    geom = dict(vocab_size=256, hidden_size=64, intermediate_size=128,
+                moe_intermediate_size=32, num_hidden_layers=2,
+                num_attention_heads=4, num_key_value_heads=2,
+                head_dim=16, n_routed_experts=4, n_shared_experts=1,
+                num_experts_per_tok=2, first_k_dense_replace=1,
+                n_group=2, topk_group=2, routed_scaling_factor=1.5,
+                norm_topk_prob=True, partial_rotary_factor=0.5,
+                attention_bias=True, use_qk_norm=False,
+                rms_norm_eps=1e-5, rope_theta=10_000.0,
+                max_position_embeddings=256, pad_token_id=0,
+                eos_token_id=3, tie_word_embeddings=False)
+    torch.manual_seed(12)
+    hf = Glm4MoeForCausalLM(Glm4MoeConfig(**geom)).eval().float()
+    d1 = os.path.join(str(tmp_path), "glm4moe")
+    cfg1 = json.loads(hf.config.to_json_string())
+    cfg1["architectures"] = ["Glm4MoeForCausalLM"]
+    save(d1, hf.state_dict(), cfg1)
+    ref = generate(d1)
+
+    sd = dict(hf.state_dict())
+    out = {}
+    for k in list(sd):
+        if k not in sd:
+            continue            # consumed with a fused partner
+        v = sd.pop(k)
+        if ".self_attn.q_proj." in k:
+            p, leaf = k.rsplit(".self_attn.q_proj.", 1)
+            out[f"{p}.attention.query_key_value.{leaf}"] = _torch.cat([
+                v, sd.pop(f"{p}.self_attn.k_proj.{leaf}"),
+                sd.pop(f"{p}.self_attn.v_proj.{leaf}")])
+        elif ".self_attn.o_proj." in k:
+            out[k.replace(".self_attn.o_proj.", ".attention.dense.")] = v
+        elif k.endswith("mlp.gate_proj.weight"):
+            p = k[:-len("gate_proj.weight")]
+            out[f"{p}gate_up_proj.weight"] = _torch.cat(
+                [v, sd.pop(f"{p}up_proj.weight")])
+        elif k.endswith("mlp.shared_experts.gate_proj.weight"):
+            p = k[:-len("gate_proj.weight")]
+            out[f"{p}gate_up_proj.weight"] = _torch.cat(
+                [v, sd.pop(f"{p}up_proj.weight")])
+        elif k == "model.embed_tokens.weight":
+            out["model.word_embeddings.weight"] = v
+        elif k.endswith("mlp.gate.e_score_correction_bias"):
+            out[k.replace("e_score_correction_bias", "expert_bias")] = v
+        else:
+            out[k] = v
+    assert not sd, sd.keys()
+    d2 = os.path.join(str(tmp_path), "bailing")
+    cfg2 = dict(
+        vocab_size=geom["vocab_size"], hidden_size=geom["hidden_size"],
+        intermediate_size=geom["intermediate_size"],
+        moe_intermediate_size=geom["moe_intermediate_size"],
+        num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=2, head_dim=16, num_experts=4,
+        num_shared_experts=1, num_experts_per_tok=2,
+        first_k_dense_replace=1, n_group=2, topk_group=2,
+        routed_scaling_factor=1.5, norm_topk_prob=True,
+        partial_rotary_factor=0.5, use_qkv_bias=True, use_bias=False,
+        score_function="sigmoid", rms_norm_eps=1e-5,
+        rope_theta=10_000.0, max_position_embeddings=256,
+        eos_token_id=3, tie_word_embeddings=False,
+        architectures=["BailingMoeForCausalLM"])
+    save(d2, out, cfg2)
+    assert generate(d2) == ref

@@ -256,6 +256,10 @@ _REGISTRY: dict[str, tuple[str, str]] = {
     "Gemma2Model": ("vllm_trianglemix_tpu.models.gemma2", "Gemma2Config"),
     "Grok1ModelForCausalLM": ("vllm_trianglemix_tpu.models.grok1",
                               "Grok1Config"),
+    "BailingMoeForCausalLM": ("vllm_trianglemix_tpu.models.bailing_moe",
+                              "BailingMoeConfig"),
+    "BailingMoeV2ForCausalLM": (
+        "vllm_trianglemix_tpu.models.bailing_moe", "BailingMoeConfig"),
 }
 
 
